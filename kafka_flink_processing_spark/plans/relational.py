@@ -1,1 +1,547 @@
-"""Relational battery (SURVEY.md §2.2/§2.5/§2.7) — filled in next milestones."""
+"""Relational battery (SURVEY.md §2.2/§2.5/§2.7).
+
+The reference's compute plane has projections/scalar maps (P4/P5,
+PnlAndExposureJob.java:65-69,116) and its read surface is plain SQL
+(README.md:83-101); everything else here — joins, aggregations, set ops,
+grouping sets — is the engine-native relational core the reference delegates
+to Postgres, re-expressed as Catalyst-optimized DataFrame plans over the
+TPC-H-ish testdata (FIXTURES.md §B mapping).
+
+Float determinism: every aggregate over a double measure goes through
+functions.exact.dsum/davg (decimal-routed, order-independent) so results are
+bit-identical across engines AND across cluster sizes/partition counts —
+plain double sums would already be nondeterministic run-to-run at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.exact import (
+    davg_sql,
+    dsum,
+    dsum_sql,
+)
+from kafka_flink_processing_spark.operators.asof import asof_join
+from kafka_flink_processing_spark.plans.registry import register
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# P4/P5: projection + arithmetic map + conditional sign
+# --------------------------------------------------------------------------
+
+@register(
+    "exposure_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber,
+           l_extendedprice * (1 - l_discount) AS revenue,
+           CASE WHEN l_returnflag = 'R' THEN -l_quantity ELSE l_quantity END
+             AS signed_qty,
+           l_quantity AS pnl01,
+           l_quantity * l_extendedprice AS notional_usd
+    FROM lineitem
+    """,
+    doc="P4/P5 per-row arithmetic + conditional sign "
+        "(PnlAndExposureJob.java:65-69 pnl01/notional; :116 signedQty).",
+)
+def exposure_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return li.select(
+        "l_orderkey", "l_linenumber",
+        (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"),
+        F.when(F.col("l_returnflag") == "R", -F.col("l_quantity"))
+         .otherwise(F.col("l_quantity")).alias("signed_qty"),
+        F.col("l_quantity").alias("pnl01"),
+        (F.col("l_quantity") * F.col("l_extendedprice")).alias("notional_usd"),
+    )
+
+
+# --------------------------------------------------------------------------
+# Filters/predicates (read-side WHERE — free via Catalyst pushdown)
+# --------------------------------------------------------------------------
+
+@register(
+    "filtered_projection",
+    oracle="""
+    SELECT l_orderkey, l_linenumber, l_quantity, l_extendedprice, l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.02 AND 0.06
+      AND l_quantity < 24
+      AND l_returnflag IN ('A', 'R')
+    """,
+    doc="predicate battery (range/BETWEEN/IN) with parquet pushdown; the "
+        "reference's read-side WHERE surface (README.md:83-101).",
+)
+def filtered_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.filter((F.col("l_shipdate") >= "1996-01-01")
+                      & (F.col("l_shipdate") < "1997-01-01")
+                      & F.col("l_discount").between(0.02, 0.06)
+                      & (F.col("l_quantity") < 24)
+                      & F.col("l_returnflag").isin("A", "R"))
+              .select("l_orderkey", "l_linenumber", "l_quantity",
+                      "l_extendedprice", "l_returnflag"))
+
+
+# --------------------------------------------------------------------------
+# Aggregations
+# --------------------------------------------------------------------------
+
+@register(
+    "groupby_agg_q1",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           {dsum_sql('l_quantity')} AS sum_qty,
+           {dsum_sql('l_extendedprice')} AS sum_base_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS sum_disc_price,
+           {dsum_sql('l_extendedprice * (1 - l_discount) * (1 + l_tax)', 6)} AS sum_charge,
+           {davg_sql('l_quantity')} AS avg_qty,
+           {davg_sql('l_extendedprice')} AS avg_price,
+           {davg_sql('l_discount')} AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    doc="TPC-H Q1-shaped pricing summary: 2-col groupBy, 8 aggregates; "
+        "map-side partial agg then one shuffle on the grouping key.",
+    bench=True,
+)
+def groupby_agg_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    charge = disc_price * (1 + F.col("l_tax"))
+    return (li.filter(F.col("l_shipdate") <= "2001-09-02")
+              .groupBy("l_returnflag", "l_linestatus")
+              .agg(dsum("l_quantity").alias("sum_qty"),
+                   dsum("l_extendedprice").alias("sum_base_price"),
+                   dsum(disc_price, 4).alias("sum_disc_price"),
+                   dsum(charge, 6).alias("sum_charge"),
+                   (dsum("l_quantity") / F.count("l_quantity")).alias("avg_qty"),
+                   (dsum("l_extendedprice") / F.count("l_extendedprice")).alias("avg_price"),
+                   (dsum("l_discount") / F.count("l_discount")).alias("avg_disc"),
+                   F.count("*").alias("count_order")))
+
+
+@register(
+    "distinct_count_by",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(DISTINCT user_id) AS n_users,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value,
+           MIN(ts) AS first_ts,
+           MAX(ts) AS last_ts
+    FROM events GROUP BY event_type
+    """,
+    doc="count / exact distinct / min / max per group "
+        "(engine-native aggregation surface, SURVEY.md §2.5).",
+)
+def distinct_count_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.countDistinct("user_id").alias("n_users"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value"),
+                   F.min("ts").alias("first_ts"),
+                   F.max("ts").alias("last_ts")))
+
+
+@register(
+    "rollup_acctbal",
+    oracle=f"""
+    SELECT r_name, n_name,
+           COUNT(*) AS n_customers,
+           {dsum_sql('c_acctbal')} AS sum_acctbal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY ROLLUP (r_name, n_name)
+    """,
+    doc="hierarchical subtotals via ROLLUP over broadcast-joined dims.",
+)
+def rollup_acctbal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    joined = (cust
+              .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+              .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey))
+    return (joined.rollup("r_name", "n_name")
+                  .agg(F.count("*").alias("n_customers"),
+                       dsum("c_acctbal").alias("sum_acctbal")))
+
+
+@register(
+    "cube_qty",
+    oracle=f"""
+    SELECT l_returnflag, l_linestatus,
+           COUNT(*) AS n,
+           {dsum_sql('l_quantity')} AS sum_qty
+    FROM lineitem
+    GROUP BY CUBE (l_returnflag, l_linestatus)
+    """,
+    doc="all grouping-set combinations via CUBE.",
+)
+def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.cube("l_returnflag", "l_linestatus")
+              .agg(F.count("*").alias("n"), dsum("l_quantity").alias("sum_qty")))
+
+
+@register(
+    "pivot_linestatus",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
+           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    doc="pivot = conditional aggregation; map-side combine then one shuffle.",
+)
+def pivot_linestatus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    return (li.groupBy("l_returnflag")
+              .pivot("l_linestatus", ["O", "F"])
+              .agg(dsum("l_quantity")))
+
+
+# --------------------------------------------------------------------------
+# Joins
+# --------------------------------------------------------------------------
+
+@register(
+    "join_revenue_by_nation",
+    oracle=f"""
+    SELECT n_name,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND s_nationkey = c_nationkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1998-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5-shaped 6-table join: big fact shuffle joins + broadcast "
+        "dims (nation/region/supplier); dims broadcast so only "
+        "lineitem<->orders<->customer shuffle on their keys.",
+    bench=True,
+)
+def join_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    li = load_table(spark, "lineitem", sf_dir)
+    supp = load_table(spark, "supplier", sf_dir)
+    nation = load_table(spark, "nation", sf_dir)
+    region = load_table(spark, "region", sf_dir)
+    df = (cust
+          .join(orders, cust.c_custkey == orders.o_custkey)
+          .join(li, li.l_orderkey == orders.o_orderkey)
+          .join(F.broadcast(supp), (li.l_suppkey == supp.s_suppkey)
+                & (supp.s_nationkey == cust.c_nationkey))
+          .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+          .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+          .filter((F.col("r_name") == "ASIA")
+                  & (F.col("o_orderdate") >= "1996-01-01")
+                  & (F.col("o_orderdate") < "1998-01-01")))
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return df.groupBy("n_name").agg(dsum(rev, 4).alias("revenue"))
+
+
+@register(
+    "join_topk_orders",
+    oracle=f"""
+    SELECT l_orderkey, o_orderdate,
+           {dsum_sql('l_extendedprice * (1 - l_discount)', 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1996-07-01'
+      AND l_shipdate  > TIMESTAMP '1996-07-01'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    doc="TPC-H Q3-shaped join + agg + global top-k "
+        "(TakeOrderedAndProject, no full sort).",
+    bench=True,
+)
+def join_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir).filter(F.col("c_mktsegment") == "BUILDING")
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") < "1996-07-01")
+    li = load_table(spark, "lineitem", sf_dir).filter(F.col("l_shipdate") > "1996-07-01")
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+                .join(li, li.l_orderkey == orders.o_orderkey)
+                .groupBy("l_orderkey", "o_orderdate")
+                .agg(dsum(rev, 4).alias("revenue"))
+                .orderBy(F.col("revenue").desc(), F.col("l_orderkey"))
+                .limit(10))
+
+
+@register(
+    "semi_join_late_orders",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS n_orders
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    doc="TPC-H Q4-shaped EXISTS => left-semi join (no row duplication, "
+        "build side only carries the key).",
+)
+def semi_join_late_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderdate") >= "1996-01-01")
+    li = load_table(spark, "lineitem", sf_dir)
+    semi = orders.join(li, (li.l_orderkey == orders.o_orderkey)
+                       & (li.l_shipdate > orders.o_orderdate), "left_semi")
+    return semi.groupBy("o_orderpriority").agg(F.count("*").alias("n_orders"))
+
+
+@register(
+    "anti_join_customers",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND o_orderstatus = 'F')
+    """,
+    doc="NOT EXISTS => left-anti join (customers with no finished order).",
+)
+def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+                .select("c_custkey", "c_name", "c_acctbal"))
+
+
+# --------------------------------------------------------------------------
+# Set operations (SURVEY.md §2.5 — engine-native; absent in the reference)
+# --------------------------------------------------------------------------
+
+@register(
+    "set_union",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    UNION
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="UNION (distinct) of two key sets.",
+)
+def set_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.union(f).distinct()
+
+
+@register(
+    "set_intersect",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    INTERSECT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="INTERSECT (distinct).",
+)
+def set_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    return o.intersect(f)
+
+
+@register(
+    "set_except",
+    oracle="""
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+    EXCEPT
+    SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+    """,
+    doc="EXCEPT (distinct).",
+)
+def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    o = orders.filter(F.col("o_orderstatus") == "O").select("o_custkey")
+    f = orders.filter(F.col("o_orderstatus") == "F").select("o_custkey")
+    # subtract = EXCEPT DISTINCT (exceptAll would keep surplus duplicates)
+    return o.subtract(f)
+
+
+# --------------------------------------------------------------------------
+# Window-function battery (ranking/navigation; SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_rank_lag",
+    oracle="""
+    SELECT event_id, user_id, ts, value,
+           ROW_NUMBER()   OVER wt AS rn,
+           RANK()         OVER wv AS rnk,
+           DENSE_RANK()   OVER wv AS drnk,
+           NTILE(4)       OVER wt AS quartile,
+           LAG(value)     OVER wt AS prev_value,
+           LEAD(value)    OVER wt AS next_value
+    FROM events
+    WINDOW wt AS (PARTITION BY user_id ORDER BY ts, event_id),
+           wv AS (PARTITION BY user_id ORDER BY value DESC)
+    """,
+    doc="ranking + navigation functions; one shuffle per distinct "
+        "partitioning, sorts shared between compatible windows.",
+)
+def window_rank_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    wt = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc())
+    return ev.select(
+        "event_id", "user_id", "ts", "value",
+        F.row_number().over(wt).alias("rn"),
+        F.rank().over(wv).alias("rnk"),
+        F.dense_rank().over(wv).alias("drnk"),
+        F.ntile(4).over(wt).alias("quartile"),
+        F.lag("value").over(wt).alias("prev_value"),
+        F.lead("value").over(wt).alias("next_value"),
+    )
+
+
+@register(
+    "top_orders_per_customer",
+    oracle="""
+    SELECT o_custkey, o_orderkey, o_totalprice
+    FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      FROM orders
+    ) WHERE rn <= 3
+    """,
+    doc="top-k per group via ranking window (the scalable form — no "
+        "self-join, single shuffle on the group key).",
+)
+def top_orders_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(),
+                                                F.col("o_orderkey"))
+    return (orders.withColumn("rn", F.row_number().over(w))
+                  .filter(F.col("rn") <= 3)
+                  .select("o_custkey", "o_orderkey", "o_totalprice"))
+
+
+# --------------------------------------------------------------------------
+# As-of join (engine extension; batch form of the reference's co-process
+# correlation, SURVEY.md §2.5 "closest to an as-of join")
+# --------------------------------------------------------------------------
+
+@register(
+    "asof_join_events",
+    oracle="""
+    WITH tagged AS (
+      SELECT event_id, user_id, ts, value,
+             CAST(NULL AS DOUBLE) AS purchase_value, 1 AS is_left,
+             0 AS tb
+      FROM events WHERE event_type = 'click'
+      UNION ALL
+      SELECT CAST(NULL AS BIGINT), user_id, ts, CAST(NULL AS DOUBLE),
+             value, 0, event_id
+      FROM events WHERE event_type = 'purchase'
+    ), filled AS (
+      SELECT event_id, user_id, ts, value, is_left,
+             LAST_VALUE(purchase_value IGNORE NULLS) OVER (
+               PARTITION BY user_id ORDER BY ts, is_left, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS purchase_value
+      FROM tagged
+    )
+    SELECT event_id, user_id, ts, value, purchase_value
+    FROM filled WHERE is_left = 1
+    """,
+    doc="as-of join: each click enriched with the user's latest purchase "
+        "value at-or-before its ts; tagged-union + one window pass "
+        "(single shuffle — no quadratic range join).",
+    bench=True,
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    clicks = ev.filter(F.col("event_type") == "click") \
+               .select("event_id", "user_id", "ts", "value")
+    purchases = ev.filter(F.col("event_type") == "purchase") \
+                  .select("user_id", "ts", F.col("value").alias("purchase_value"),
+                          F.col("event_id").alias("src_id"))
+    out = asof_join(clicks, purchases, on=["user_id"], order_col="ts",
+                    value_cols=["purchase_value"], right_order_tiebreak="src_id")
+    return out.select("event_id", "user_id", "ts", "value", "purchase_value")
+
+
+# --------------------------------------------------------------------------
+# Scalar-function battery (P6/P7 + §2.5 string/date/math functions)
+# --------------------------------------------------------------------------
+
+@register(
+    "scalar_battery",
+    oracle="""
+    SELECT event_id,
+           ROUND(value, 1) AS r1,
+           ABS(value - 100.0) AS abs_dev,
+           GREATEST(value, 100.0) AS hi,
+           LEAST(value, 100.0) AS lo,
+           FLOOR(value) AS flr,
+           CEILING(value) AS cl,
+           SQRT(value) AS sq,
+           SIGN(value - 100.0) AS sgn,
+           CAST(TRUNC(value) AS BIGINT) AS value_int,
+           YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
+           HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s,
+           UPPER(event_type) AS etype_upper,
+           LENGTH(event_type) AS etype_len,
+           SUBSTRING(event_type, 1, 3) AS etype_pfx,
+           CONCAT(event_type, '#', CAST(user_id AS VARCHAR)) AS tag,
+           COALESCE(NULLIF(event_type, 'error'), 'n/a') AS etype_clean,
+           event_id % 7 AS bucket
+    FROM events
+    """,
+    doc="scalar battery: round/clamp (producer.py:47 P7), date parts, "
+        "string fns, conditional null handling — all JVM built-ins inside "
+        "whole-stage codegen. Transcendentals (exp/ln/pow) are excluded "
+        "from the oracle set: libm vs java.lang.Math differ by ~1 ulp.",
+)
+def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    v, ts, et = F.col("value"), F.col("ts"), F.col("event_type")
+    return ev.select(
+        "event_id",
+        F.round(v, 1).alias("r1"),
+        F.abs(v - 100.0).alias("abs_dev"),
+        F.greatest(v, F.lit(100.0)).alias("hi"),
+        F.least(v, F.lit(100.0)).alias("lo"),
+        F.floor(v).alias("flr"),
+        F.ceil(v).alias("cl"),
+        F.sqrt(v).alias("sq"),
+        # Spark's double->bigint cast truncates toward zero (the oracle
+        # spells it TRUNC explicitly — DuckDB's bare CAST rounds instead)
+        F.signum(v - 100.0).alias("sgn"),
+        v.cast("bigint").alias("value_int"),
+        F.year(ts).alias("y"), F.month(ts).alias("mo"),
+        F.dayofmonth(ts).alias("d"), F.hour(ts).alias("h"),
+        F.minute(ts).alias("mi"), F.second(ts).alias("s"),
+        F.upper(et).alias("etype_upper"),
+        F.length(et).alias("etype_len"),
+        F.substring(et, 1, 3).alias("etype_pfx"),
+        F.concat(et, F.lit("#"), F.col("user_id").cast("string")).alias("tag"),
+        F.coalesce(F.nullif(et, F.lit("error")), F.lit("n/a")).alias("etype_clean"),
+        (F.col("event_id") % 7).alias("bucket"),
+    )

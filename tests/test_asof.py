@@ -1,0 +1,43 @@
+"""as-of join semantics: cold start (left before any right), tie at equal
+ts (right matches), latest-right-wins, key isolation."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from kafka_flink_processing_spark.operators.asof import asof_join
+
+
+def _ts(i: int) -> dt.datetime:
+    return dt.datetime(2024, 1, 1) + dt.timedelta(seconds=i)
+
+
+def test_asof_join_semantics(spark):
+    left = spark.createDataFrame(
+        [(1, "k1", _ts(5)),   # before any right row -> null
+         (2, "k1", _ts(10)),  # equal ts to right@10 -> matches 100.0
+         (3, "k1", _ts(25)),  # after right@20 -> 200.0
+         (4, "k2", _ts(25))], # other key, right@7 -> 7.7
+        "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, "k1", _ts(10), 100.0),
+         (12, "k1", _ts(20), 200.0),
+         (13, "k2", _ts(7), 7.7)],
+        "rid long, k string, ts timestamp, px double")
+
+    out = asof_join(left, right.select("k", "ts", "px", "rid"),
+                    on=["k"], order_col="ts", value_cols=["px"],
+                    right_order_tiebreak="rid")
+    got = {r.lid: r.px for r in out.collect()}
+    assert got == {1: None, 2: 100.0, 3: 200.0, 4: 7.7}
+
+
+def test_asof_join_duplicate_right_ts_tiebreak(spark):
+    left = spark.createDataFrame([(1, "k", _ts(10))], "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        [(11, "k", _ts(10), 1.0), (12, "k", _ts(10), 2.0)],
+        "rid long, k string, ts timestamp, px double")
+    out = asof_join(left, right.select("k", "ts", "px", "rid"),
+                    on=["k"], order_col="ts", value_cols=["px"],
+                    right_order_tiebreak="rid")
+    assert out.collect()[0].px == 2.0  # greatest tiebreak wins
