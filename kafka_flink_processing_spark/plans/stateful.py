@@ -9,9 +9,10 @@ arrival-order nondeterminism).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_processing_spark.operators.pnl import pnl_positions, price_exposure
 from kafka_flink_processing_spark.operators.windows import (
     last_value_carried_forward,
     latest_per_key,
@@ -20,6 +21,52 @@ from kafka_flink_processing_spark.operators.windows import (
 )
 from kafka_flink_processing_spark.plans.registry import register
 from kafka_flink_processing_spark.sources.parquet import load_table
+
+
+# --------------------------------------------------------------------------
+# trades/prices derivation from `events` (FIXTURES.md §B: "trades-shaped
+# derivation of events — map event_type->side, value->price, user_id->account")
+# --------------------------------------------------------------------------
+
+_TRADE_TYPES = ("purchase", "signup", "error")
+_PRICE_TYPES = ("view", "click")
+
+
+def derive_market(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    """(trades, prices) shaped like the reference topics (schemas.TRADE/
+    PRICE_TICK), deterministically derived from events."""
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    trades = (ev.filter(F.col("event_type").isin(*_TRADE_TYPES))
+                .select(F.col("event_id").alias("trade_id"),
+                        "ts",
+                        F.concat(F.lit("ACC"), (F.col("user_id") % 3 + 1)
+                                 .cast("string")).alias("account"),
+                        hub.alias("hub"),
+                        F.when(F.col("event_type").isin("purchase", "signup"),
+                               "BUY").otherwise("SELL").alias("side"),
+                        F.when(F.col("event_id") % 4 == 0, 5)
+                         .when(F.col("event_id") % 4 == 1, 10)
+                         .when(F.col("event_id") % 4 == 2, 25)
+                         .otherwise(50).alias("mw"),
+                        F.col("value").alias("price_mwh")))
+    prices = (ev.filter(F.col("event_type").isin(*_PRICE_TYPES))
+                .select("ts", hub.alias("hub"),
+                        F.col("value").alias("price_mwh")))
+    return trades, prices
+
+
+_DERIVE_TRADES_SQL = """
+  SELECT event_id AS trade_id, ts,
+         'ACC' || CAST(user_id % 3 + 1 AS VARCHAR) AS account,
+         'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+         CASE WHEN event_type IN ('purchase','signup')
+              THEN 'BUY' ELSE 'SELL' END AS side,
+         CASE event_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+                           WHEN 2 THEN 25 ELSE 50 END AS mw,
+         value AS price_mwh
+  FROM events WHERE event_type IN ('purchase','signup','error')
+"""
 
 
 def _lag_chain_avg(n: int) -> str:
@@ -110,3 +157,68 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     out = top_k(events, ["ts", "event_id"], 8, desc=True)
     return out.select("event_id", "ts", "user_id", "event_type", "value")
+
+
+# --- W2/W3: the PnL fold (path-dependent; NOT SQL-expressible — SURVEY.md
+# §4.2). No oracle entry: the driver records a rows-only check; the strong
+# check is tests/test_pnl.py's spec-fold replay equality.
+@register(
+    "pnl_positions_fold",
+    oracle=None,
+    doc="W2/W3 per-account position & PnL replay (PnlAndExposureJob.java:"
+        "106-144): one row per trade + one per (price tick x account seen), "
+        "cold-start fallback to trade price, netting with close/flip.",
+    bench=True,
+)
+def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades, prices = derive_market(spark, sf_dir)
+    return pnl_positions(trades, prices)
+
+
+@register(
+    "pnl_exposure",
+    oracle=None,
+    doc="P4 exposure projection over the fold output (pnl01, notional_usd — "
+        "PnlAndExposureJob.java:65-69).",
+)
+def pnl_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades, prices = derive_market(spark, sf_dir)
+    return price_exposure(pnl_positions(trades, prices))
+
+
+@register(
+    "pnl_snapshot",
+    oracle=None,
+    doc="latest PnL per (account, hub) — the reference's read-side DISTINCT "
+        "ON over positions_pnl (README.md:92), snapshot-scale output.",
+)
+def pnl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades, prices = derive_market(spark, sf_dir)
+    return pnl_positions(trades, prices, snapshot_only=True)
+
+
+# --- the SQL-expressible slice of the fold: running signed position.
+# Verifies the position component of W2 against the oracle exactly.
+@register(
+    "running_position",
+    oracle=f"""
+    WITH trades AS ({_DERIVE_TRADES_SQL})
+    SELECT trade_id, ts, account, hub, side, mw, price_mwh,
+           CAST(SUM(CASE WHEN side = 'BUY' THEN mw ELSE -mw END) OVER (
+             PARTITION BY hub, account ORDER BY ts, trade_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS position_mw
+    FROM trades
+    """,
+    doc="running position = cumulative signed qty per (hub, account) — the "
+        "SQL-expressible projection of W2, oracle-gated (P5 signed qty + "
+        "running sum).",
+)
+def running_position(spark: SparkSession, sf_dir: str) -> DataFrame:
+    trades, _ = derive_market(spark, sf_dir)
+    signed = F.when(F.col("side") == "BUY", F.col("mw")).otherwise(-F.col("mw"))
+    w = (Window.partitionBy("hub", "account").orderBy("ts", "trade_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    return trades.select(
+        "trade_id", "ts", "account", "hub", "side", "mw", "price_mwh",
+        F.sum(signed.cast("long")).over(w).alias("position_mw"))
