@@ -1,0 +1,175 @@
+"""Deduplication operators for large-scale training-data pipelines.
+
+Four families, all declarative DataFrame plans (no Python in the hot path):
+
+- exact_dedup: normalize -> md5 -> groupBy. One shuffle on the hash; at
+  100 TB this is the cheapest pass and runs first.
+- ngram_jaccard_pairs: exact near-dup mining via an inverted shingle index
+  (explode distinct n-grams, self-join on shingle, count intersections).
+  Shuffle on shingle; frequent-shingle skew is the hazard at scale — cap via
+  LSH below, or drop ultra-frequent shingles (stop-shingles) upstream.
+- minhash_lsh_pairs: MinHash signatures (universal hashing over a 60-bit
+  md5-derived shingle hash) + banded LSH; only same-band candidates get the
+  exact Jaccard verification. The scale path: candidate count ~ O(dups), not
+  O(n^2).
+- simhash_pairs: 32-bit SimHash over word-bigram features + banded hamming
+  join (4 bytes; Pigeonhole: hamming<=6 pairs share >=1 exact byte... with
+  32/4 bands exact-match holds for hamming<=3 guaranteed recall per band
+  logic) + bit_count(xor) verification.
+
+All arithmetic is integer/md5-based so the DuckDB oracles in
+plans/extensions.py reproduce results bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.constants import (
+    MINHASH_COEFFS,
+    MINHASH_P,
+    N_BANDS,
+    SIMHASH_BITS,
+)
+from kafka_flink_processing_spark.functions.text import md5_hash60, shingles
+
+
+def normalize_text(col):
+    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+
+
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups over normalized text: (text_hash, n_docs,
+    canonical_id = min id). Works at any scale: shuffle on the 128-bit hash,
+    never on the text itself."""
+    norm = normalize_text(F.col(text_col))
+    return (docs.select(F.col(id_col), F.md5(norm).alias("text_hash"))
+                .groupBy("text_hash")
+                .agg(F.count("*").alias("n_docs"),
+                     F.min(id_col).alias("canonical_id")))
+
+
+def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
+                  n: int) -> DataFrame:
+    return docs.select(F.col(id_col).alias("doc_id"),
+                       shingles(F.col(text_col), n).alias("sh"))
+
+
+def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                        id_col: str = "doc_id",
+                        text_col: str = "text") -> DataFrame:
+    """All pairs with distinct-word-n-gram Jaccard >= threshold, via an
+    inverted index join (each shared shingle contributes one pre-aggregated
+    intersection count — no quadratic cross join)."""
+    ds = _doc_shingles(docs, id_col, text_col, n).cache()
+    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
+    inv = ds.select("doc_id", F.explode("sh").alias("sh"))
+    a, b = inv.alias("a"), inv.alias("b")
+    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .groupBy(F.col("a.doc_id").alias("doc_a"),
+                       F.col("b.doc_id").alias("doc_b"))
+              .agg(F.count("*").alias("n_common")))
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+                 .withColumn("jaccard", F.col("n_common")
+                             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                 .filter(F.col("jaccard") >= threshold)
+                 .select("doc_a", "doc_b", "jaccard"))
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """One row per doc with mh0..mh{k-1} minhash values + the shingle set."""
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    exploded = ds.select("doc_id", F.explode("sh").alias("sh"))
+    x = md5_hash60(F.col("sh")) % MINHASH_P
+    aggs = [F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
+            for i, (a, b) in enumerate(MINHASH_COEFFS)]
+    sig = exploded.groupBy("doc_id").agg(*aggs)
+    return sig.join(ds, "doc_id")
+
+
+def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """LSH candidates (bands of 2 minhashes) verified with exact Jaccard.
+
+    P(candidate | j) = 1 - (1 - j^2)^8 — >=0.999 at j=0.8. Candidate
+    verification uses array_intersect on the (distinct) shingle sets, which
+    only runs on same-band pairs.
+    """
+    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.concat_ws("_", F.col(f"mh{2*k}"), F.col(f"mh{2*k+1}"))
+                      .alias("key"))
+            for k in range(N_BANDS)])).alias("bk"))
+    bands = bands.select("doc_id", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"))
+             .distinct())
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
+    joined = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (joined.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("doc_a", "doc_b", "jaccard"))
+
+
+def simhash(docs: DataFrame, id_col: str = "doc_id",
+            text_col: str = "text") -> DataFrame:
+    """32-bit SimHash over distinct word-bigram features."""
+    feats = _doc_shingles(docs, id_col, text_col, 2)
+    exploded = feats.select("doc_id", F.explode("sh").alias("sh"))
+    h32 = md5_hash60(F.col("sh")) % F.lit(2 ** SIMHASH_BITS)
+    exploded = exploded.select("doc_id", h32.alias("h"))
+    bit_sums = [
+        F.sum(F.when(F.shiftright(F.col("h"), j).bitwiseAND(1) == 1, 1)
+               .otherwise(-1)).alias(f"s{j}")
+        for j in range(SIMHASH_BITS)]
+    agg = exploded.groupBy("doc_id").agg(*bit_sums)
+    sh_val = None
+    for j in range(SIMHASH_BITS):
+        term = F.when(F.col(f"s{j}") > 0, F.lit(2 ** j).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+        sh_val = term if sh_val is None else sh_val + term
+    return agg.select("doc_id", sh_val.alias("simhash"))
+
+
+def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
+                  id_col: str = "doc_id",
+                  text_col: str = "text") -> DataFrame:
+    """Near-dup pairs with hamming(simhash) <= max_hamming via 4-byte banding
+    (pigeonhole: <=3 differing bits can't touch all 4 bytes) + exact
+    bit_count verification."""
+    sh = simhash(docs, id_col, text_col).cache()
+    bands = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.shiftright(F.col("simhash"), 8 * k).bitwiseAND(255)
+                      .alias("key"))
+            for k in range(4)])).alias("bk"))
+    bands = bands.select("doc_id", "simhash", "bk.band", "bk.key")
+    a, b = bands.alias("a"), bands.alias("b")
+    ham = F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("b.simhash")))
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias("doc_a"),
+                     F.col("b.doc_id").alias("doc_b"),
+                     ham.alias("hamming"))
+             .distinct()
+             .filter(F.col("hamming") <= max_hamming))

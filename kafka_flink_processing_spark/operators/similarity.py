@@ -1,0 +1,133 @@
+"""Embedding similarity search (approximate-nearest-neighbor extensions).
+
+- cosine_topk: brute-force baseline. Query set broadcast against the corpus;
+  dot products via zip_with + sequential aggregate fold (JVM-side, and
+  bit-reproducible against the DuckDB oracle's list_reduce). At 100 TB the
+  corpus side stays partitioned; cost is O(|Q| * N) — correct but the
+  fallback path.
+- lsh_cosine_topk: random-hyperplane LSH. 16 fixed literal hyperplanes ->
+  16-bit signature; candidates = same-signature bucket; exact cosine + top-k
+  within bucket. The scale path: one shuffle on the signature, bucket sizes
+  ~ N/2^16 per hash cell. Deterministic (seeded literal planes), so the
+  oracle reproduces it exactly; recall vs brute force is asserted in
+  tests/test_extensions.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.constants import LSH_PLANES
+
+
+def _dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product (index order — matches list_reduce)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, x: acc + x)
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(_dot(a, a))
+
+
+def with_unit_info(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
+    return emb.withColumn("nrm", _norm(F.col(vec_col)))
+
+
+def cosine_topk(emb: DataFrame, query_ids, k: int = 10,
+                id_col: str = "vec_id", vec_col: str = "embedding") -> DataFrame:
+    """Exact top-k cosine neighbors for each query id (excluding self)."""
+    base = with_unit_info(emb, vec_col).select(
+        F.col(id_col), F.col(vec_col), F.col("nrm"))
+    q = base.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"))
+    c = base.select(F.col(id_col).alias("cand_id"),
+                    F.col(vec_col).alias("cv"), F.col("nrm").alias("cn"))
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = (F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
+               .select("query_id", "cand_id", cos.alias("cosine")))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def lsh_signature(vec_col: Column) -> Column:
+    """16-bit random-hyperplane signature from the fixed literal planes."""
+    sig = F.lit(0).cast("long")
+    for p, plane in enumerate(LSH_PLANES):
+        arr = F.array(*[F.lit(w) for w in plane])
+        proj = _dot(vec_col, arr)
+        sig = sig + F.when(proj > 0, F.lit(2 ** p).cast("long")) \
+                     .otherwise(F.lit(0).cast("long"))
+    return sig
+
+
+# OR-amplification: candidate if ANY band matches. 2-bit bands keep recall
+# high even for the weak-similarity regime (cos ~0.3 => P(cand) ~0.96);
+# at larger corpora raise LSH_BAND_BITS (bucket ~ N/2^bits per band) to trade
+# recall for candidate volume.
+LSH_BAND_BITS = 2
+LSH_N_BANDS = 8
+
+
+def lsh_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k with banded hyperplane LSH (OR-amplification).
+
+    The 16-bit signature is split into 4 bands of 4 bits; a corpus vector is
+    a candidate if it matches the query on any band. Band width tunes the
+    bucket size (~N/2^bits per band); at larger corpora raise LSH_BAND_BITS
+    rather than scanning bigger buckets. Exact cosine + top-k on candidates.
+    """
+    base = with_unit_info(emb, vec_col).withColumn(
+        "sig", lsh_signature(F.col(vec_col)))
+    mask = (1 << LSH_BAND_BITS) - 1
+    bands = base.select(
+        F.col(id_col), F.col(vec_col), F.col("nrm"),
+        F.explode(F.array(*[
+            F.struct(F.lit(b).alias("band"),
+                     F.shiftright(F.col("sig"), b * LSH_BAND_BITS)
+                      .bitwiseAND(mask).alias("key"))
+            for b in range(LSH_N_BANDS)])).alias("bk")) \
+        .select(F.col(id_col), F.col(vec_col), F.col("nrm"),
+                F.col("bk.band"), F.col("bk.key"))
+    q = bands.filter(F.col(id_col).isin(list(query_ids))).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv"),
+        F.col("nrm").alias("qn"), F.col("band").alias("qband"),
+        F.col("key").alias("qkey"))
+    c = bands.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
+                     F.col("nrm").alias("cn"), F.col("band"), F.col("key"))
+    cand = (F.broadcast(q)
+            .join(c, (F.col("qband") == F.col("band"))
+                  & (F.col("qkey") == F.col("key"))
+                  & (F.col("query_id") != F.col("cand_id")))
+            .select("query_id", "qv", "qn", "cand_id", "cv", "cn")
+            .distinct())
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = cand.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def cosine_pairs(emb: DataFrame, threshold: float = 0.45,
+                 id_col: str = "vec_id",
+                 vec_col: str = "embedding") -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (brute force; LSH variant above
+    is the scale path)."""
+    base = with_unit_info(emb, vec_col)
+    a = base.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                    F.col("nrm").alias("na"))
+    b = base.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                    F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (a.join(b, F.col("vec_a") < F.col("vec_b"))
+             .select("vec_a", "vec_b", cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold))

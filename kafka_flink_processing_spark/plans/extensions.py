@@ -1,1 +1,497 @@
-"""Large-scale data-pipeline extensions (dedup/similarity/text) — filled in next milestones."""
+"""Large-scale training-data-pipeline extensions (BASELINE.json north star):
+dedup, similarity search, text analysis, multimodal plumbing — over the
+driver's `documents` and `embeddings` tables.
+
+Oracle strategy: every pipeline uses only arithmetic verified bit-exact
+across Spark and DuckDB (md5-derived integer hashes, integer modular
+arithmetic, sequential array folds for dot products — see tools/
+oracle_check.py). The DuckDB SQL below is GENERATED from the same constants
+(functions/constants.py) the Spark operators use, so even the approximate
+algorithms (LSH banding) compare exactly: both engines run the same
+deterministic algorithm.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.constants import (
+    LSH_PLANES,
+    MINHASH_COEFFS,
+    MINHASH_P,
+    N_BANDS,
+    SIMHASH_BITS,
+)
+from kafka_flink_processing_spark.functions.text import (
+    LANG_MARKERS,
+    LANG_ORDER,
+    TOKEN_REGEX,
+    fingerprint_poly,
+    lang_id,
+    lang_score,
+    quality_score,
+    token_count,
+    word_count,
+)
+from kafka_flink_processing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+    normalize_text,
+    simhash_pairs,
+)
+from kafka_flink_processing_spark.operators.similarity import (
+    cosine_pairs,
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from kafka_flink_processing_spark.plans.registry import register
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# shared DuckDB SQL fragments (generated from the same constants as Spark)
+# ---------------------------------------------------------------------------
+
+_H60 = "CAST(CAST('0x' || substring(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
+
+_WORDS = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+
+_SHINGLES3 = f"""
+  WITH t AS ({_WORDS}),
+  ds AS (SELECT doc_id,
+           CASE WHEN len(words) < 3 THEN []
+                ELSE list_distinct([words[i] || ' ' || words[i+1] || ' ' ||
+                                    words[i+2] for i in range(1, len(words)-1)])
+           END AS sh
+         FROM t)
+"""
+
+_SHINGLES2_ROWS = f"""
+  t AS ({_WORDS}),
+  g2 AS (SELECT doc_id, unnest(
+           CASE WHEN len(words) < 2 THEN []
+                ELSE list_distinct([words[i] || ' ' || words[i+1]
+                                    for i in range(1, len(words))])
+           END) AS sh
+         FROM t)
+"""
+
+
+def _occ_sql(padded: str, needle: str) -> str:
+    return (f"CAST((length({padded}) - length(replace({padded}, '{needle}', '')))"
+            f" / {len(needle)} AS BIGINT)")
+
+
+def _lang_scores_sql() -> dict[str, str]:
+    return {lg: " + ".join(_occ_sql("p", m) for m in LANG_MARKERS[lg])
+            for lg in LANG_ORDER}
+
+
+def _minhash_sig_sql() -> str:
+    """CTEs ex/hx/sig over _SHINGLES3's ds."""
+    mins = ", ".join(
+        f"MIN(({a} * x + {b}) % {MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(MINHASH_COEFFS))
+    return f"""
+  ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+  hx AS (SELECT doc_id, {_H60.format(x='sh')} % {MINHASH_P} AS x FROM ex),
+  sig AS (SELECT doc_id, {mins} FROM hx GROUP BY doc_id)
+"""
+
+
+_DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+        "list_transform(list_zip({a}, {b}), "
+        "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
+        "(acc, x) -> acc + x)")
+
+
+def _plane_literal(plane: list[float]) -> str:
+    return "[" + ", ".join(repr(w) for w in plane) + "]::DOUBLE[]"
+
+
+# ---------------------------------------------------------------------------
+# Text analysis
+# ---------------------------------------------------------------------------
+
+@register(
+    "text_stats",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(length(text) AS BIGINT) AS n_chars,
+           CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+           CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+             AS n_tokens,
+           CAST(length(regexp_replace(text, '[^a-z]', '', 'g')) AS BIGINT)
+             AS n_alpha,
+           CAST(length(text) AS DOUBLE)
+             / GREATEST(len(string_split(text, ' ')), 1) AS avg_word_len
+    FROM documents
+    """,
+    doc="per-document stats: chars, whitespace words, BPE-ish regex tokens, "
+        "alpha chars, avg word length — all codegen'd built-ins.",
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id",
+        F.length(t).cast("long").alias("n_chars"),
+        word_count(t).alias("n_words"),
+        token_count(t).alias("n_tokens"),
+        F.length(F.regexp_replace(t, "[^a-z]", "")).cast("long").alias("n_alpha"),
+        (F.length(t).cast("double")
+         / F.greatest(F.size(F.split(t, " ")), F.lit(1))).alias("avg_word_len"),
+    )
+
+
+def _lang_case_sql(scores: dict[str, str]) -> str:
+    arms = []
+    for lg in LANG_ORDER:
+        others = ", ".join(f"s_{o}" for o in LANG_ORDER if o != lg)
+        arms.append(f"WHEN s_{lg} >= GREATEST({others}, 1) THEN '{lg}'")
+    return "CASE " + " ".join(arms) + " ELSE 'und' END"
+
+
+@register(
+    "lang_id_quality",
+    oracle=f"""
+    WITH s AS (
+      SELECT doc_id, lang,
+             {", ".join(f"{expr} AS s_{lg}" for lg, expr in _lang_scores_sql().items())},
+             text
+      FROM (SELECT doc_id, lang, text, ' ' || text || ' ' AS p FROM documents)
+    )
+    SELECT doc_id, lang AS lang_label,
+           {_lang_case_sql(_lang_scores_sql())} AS lang_pred,
+           s_en, s_de, s_fr, s_es,
+           (CAST(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
+             * (length(regexp_replace(text, '[^a-z]', '', 'g'))
+                / GREATEST(length(text), 1))
+             * (CASE WHEN CAST(length(text) AS DOUBLE)
+                          / GREATEST(len(string_split(text, ' ')), 1) >= 3.0
+                     THEN 1.0
+                     ELSE (CAST(length(text) AS DOUBLE)
+                           / GREATEST(len(string_split(text, ' ')), 1)) / 3.0 END)
+             AS quality
+    FROM s
+    """,
+    doc="stopword-marker language-ID heuristic (argmax with fixed tie-break) "
+        "+ rational-arithmetic quality score in [0,1].",
+)
+def lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    return docs.select(
+        "doc_id", F.col("lang").alias("lang_label"),
+        lang_id(t).alias("lang_pred"),
+        *[lang_score(t, lg).alias(f"s_{lg}") for lg in LANG_ORDER],
+        quality_score(t).alias("quality"),
+    )
+
+
+@register(
+    "doc_fingerprint",
+    oracle=f"""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(string_split(text, ''),
+                              c -> CAST(ascii(c) AS BIGINT))),
+             (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_poly
+    FROM documents
+    """,
+    doc="document fingerprinting: md5 of normalized text + Rabin-Karp "
+        "polynomial rolling hash (order-sensitive).",
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("fp_md5"),
+        fingerprint_poly(F.col("text")).alias("fp_poly"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deduplication
+# ---------------------------------------------------------------------------
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+           COUNT(*) AS n_docs,
+           MIN(doc_id) AS canonical_id
+    FROM documents GROUP BY 1
+    """,
+    doc="exact dedup: normalized-text hash groups with canonical id "
+        "(min doc_id); shuffle on the 128-bit hash only.",
+)
+def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    {_SHINGLES3},
+    sizes AS (SELECT doc_id, len(sh) AS n FROM ds),
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / (sa.n + sb.n - n_common) >= 0.6
+    """,
+    doc="exact n-gram-Jaccard near-dup pairs via inverted shingle index "
+        "(pre-aggregated intersections; no O(n^2) cross join).",
+    bench=True,
+)
+def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir),
+                               n=3, threshold=0.6)
+
+
+def _minhash_bands_sql() -> str:
+    arms = []
+    for k in range(N_BANDS):
+        arms.append(f"SELECT doc_id, {k} AS band, "
+                    f"CAST(mh{2*k} AS VARCHAR) || '_' || CAST(mh{2*k+1} AS VARCHAR)"
+                    f" AS key FROM sig")
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b,
+           len(list_intersect(sa.sh, sb.sh))
+             / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+             AS jaccard
+    FROM cand JOIN ds sa ON doc_a = sa.doc_id JOIN ds sb ON doc_b = sb.doc_id
+    WHERE len(list_intersect(sa.sh, sb.sh))
+            / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) >= 0.6
+    """,
+    doc="MinHash({n}) + {b}-band LSH candidates, verified with exact Jaccard "
+        "— the dedup scale path (candidates ~ O(dups))."
+        .format(n=len(MINHASH_COEFFS), b=N_BANDS),
+    bench=True,
+)
+def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return minhash_lsh_pairs(load_table(spark, "documents", sf_dir),
+                             n=3, threshold=0.6)
+
+
+def _simhash_sql() -> str:
+    sums = ", ".join(
+        f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(SIMHASH_BITS))
+    assemble = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({2**j} AS BIGINT) ELSE 0 END)"
+        for j in range(SIMHASH_BITS))
+    return f"""
+  hx AS (SELECT doc_id, {_H60.format(x='sh')} % {2**SIMHASH_BITS} AS h FROM g2),
+  bsum AS (SELECT doc_id, {sums} FROM hx GROUP BY doc_id),
+  sh AS (SELECT doc_id, {assemble} AS simhash FROM bsum)
+"""
+
+
+def _simhash_bands_sql() -> str:
+    arms = [f"SELECT doc_id, simhash, {k} AS band, (simhash >> {8*k}) & 255 "
+            f"AS key FROM sh" for k in range(4)]
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "dedup_simhash",
+    oracle=f"""
+    WITH {_SHINGLES2_ROWS},
+    {_simhash_sql()},
+    bands AS ({_simhash_bands_sql()})
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a JOIN bands b
+      ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    """,
+    doc="32-bit SimHash over word bigrams; near-dup pairs with hamming <= 3 "
+        "via 4-byte banding (pigeonhole-complete for <=3 bit flips) + exact "
+        "bit_count verification.",
+)
+def dedup_simhash_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    out = simhash_pairs(load_table(spark, "documents", sf_dir), max_hamming=3)
+    return out.select("doc_a", "doc_b", F.col("hamming").cast("long").alias("hamming"))
+
+
+# ---------------------------------------------------------------------------
+# Similarity search
+# ---------------------------------------------------------------------------
+
+_COSINE_BASE_SQL = f"""
+  n AS (SELECT vec_id, embedding,
+          sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+        FROM embeddings)
+"""
+
+
+@register(
+    "similarity_bruteforce_topk",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    q AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn FROM n
+          WHERE vec_id < 5),
+    scored AS (
+      SELECT query_id, c.vec_id AS cand_id,
+             {_DOT.format(a='qv', b='c.embedding')} / (qn * c.nrm) AS cosine
+      FROM q JOIN n c ON c.vec_id != query_id)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="brute-force cosine top-10 for 5 query vectors: broadcast queries x "
+        "partitioned corpus, sequential-fold dot products (bit-reproducible).",
+    bench=True,
+)
+def similarity_bruteforce_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = cosine_topk(emb, query_ids=range(5), k=10)
+    return out.select("query_id", "cand_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+def _lsh_sig_sql() -> str:
+    projs = ", ".join(
+        _DOT.format(a='embedding', b=_plane_literal(plane)) + f" AS pr{p}"
+        for p, plane in enumerate(LSH_PLANES))
+    assemble = " + ".join(
+        f"(CASE WHEN pr{p} > 0 THEN CAST({2**p} AS BIGINT) ELSE 0 END)"
+        for p in range(len(LSH_PLANES)))
+    return f"""
+  pr AS (SELECT vec_id, embedding, nrm, {projs} FROM n),
+  sg AS (SELECT vec_id, embedding, nrm, {assemble} AS sig FROM pr)
+"""
+
+
+def _lsh_bands_rows_sql() -> str:
+    from kafka_flink_processing_spark.operators.similarity import (
+        LSH_BAND_BITS,
+        LSH_N_BANDS,
+    )
+    mask = (1 << LSH_BAND_BITS) - 1
+    arms = [f"SELECT vec_id, embedding, nrm, {b} AS band, "
+            f"(sig >> {b * LSH_BAND_BITS}) & {mask} AS key FROM sg"
+            for b in range(LSH_N_BANDS)]
+    return " UNION ALL ".join(arms)
+
+
+@register(
+    "similarity_lsh_topk",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    {_lsh_sig_sql()},
+    bands AS ({_lsh_bands_rows_sql()}),
+    cand AS (
+      SELECT DISTINCT q.vec_id AS query_id, q.embedding AS qv, q.nrm AS qn,
+             c.vec_id AS cand_id, c.embedding AS cv, c.nrm AS cn
+      FROM bands q JOIN bands c
+        ON q.band = c.band AND q.key = c.key AND c.vec_id != q.vec_id
+      WHERE q.vec_id < 5),
+    scored AS (
+      SELECT query_id, cand_id,
+             {_DOT.format(a='qv', b='cv')} / (qn * cn) AS cosine
+      FROM cand)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc="ANN top-k via banded random-hyperplane LSH (8 bands x 2 bits, "
+        "OR-amplified; fixed literal planes). Shuffle on (band, key) only — "
+        "the 100 TB path (raise band bits with corpus size). Recall vs "
+        "brute force asserted in tests.",
+)
+def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = lsh_cosine_topk(emb, query_ids=range(5), k=10)
+    return out.select("query_id", "cand_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "embedding_cosine_pairs",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL}
+    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+           {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+             AS cosine
+    FROM n a JOIN n b ON a.vec_id < b.vec_id
+    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
+            >= 0.45
+    """,
+    doc="embedding-cosine near-dup pairs (brute force baseline; LSH variant "
+        "is the scale path).",
+)
+def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return cosine_pairs(load_table(spark, "embeddings", sf_dir), threshold=0.45)
+
+
+# ---------------------------------------------------------------------------
+# Multimodal columns
+# ---------------------------------------------------------------------------
+
+@register(
+    "multimodal_metadata",
+    oracle="""
+    SELECT doc_id,
+           sha256(text) AS content_sha256,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           substring(hex(encode(text)), 1, 8) AS magic_hex,
+           to_base64(encode(substring(text, 1, 12))) AS head_b64
+    FROM documents
+    """,
+    doc="opaque-binary column metadata (content hash, byte length, magic "
+        "prefix) computed JVM-side; payload = utf-8 bytes standing in for "
+        "media (schemas/plumbing identical for real image/audio).",
+)
+def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.sha2(F.col("text"), 256).alias("content_sha256"),
+        F.octet_length(payload).cast("long").alias("n_bytes"),
+        F.substring(F.hex(payload), 1, 8).alias("magic_hex"),
+        F.base64(F.encode(F.substring(F.col("text"), 1, 12), "UTF-8"))
+         .alias("head_b64"),
+    )
+
+
+@register(
+    "multimodal_decode_features",
+    oracle=None,   # mapInPandas decode stage; rows-only (stubbed codec)
+    doc="binary payload -> typed features via Arrow-batched mapInPandas "
+        "(decode stubbed with deterministic byte-stats; real codecs absent "
+        "in this container — functions/multimodal.py).",
+)
+def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        decode_features,
+        with_payload,
+    )
+    docs = with_payload(load_table(spark, "documents", sf_dir))
+    return decode_features(docs)

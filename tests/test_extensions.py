@@ -1,0 +1,95 @@
+"""Extension-pack semantics beyond oracle parity (which tests/
+test_oracle_parity.py already covers): approximate-method quality (LSH
+recall), dedup ground truth on the planted near-duplicates, and the
+multimodal mapInPandas plumbing."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.multimodal import (
+    decode_features,
+    decode_image,
+    with_payload,
+)
+from kafka_flink_processing_spark.operators.dedup import (
+    exact_dedup,
+    minhash_lsh_pairs,
+    ngram_jaccard_pairs,
+)
+from kafka_flink_processing_spark.operators.similarity import (
+    cosine_topk,
+    lsh_cosine_topk,
+)
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return load_table(spark, "documents", SF).cache()
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    return load_table(spark, "embeddings", SF).cache()
+
+
+def test_minhash_lsh_recall_vs_exact(docs):
+    """LSH (bands of 2, 8 bands) must recover essentially all true pairs at
+    jaccard >= 0.8 (P(candidate) >= 0.999 there)."""
+    exact = {(r.doc_a, r.doc_b)
+             for r in ngram_jaccard_pairs(docs, 3, 0.8).collect()}
+    lsh = {(r.doc_a, r.doc_b)
+           for r in minhash_lsh_pairs(docs, 3, 0.8).collect()}
+    assert exact, "testdata should contain planted near-duplicates"
+    assert lsh <= exact                    # LSH never invents pairs
+    assert len(lsh) >= 0.95 * len(exact)   # near-total recall at j>=0.8
+
+
+def test_exact_dedup_no_false_groups(docs):
+    groups = exact_dedup(docs)
+    n_docs = docs.count()
+    assert groups.agg(F.sum("n_docs")).collect()[0][0] == n_docs
+
+
+def test_dedup_pairs_are_symmetric_free(docs):
+    pairs = ngram_jaccard_pairs(docs, 3, 0.6).collect()
+    assert all(r.doc_a < r.doc_b for r in pairs)
+    assert len({(r.doc_a, r.doc_b) for r in pairs}) == len(pairs)
+
+
+def test_lsh_ann_recall_vs_bruteforce(emb):
+    """banded hyperplane LSH top-10 should overlap strongly with exact
+    top-10 for the same queries (angle-preserving hashes)."""
+    exact = cosine_topk(emb, range(5), k=10).collect()
+    approx = lsh_cosine_topk(emb, range(5), k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r.cand_id in exact_sets[r.query_id]
+    assert total > 0
+    assert hits / total >= 0.8  # OR-amplified bands: near-total recall
+
+
+def test_multimodal_decode_plumbing(spark):
+    docs = with_payload(load_table(spark, "documents", SF))
+    out = decode_features(docs)
+    rows = out.collect()
+    assert len(rows) == docs.count()
+    assert out.columns == ["doc_id", "mime", "n_bytes", "width", "height",
+                           "mean_byte", "entropy_bucket"]
+    byte_len = {r.doc_id: r.n_bytes for r in rows}
+    src = {r.doc_id: len(r.text.encode()) for r in docs.select("doc_id", "text").collect()}
+    assert byte_len == src
+
+
+def test_real_decoder_is_explicit_stub():
+    with pytest.raises(NotImplementedError):
+        decode_image(b"\x89PNG")
