@@ -67,29 +67,47 @@ def emit_row(ts, account: str, hub: str, a: _Acct,
     }
 
 
+class HubFold:
+    """Incremental per-hub fold — the carried state of the reference's
+    KeyedCoProcessFunction (lastPrice ValueState + per-account MapState,
+    PnlAndExposureJob.java:107-110). Shared by the batch replay, the
+    streaming stateful processor, and the executable spec."""
+
+    def __init__(self, last_price: float | None = None,
+                 accounts: dict[str, tuple[int, float, float]] | None = None):
+        self.last_price = last_price
+        self.accounts: dict[str, _Acct] = {
+            k: _Acct(*v) for k, v in (accounts or {}).items()}
+
+    def process(self, r: dict) -> list[dict]:
+        hub = r["hub"]
+        if r["kind"] == TRADE:
+            a = self.accounts.setdefault(r["account"], _Acct())
+            signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
+            a.pos, a.avg, a.realized = apply_fill(a.pos, a.avg, a.realized,
+                                                  signed, r["price_mwh"])
+            # cold start: no tick yet -> trade's own price (reference :130)
+            px = self.last_price if self.last_price is not None else r["price_mwh"]
+            return [emit_row(r["ts"], r["account"], hub, a, px)]
+        self.last_price = r["price_mwh"]
+        # fan-out: one row per account seen on this hub (reference :134-137)
+        return [emit_row(r["ts"], account, hub, a, self.last_price)
+                for account, a in self.accounts.items()]
+
+    def snapshot(self) -> tuple[float | None, dict[str, tuple[int, float, float]]]:
+        return self.last_price, {k: (a.pos, a.avg, a.realized)
+                                 for k, a in self.accounts.items()}
+
+
 def replay(records: list[dict]) -> list[dict]:
     """Spec fold over ONE hub's records, each a dict with keys
     kind (TRADE/PRICE), ts, hub, and for trades: trade_id, account, side,
     mw, price_mwh; for prices: price_mwh. Records must already be in the
     documented total order. Returns positions_pnl rows."""
-    last_price: float | None = None
-    accounts: dict[str, _Acct] = {}
+    fold = HubFold()
     out: list[dict] = []
     for r in records:
-        hub = r["hub"]
-        if r["kind"] == TRADE:
-            a = accounts.setdefault(r["account"], _Acct())
-            signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
-            a.pos, a.avg, a.realized = apply_fill(a.pos, a.avg, a.realized,
-                                                  signed, r["price_mwh"])
-            # cold start: no tick yet -> trade's own price (reference :130)
-            px = last_price if last_price is not None else r["price_mwh"]
-            out.append(emit_row(r["ts"], r["account"], hub, a, px))
-        else:
-            last_price = r["price_mwh"]
-            # fan-out: one row per account seen on this hub (reference :134-137)
-            for account, a in accounts.items():
-                out.append(emit_row(r["ts"], account, hub, a, last_price))
+        out.extend(fold.process(r))
     return out
 
 

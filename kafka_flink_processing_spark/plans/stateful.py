@@ -222,3 +222,55 @@ def running_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     return trades.select(
         "trade_id", "ts", "account", "hub", "side", "mw", "price_mwh",
         F.sum(signed.cast("long")).over(w).alias("position_mw"))
+
+
+# --- W1 in STREAMING mode, oracle-gated: the Structured Streaming stateful
+# SMA (applyInPandasWithState) drained with availableNow over the same
+# derived prices, hash-compared against the SAME SQL oracle as the batch
+# path — demonstrating Spark's batch/streaming unified semantics as a
+# verifiable property, not a claim.
+_STREAM_SMA_ORACLE = f"""
+    WITH prices AS (
+      SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+             value AS price_mwh
+      FROM events WHERE event_type IN ('view','click')
+    )
+    SELECT ts, hub, price_mwh,
+           {{sma5}} AS sma5,
+           {{sma20}} AS sma20,
+           {{sma5f}} AS forecast_next
+    FROM prices
+    WINDOW w AS (PARTITION BY hub ORDER BY ts)
+""".format(
+    sma5=_lag_chain_avg(5).replace("value", "price_mwh"),
+    sma20=_lag_chain_avg(20).replace("value", "price_mwh"),
+    sma5f=_lag_chain_avg(5).replace("value", "price_mwh"),
+)
+
+
+@register(
+    "streaming_forecast_sma",
+    oracle=_STREAM_SMA_ORACLE,
+    doc="W1 via Structured Streaming (applyInPandasWithState ring-buffer "
+        "state per hub, availableNow drain) — matches the batch SQL oracle "
+        "bit-for-bit (unified batch/streaming semantics).",
+)
+def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_sma_forecast,
+    )
+
+    _, prices = derive_market(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kfps_stream_")
+    src = f"{work}/src"
+    prices.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(prices.schema).parquet(src)
+    fc = streaming_sma_forecast(stream)
+    name = f"sma_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(fc, name, f"{work}/ckpt")
+    return spark.table(name).select("ts", "hub", "price_mwh",
+                                    "sma5", "sma20", "forecast_next")

@@ -1,0 +1,65 @@
+"""Streaming sinks mirroring the reference's delivery contract (K1/K2).
+
+The reference batch-inserts into Postgres via JDBC (500 rows / 200 ms / 3
+retries — IngestPricesAndTradesJob.java:42-46) with 10 s checkpoints
+(ForecastsJob.java:28), i.e. at-least-once. Spark equivalents:
+
+- jdbc_batch_sink: foreachBatch -> DataFrameWriter.jdbc with batchsize=500.
+  Same at-least-once caveat (plain INSERTs can duplicate on replay); for
+  exactly-once use parquet_sink (idempotent per-batch overwrite) or an
+  upsert-capable store.
+- parquet_sink: epoch-partitioned parquet written idempotently
+  (overwrite by batch-id directory), the engine's exactly-once path.
+- memory sink helpers for tests/demos.
+
+The JDBC driver jar is not bundled in this container; jdbc_batch_sink is
+exercised only when a url is reachable (tests use parquet/memory).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame
+
+JDBC_BATCH_SIZE = 500   # reference JdbcExecutionOptions batchSize
+CHECKPOINT_INTERVAL_MS = 10_000  # reference enableCheckpointing(10_000)
+
+
+def jdbc_batch_sink(df: DataFrame, url: str, table: str,
+                    properties: dict[str, str],
+                    checkpoint_dir: str):
+    """At-least-once JDBC append sink (K1 analogue)."""
+    def write_batch(batch: DataFrame, _epoch: int) -> None:
+        (batch.write.mode("append")
+              .option("batchsize", JDBC_BATCH_SIZE)
+              .jdbc(url, table, properties=properties))
+
+    return (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .start())
+
+
+def parquet_sink(df: DataFrame, out_dir: str, checkpoint_dir: str):
+    """Exactly-once file sink: each epoch lands in its own directory, so a
+    replayed batch overwrites its previous (possibly partial) output instead
+    of duplicating it."""
+    def write_batch(batch: DataFrame, epoch: int) -> None:
+        batch.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={epoch}"))
+
+    return (df.writeStream.foreachBatch(write_batch)
+              .option("checkpointLocation", checkpoint_dir)
+              .start())
+
+
+def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
+    """Drain everything currently available into an in-memory table and stop
+    (the reference-parity test harness path)."""
+    q = (df.writeStream.format("memory").queryName(query_name)
+           .outputMode("append")
+           .option("checkpointLocation", checkpoint_dir)
+           .trigger(availableNow=True)
+           .start())
+    q.awaitTermination()
+    return q

@@ -1,0 +1,150 @@
+"""Streaming stateful operators (W1/W2) via applyInPandasWithState.
+
+The reference keeps per-hub keyed state in Flink (ListState ring buffers,
+ForecastsJob.java:77-81; ValueState+MapState, PnlAndExposureJob.java:107-110)
+and processes records in arrival order with no watermarks (SURVEY.md §2.6).
+Structured Streaming equivalent: groupBy(key).applyInPandasWithState with
+explicit state schemas; records are processed in (ts, kind, trade_id) order
+WITHIN each micro-batch (the engine's documented refinement of the
+reference's arrival-order nondeterminism), and state carries across batches.
+
+The arithmetic is shared with the batch operators (same Python float fold
+for PnL via netting.HubFold; the SMA averages sum oldest->newest exactly
+like Spark's window-frame fold), so single-batch streaming output is
+bit-identical to the batch plans — asserted in tests/test_streaming.py.
+
+Scale: state per key is O(1) for SMA (<=20 floats) and O(#accounts) for PnL;
+shuffle on the key only — identical exchange structure to the batch path and
+to Flink's keyBy.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator
+from typing import Any
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from kafka_flink_processing_spark.operators.netting import (
+    PRICE,
+    TRADE,
+    HubFold,
+)
+from kafka_flink_processing_spark.shipping import ensure_shipped
+
+# ---------------------------------------------------------------------------
+# W1 streaming: rolling SMA forecast (reference ForecastsJob.java:76-88)
+# ---------------------------------------------------------------------------
+
+_SMA_OUT = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("hub", T.StringType()),
+    T.StructField("price_mwh", T.DoubleType()),
+    T.StructField("sma5", T.DoubleType()),
+    T.StructField("sma20", T.DoubleType()),
+    T.StructField("forecast_next", T.DoubleType()),
+])
+_SMA_STATE = T.StructType([T.StructField("buf", T.ArrayType(T.DoubleType()))])
+
+
+def _sma_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    buf: list[float] = list(state.get[0]) if state.exists else []
+    hub = key[0]
+    out: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        for ts, px in zip(pdf["ts"], pdf["price_mwh"]):
+            buf.append(float(px))
+            if len(buf) > 20:          # addAndTrim, ForecastsJob.java:77-81
+                del buf[0]
+            sma5 = sum(buf[-5:]) / min(len(buf), 5)
+            sma20 = sum(buf) / len(buf)
+            out.append({"ts": ts, "hub": hub, "price_mwh": px, "sma5": sma5,
+                        "sma20": sma20, "forecast_next": sma5})
+    state.update((buf,))
+    yield pd.DataFrame(out, columns=[f.name for f in _SMA_OUT.fields])
+
+
+def streaming_sma_forecast(prices: DataFrame,
+                           key_col: str = "hub",
+                           ts_col: str = "ts",
+                           value_col: str = "price_mwh",
+                           seq_col: str | None = None) -> DataFrame:
+    """prices: streaming DF with (ts, hub, price_mwh[, seq tie-breaker])."""
+    ensure_shipped(prices.sparkSession)
+    df = prices.select(
+        F.col(ts_col).alias("ts"), F.col(key_col).alias("hub"),
+        F.col(value_col).alias("price_mwh"),
+        (F.col(seq_col) if seq_col else F.lit(0)).cast("long").alias("seq"))
+    return (df.groupBy("hub")
+              .applyInPandasWithState(_sma_fn, _SMA_OUT, _SMA_STATE,
+                                      "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# W2 streaming: PnL/position fold (reference PnlAndExposureJob.java:106-144)
+# ---------------------------------------------------------------------------
+
+_PNL_OUT = T.StructType([
+    T.StructField("ts", T.TimestampType()),
+    T.StructField("account", T.StringType()),
+    T.StructField("hub", T.StringType()),
+    T.StructField("position_mw", T.IntegerType()),
+    T.StructField("avg_price_mwh", T.DoubleType()),
+    T.StructField("last_price_mwh", T.DoubleType()),
+    T.StructField("realized_pnl", T.DoubleType()),
+    T.StructField("unrealized_pnl", T.DoubleType()),
+    T.StructField("total_pnl", T.DoubleType()),
+])
+# accounts dict serialized to JSON: applyInPandasWithState state schemas are
+# flat structs; #accounts per hub is small and bounded (reference MapState)
+_PNL_STATE = T.StructType([
+    T.StructField("last_price", T.DoubleType()),
+    T.StructField("accounts_json", T.StringType()),
+])
+
+
+def _pnl_fn(key: tuple, pdfs: Iterator[pd.DataFrame],
+            state: GroupState) -> Iterator[pd.DataFrame]:
+    if state.exists:
+        last_price, accounts_json = state.get
+        fold = HubFold(last_price, json.loads(accounts_json))
+    else:
+        fold = HubFold()
+    out: list[dict[str, Any]] = []
+    for pdf in pdfs:
+        pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+        for rec in pdf.to_dict("records"):
+            out.extend(fold.process(rec))
+    last_price, accounts = fold.snapshot()
+    state.update((last_price, json.dumps(accounts, sort_keys=True)))
+    yield pd.DataFrame(out, columns=[f.name for f in _PNL_OUT.fields])
+
+
+def streaming_pnl(trades: DataFrame, prices: DataFrame) -> DataFrame:
+    """Two-input keyed co-processing as tagged union + stateful fold.
+
+    trades: (trade_id, ts, account, hub, side, mw, price_mwh) stream
+    prices: (ts, hub, price_mwh) stream
+    """
+    ensure_shipped(trades.sparkSession)
+    t = trades.select(
+        "ts", "hub", "account", "side", F.col("mw").cast("long").alias("mw"),
+        "price_mwh", F.col("trade_id").cast("long").alias("trade_id"),
+        F.lit(TRADE).alias("kind"))
+    p = prices.select(
+        "ts", "hub", F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("mw"), "price_mwh",
+        F.lit(0).cast("long").alias("trade_id"), F.lit(PRICE).alias("kind"))
+    unioned = t.unionByName(p)
+    return (unioned.groupBy("hub")
+                   .applyInPandasWithState(_pnl_fn, _PNL_OUT, _PNL_STATE,
+                                           "append", GroupStateTimeout.NoTimeout))

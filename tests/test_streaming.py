@@ -1,0 +1,139 @@
+"""Batch <-> streaming parity (SURVEY.md §5.2 item 5): the streaming
+stateful operators must produce exactly the batch plans' output on the same
+input — single-batch runs are bit-identical; multi-batch runs carry state
+across micro-batches correctly."""
+
+from __future__ import annotations
+
+import tempfile
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.operators.pnl import pnl_positions
+from kafka_flink_processing_spark.operators.windows import rolling_sma_forecast
+from kafka_flink_processing_spark.plans.stateful import derive_market
+from kafka_flink_processing_spark.streaming.jobs import forecasts_job, pnl_job
+from kafka_flink_processing_spark.streaming.sinks import run_available_now
+from kafka_flink_processing_spark.streaming.stateful import (
+    streaming_pnl,
+    streaming_sma_forecast,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _stream_from(spark, df, tmpdir, n_files=1, order_col="ts"):
+    """Materialize a batch DF as n parquet files (split by order_col so later
+    files hold later data) and open a file-source stream over them."""
+    src = f"{tmpdir}/src"
+    if n_files == 1:
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+    else:
+        df = df.withColumn("__ord", F.col(order_col).cast("double"))
+        cuts = df.approxQuantile("__ord", [i / n_files for i in range(1, n_files)], 0.0)
+        import os
+        os.makedirs(src, exist_ok=True)
+        lo = None
+        for i, hi in enumerate(list(cuts) + [None]):
+            part = df
+            if lo is not None:
+                part = part.filter(F.col("__ord") > lo)
+            if hi is not None:
+                part = part.filter(F.col("__ord") <= hi)
+            part.drop("__ord").coalesce(1).write.mode("overwrite") \
+                .parquet(f"{src}/f{i}")
+            lo = hi
+        src = f"{src}/f*"
+    return spark.readStream.schema(df.drop("__ord").schema).option(
+        "maxFilesPerTrigger", 1).parquet(src)
+
+
+def _rowset(rows):
+    return {tuple(sorted(r.asDict().items())) for r in rows}
+
+
+@pytest.fixture(scope="module")
+def market(spark):
+    trades, prices = derive_market(spark, SF)
+    return trades.cache(), prices.cache()
+
+
+def test_streaming_sma_matches_batch(spark, market, tmp_path):
+    _, prices = market
+    prices = prices.withColumn("seq", F.lit(0).cast("long"))
+    stream = _stream_from(spark, prices, str(tmp_path))
+    fc = streaming_sma_forecast(stream, seq_col="seq")
+    run_available_now(fc, "sma_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT ts, hub, price_mwh, sma5, sma20, forecast_next "
+                    "FROM sma_out")
+    want = (rolling_sma_forecast(
+        prices.select("ts", "hub", "price_mwh", "seq"),
+        ["hub"], ["ts", "seq"], "price_mwh")
+        .select("ts", "hub", "price_mwh", "sma5", "sma20", "forecast_next"))
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_streaming_pnl_matches_batch_single_batch(spark, market, tmp_path):
+    trades, prices = market
+    ts_stream = _stream_from(spark, trades, f"{tmp_path}/t")
+    px_stream = _stream_from(spark, prices, f"{tmp_path}/p")
+    pnl = streaming_pnl(ts_stream, px_stream)
+    run_available_now(pnl, "pnl_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT * FROM pnl_out")
+    want = pnl_positions(trades, prices)
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_streaming_sma_state_carries_across_batches(spark, market, tmp_path):
+    """Split prices at the time median into 2 files, force 1 file per
+    micro-batch: the ring buffer must survive the batch boundary, giving
+    exactly the batch result."""
+    _, prices = market
+    one_hub = prices.filter(F.col("hub") == "HUB0") \
+                    .withColumn("seq", F.lit(0).cast("long"))
+    stream = _stream_from(spark, one_hub, str(tmp_path), n_files=2,
+                          order_col="ts")
+    fc = streaming_sma_forecast(stream, seq_col="seq")
+    run_available_now(fc, "sma_mb_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT ts, hub, sma5, sma20 FROM sma_mb_out")
+    want = rolling_sma_forecast(one_hub, ["hub"], ["ts", "seq"], "price_mwh") \
+        .select("ts", "hub", "sma5", "sma20")
+    assert got.count() == want.count()
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_forecasts_job_end_to_end(spark, market, tmp_path):
+    """ForecastsJob analogue: stream -> stateful SMA -> exactly-once parquet
+    sink; output files match the batch computation."""
+    _, prices = market
+    prices = prices.withColumn("seq", F.lit(0).cast("long"))
+    stream = _stream_from(spark, prices, str(tmp_path))
+    q = forecasts_job(stream, f"{tmp_path}/out", f"{tmp_path}/ckpt",
+                      seq_col="seq")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.read.parquet(f"{tmp_path}/out/forecasts/epoch=*")
+    want = (rolling_sma_forecast(
+        prices.select("ts", "hub", "price_mwh", "seq"),
+        ["hub"], ["ts", "seq"], "price_mwh")
+        .select("ts", "hub", "sma5", "sma20", "forecast_next"))
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_pnl_job_writes_both_tables(spark, market, tmp_path):
+    trades, prices = market
+    ts_stream = _stream_from(spark, trades, f"{tmp_path}/t")
+    px_stream = _stream_from(spark, prices, f"{tmp_path}/p")
+    q = pnl_job(ts_stream, px_stream, f"{tmp_path}/out", f"{tmp_path}/ckpt")
+    q.processAllAvailable()
+    q.stop()
+    pnl = spark.read.parquet(f"{tmp_path}/out/positions_pnl/epoch=*")
+    exp = spark.read.parquet(f"{tmp_path}/out/price_exposure/epoch=*")
+    assert pnl.count() == exp.count() > 0
+    # exposure is the P4 projection of the fold rows (pnl01 = position)
+    joined = exp.select("ts", "account", "hub", "pnl01", "notional_usd")
+    sample = joined.limit(5).collect()
+    for r in sample:
+        assert r.notional_usd is not None
