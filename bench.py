@@ -1,0 +1,61 @@
+"""Benchmark harness (driver contract): runs the headline query set at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS]
+and prints ONE JSON line:
+  {"metric": ..., "value": total_sec, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is forced end-to-end with the noop sink (full computation, no
+driver-side collect). Timings are per-query wall clock on a warm session.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
+from kafka_flink_processing_spark.session import get_spark
+
+
+def sf_from_dir(sf_dir: str) -> float:
+    name = os.path.basename(sf_dir.rstrip("/"))
+    try:
+        return float(name.replace("sf", ""))
+    except ValueError:
+        return -1.0
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_spark("bench")
+    _ensure_loaded()
+    headline = {name: spec for name, spec in QUERIES.items() if spec.bench}
+
+    # warm the JVM + file listings once with the cheapest query
+    force(headline["latest_per_key"].spark(spark, sf_dir))
+
+    times: dict[str, float] = {}
+    for name, spec in headline.items():
+        t0 = time.time()
+        force(spec.spark(spark, sf_dir))
+        times[name] = round(time.time() - t0, 3)
+
+    print(json.dumps({
+        "metric": "headline_query_wall_time",
+        "value": round(sum(times.values()), 3),
+        "unit": "sec",
+        "queries": times,
+        "sf": sf_from_dir(sf_dir),
+    }))
+
+
+if __name__ == "__main__":
+    main()

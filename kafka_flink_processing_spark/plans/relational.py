@@ -199,10 +199,10 @@ def cube_qty(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_linestatus",
     oracle="""
     SELECT l_returnflag,
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
-                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) AS "O",
-           CAST(SUM(CAST(l_quantity AS DECIMAL(30,2)))
-                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) AS "F"
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                FILTER (WHERE l_linestatus = 'O') AS DOUBLE) / 100.0 AS "O",
+           CAST(SUM(CAST(ROUND(l_quantity * 100) AS BIGINT))
+                FILTER (WHERE l_linestatus = 'F') AS DOUBLE) / 100.0 AS "F"
     FROM lineitem GROUP BY l_returnflag
     """,
     doc="pivot = conditional aggregation; map-side combine then one shuffle.",

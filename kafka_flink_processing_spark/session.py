@@ -39,6 +39,12 @@ def get_spark(app_name: str = "kafka_flink_processing_spark",
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # local-mode scan parallelism: the testdata is single ~10MB files,
+        # which the default 128MB split turns into ONE scan task on a 32-core
+        # box. On a cluster (many multi-GB files) keep the default.
+        .config("spark.sql.files.maxPartitionBytes",
+                os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "8m"))
+        .config("spark.sql.files.openCostInBytes", "1m")
     )
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
