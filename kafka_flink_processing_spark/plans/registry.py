@@ -59,5 +59,6 @@ def _ensure_loaded() -> None:
         relational,
         stateful,
         extensions,
+        temporal,
     )
     _LOADED = True

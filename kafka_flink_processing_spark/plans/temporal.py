@@ -1,0 +1,243 @@
+"""Time-windowed aggregation variants + the DA/RT as-of comparison demo.
+
+SURVEY.md §2.6: the reference's windows are count-based (5/20-row ring
+buffers, ForecastsJob.java:83-86) and it has NO tumbling/sliding/session
+windows — these are engine extensions, clearly marked as such. They are the
+natural Spark idiom for the same data (`F.window` compiles to a codegen'd
+bucket expression — one shuffle on (window, key), identical to a groupBy),
+and in streaming mode the exact same expressions run under a watermark.
+
+SURVEY.md §2.7: README.md:98-100 implies a DA-vs-RT comparison ("latest
+day-ahead vs real-time"); the natural engine form is an as-of join of the
+dense RT stream against the sparse DA stream per hub with `basis = rt - da`
+— included here as `da_rt_asof_basis`.
+
+Scale notes: every query below is one hash-shuffle wide (group-by or
+window partition), all-JVM (no Python), with exact long-scaled sums
+(functions/exact.py) so results are identical on any partition count.
+Session windows use the lag+cumulative-sum formulation rather than a
+stateful UDF: two window passes over ONE shuffle on user_id, fully
+codegen'd — the 100 TB-safe batch form of `F.session_window`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
+from kafka_flink_processing_spark.plans.registry import register
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+_HUB = "F.concat(F.lit('HUB'), (F.col('user_id') % 4).cast('string'))"
+_HUB_SQL = "'HUB' || CAST(user_id % 4 AS VARCHAR)"
+
+
+# --------------------------------------------------------------------------
+# Tumbling window (engine extension; streaming-ready expression)
+# --------------------------------------------------------------------------
+
+@register(
+    "tumbling_window_stats",
+    oracle=f"""
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events GROUP BY 1, 2, 3
+    """,
+    doc="1-hour tumbling window stats per event_type (engine extension, "
+        "SURVEY.md §2.6 — the reference has only count-based windows). "
+        "F.window is a codegen'd bucket expression: same plan as a groupBy, "
+        "one shuffle on (window, event_type).",
+    bench=True,
+)
+def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count("*").alias("n_events"),
+                   dsum("value").alias("sum_value"),
+                   F.min("value").alias("min_value"),
+                   F.max("value").alias("max_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "event_type", "n_events", "sum_value",
+                      "min_value", "max_value"))
+
+
+# --------------------------------------------------------------------------
+# Sliding window (engine extension)
+# --------------------------------------------------------------------------
+
+_SLIDE_STARTS = ", ".join(
+    f"time_bucket(INTERVAL '15 minutes', ts) - INTERVAL '{m} minutes'"
+    for m in (45, 30, 15, 0))
+
+@register(
+    "sliding_window_stats",
+    oracle=f"""
+    WITH w AS (
+      SELECT unnest([{_SLIDE_STARTS}]) AS window_start, value
+      FROM events
+    )
+    SELECT window_start, window_start + INTERVAL '1 hour' AS window_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value,
+           {dsum_sql('value')} / COUNT(*) AS avg_value
+    FROM w GROUP BY 1, 2
+    """,
+    doc="1-hour window sliding by 15 minutes (engine extension). Each row "
+        "lands in exactly 4 epoch-aligned windows; Spark's F.window explodes "
+        "then aggregates — output ~4x input pre-combine, map-side partial "
+        "agg keeps the shuffle at |windows| rows.",
+)
+def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy(F.window("ts", "1 hour", "15 minutes").alias("w"))
+              .agg(F.count("*").alias("n_events"),
+                   dsum("value").alias("sum_value"),
+                   (dsum("value") / F.count("*")).alias("avg_value"))
+              .select(F.col("w.start").alias("window_start"),
+                      F.col("w.end").alias("window_end"),
+                      "n_events", "sum_value", "avg_value"))
+
+
+# --------------------------------------------------------------------------
+# Session window (engine extension)
+# --------------------------------------------------------------------------
+
+_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+@register(
+    "session_window_stats",
+    oracle=f"""
+    WITH o AS (
+      SELECT user_id, ts, event_id, value,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          > {_SESSION_GAP_US}
+                  THEN 1 ELSE 0 END AS is_new
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), s AS (
+      SELECT *, CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS BIGINT) AS session_id
+      FROM o
+    )
+    SELECT user_id, session_id,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           COUNT(*) AS n_events,
+           {dsum_sql('value')} AS sum_value
+    FROM s GROUP BY 1, 2
+    """,
+    doc="gap-based sessionization (30-min inactivity) per user — engine "
+        "extension. lag + cumulative-sum boundary numbering: the batch form "
+        "of F.session_window, two codegen'd window passes over ONE shuffle "
+        "on user_id (microsecond-integer gap arithmetic, cross-engine "
+        "exact).",
+)
+def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    us = F.unix_micros(F.col("ts"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = us - F.lag(us).over(w)
+    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
+    sessions = (ev
+                .withColumn("session_id",
+                            F.sum(is_new).over(
+                                w.rowsBetween(Window.unboundedPreceding, 0))))
+    return (sessions.groupBy("user_id", "session_id")
+            .agg(F.min("ts").alias("session_start"),
+                 F.max("ts").alias("session_end"),
+                 F.count("*").alias("n_events"),
+                 dsum("value").alias("sum_value")))
+
+
+# --------------------------------------------------------------------------
+# DA vs RT as-of comparison (SURVEY.md §2.7, README.md:98-100)
+# --------------------------------------------------------------------------
+
+@register(
+    "da_rt_asof_basis",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id AS rt_id, {_HUB_SQL} AS hub, ts,
+             value AS lmp_rt, 1 AS is_left,
+             CAST(NULL AS DOUBLE) AS lmp_da, 0 AS tb
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT NULL, {_HUB_SQL}, ts, NULL, 0, value, event_id
+      FROM events WHERE event_type = 'signup'
+    ), filled AS (
+      SELECT rt_id, hub, ts, lmp_rt, is_left,
+             LAST_VALUE(lmp_da IGNORE NULLS) OVER (
+               PARTITION BY hub ORDER BY ts, is_left, tb
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+             ) AS lmp_da
+      FROM tagged
+    )
+    SELECT rt_id, hub, ts, lmp_rt, lmp_da, lmp_rt - lmp_da AS basis
+    FROM filled WHERE is_left = 1
+    """,
+    doc="DA-vs-RT comparison (README.md:98-100's implied query as an as-of "
+        "join, SURVEY.md §2.7): each dense RT tick enriched with the latest "
+        "sparse DA price on its hub, basis = rt - da (null before the first "
+        "DA print). Tagged-union + one window pass — single shuffle on hub.",
+)
+def da_rt_asof_basis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    rt = (ev.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("rt_id"), hub.alias("hub"),
+                    "ts", F.col("value").alias("lmp_rt")))
+    da = (ev.filter(F.col("event_type") == "signup")
+            .select(hub.alias("hub"), "ts",
+                    F.col("value").alias("lmp_da"),
+                    F.col("event_id").alias("da_id")))
+    out = asof_join(rt, da, on=["hub"], order_col="ts",
+                    value_cols=["lmp_da"], right_order_tiebreak="da_id")
+    return out.select("rt_id", "hub", "ts", "lmp_rt", "lmp_da",
+                      (F.col("lmp_rt") - F.col("lmp_da")).alias("basis"))
+
+
+# --------------------------------------------------------------------------
+# GROUPING SETS (completes the rollup/cube family, SURVEY.md §2.5)
+# --------------------------------------------------------------------------
+
+@register(
+    "grouping_sets_revenue",
+    oracle=f"""
+    SELECT o_orderpriority, o_orderstatus,
+           CAST(GROUPING(o_orderpriority) AS BIGINT) AS g_priority,
+           CAST(GROUPING(o_orderstatus) AS BIGINT) AS g_status,
+           {dsum_sql('o_totalprice')} AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                            (o_orderpriority), (o_orderstatus), ())
+    """,
+    doc="explicit GROUPING SETS over orders (4 sets incl. grand total) with "
+        "GROUPING() null-vs-group disambiguation — completes the "
+        "rollup/cube family (SURVEY.md §2.5). One expand + one shuffle; "
+        "exact long-scaled revenue.",
+)
+def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    return (orders
+            .groupingSets([["o_orderpriority", "o_orderstatus"],
+                           ["o_orderpriority"], ["o_orderstatus"], []],
+                          "o_orderpriority", "o_orderstatus")
+            .agg(F.grouping("o_orderpriority").cast("long").alias("g_priority"),
+                 F.grouping("o_orderstatus").cast("long").alias("g_status"),
+                 dsum("o_totalprice").alias("revenue"),
+                 F.count("*").alias("n_orders"))
+            .select("o_orderpriority", "o_orderstatus", "g_priority",
+                    "g_status", "revenue", "n_orders"))
