@@ -117,6 +117,71 @@ def lsh_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+# IVF coarse quantizer: K cells, probe the nprobe nearest cells per query.
+# Centroids here are the first IVF_K vectors by id — a deterministic stand-in
+# for the offline k-means training a real deployment runs; the index
+# structure, assignment plan, and probe path are identical either way.
+IVF_K = 16
+IVF_NPROBE = 4
+
+
+def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k with an IVF (inverted-file) index.
+
+    Build: the K-row centroid codebook (on a cluster: the offline k-means
+    output) broadcast-joins the corpus — N*K scored rows never shuffle;
+    map-side max_by partial aggregation reduces them to one (vector, cell)
+    row per vector before the single exchange on vec_id.
+
+    Search: each query probes its IVF_NPROBE nearest cells; candidates =
+    corpus vectors in probed cells (equi-join on cell against the broadcast
+    probe list); exact cosine + top-k re-rank. Cost ~ nprobe/K of brute
+    force; at 100 TB raise K so cells stay executor-sized and the probe
+    join stays broadcast.
+    """
+    base = with_unit_info(emb, vec_col)
+    cents = (base.filter(F.col(id_col) < IVF_K)
+                 .select(F.col(id_col).alias("cid"),
+                         F.col(vec_col).alias("cv"), F.col("nrm").alias("cn")))
+    cos_to_cent = _dot(F.col(vec_col), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    scored_cells = (base.crossJoin(F.broadcast(cents))
+                    .select(F.col(id_col), F.col(vec_col), F.col("nrm"),
+                            F.col("cid"), cos_to_cent.alias("ccos")))
+    # argmax by (cosine, then smallest cid) — struct ordering is
+    # lexicographic, so max(struct(ccos, -cid)) picks exactly the oracle's
+    # ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates map-side.
+    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
+    asg = (scored_cells
+           .groupBy(id_col)
+           .agg(F.max_by("cid", tie).cast("long").alias("cell"),
+                F.first(vec_col).alias(vec_col),
+                F.first("nrm").alias("nrm")))
+
+    wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
+    probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= IVF_NPROBE)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col(vec_col).alias("qv"), F.col("nrm").alias("qn"),
+                      F.col("cid").cast("long").alias("cell")))
+
+    cand = (F.broadcast(probes)
+            .join(asg, "cell")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", "qv", "qn",
+                    F.col(id_col).alias("cand_id"),
+                    F.col(vec_col).alias("cv"), F.col("nrm").alias("cn"))
+            .distinct())
+    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    scored = cand.select("query_id", "cand_id", cos.alias("cosine"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.45,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

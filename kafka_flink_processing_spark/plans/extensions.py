@@ -432,6 +432,55 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+from kafka_flink_processing_spark.operators.similarity import IVF_K, IVF_NPROBE  # noqa: E402
+
+
+@register(
+    "similarity_ivf_topk",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n
+             WHERE vec_id < {IVF_K}),
+    asgj AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, nrm, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                      CAST(cid AS BIGINT) AS cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+                 FROM asgj WHERE vec_id < 5) WHERE rn <= {IVF_NPROBE}),
+    cand AS (SELECT DISTINCT query_id, qv, qn, a.vec_id AS cand_id,
+                    a.embedding AS cv, a.nrm AS cn
+             FROM probes p JOIN asg a
+               ON a.cell = p.cell AND a.vec_id != p.query_id),
+    scored AS (SELECT query_id, cand_id,
+                      {_DOT.format(a='qv', b='cv')} / (qn * cn) AS cosine
+               FROM cand)
+    SELECT query_id, cand_id, cosine, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cosine DESC, cand_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc=f"ANN top-k via IVF coarse quantizer ({IVF_K} cells, nprobe="
+        f"{IVF_NPROBE}): deterministic codebook (first-{IVF_K} vectors "
+        "standing in for offline k-means), shuffle-free cell assignment, "
+        "probe-join + exact re-rank. Complements LSH: cost ~ nprobe/K of "
+        "brute force, recall asserted vs brute force in tests.",
+)
+def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import ivf_cosine_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = ivf_cosine_topk(emb, query_ids=range(5), k=10)
+    return out.select("query_id", "cand_id", "cosine",
+                      F.col("rank").cast("long").alias("rank"))
+
+
 @register(
     "embedding_cosine_pairs",
     oracle=f"""

@@ -21,6 +21,7 @@ from kafka_flink_processing_spark.operators.dedup import (
 )
 from kafka_flink_processing_spark.operators.similarity import (
     cosine_topk,
+    ivf_cosine_topk,
     lsh_cosine_topk,
 )
 from kafka_flink_processing_spark.sources.parquet import load_table
@@ -76,6 +77,23 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
         hits += r.cand_id in exact_sets[r.query_id]
     assert total > 0
     assert hits / total >= 0.8  # OR-amplified bands: near-total recall
+
+
+def test_ivf_ann_recall_vs_bruteforce(emb):
+    """IVF with nprobe=4 of 16 cells: precision is exact on its candidates
+    (same re-rank), recall bounded below — near neighbors concentrate in
+    the same/adjacent cells for clustered embeddings."""
+    exact = cosine_topk(emb, range(5), k=10).collect()
+    approx = ivf_cosine_topk(emb, range(5), k=10).collect()
+    exact_sets = {}
+    for r in exact:
+        exact_sets.setdefault(r.query_id, set()).add(r.cand_id)
+    hits = total = 0
+    for r in approx:
+        total += 1
+        hits += r.cand_id in exact_sets[r.query_id]
+    assert total > 0
+    assert hits / total >= 0.5  # coarse quantizer at nprobe/K = 1/4
 
 
 def test_multimodal_decode_plumbing(spark):
