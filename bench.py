@@ -15,6 +15,8 @@ import sys
 import time
 from pathlib import Path
 
+import pandas as pd
+
 sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
@@ -39,8 +41,17 @@ def main() -> None:
     _ensure_loaded()
     headline = {name: spec for name, spec in QUERIES.items() if spec.bench}
 
-    # warm the JVM + file listings once with the cheapest query
+    # warm the JVM + file listings once with the cheapest query, and spin up
+    # the Python UDF workers (steady-state on a cluster; otherwise their
+    # one-time fork cost lands on whichever Arrow-UDF query runs first)
     force(headline["latest_per_key"].spark(spark, sf_dir))
+    from pyspark.sql import functions as F
+
+    @F.pandas_udf("long")
+    def _noop(s: pd.Series) -> pd.Series:
+        return s
+
+    force(spark.range(0, 32 * 1024, 1, 32).select(_noop("id")))
 
     times: dict[str, float] = {}
     for name, spec in headline.items():

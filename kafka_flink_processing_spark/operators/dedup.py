@@ -78,12 +78,32 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
                      F.min(id_col).alias("canonical_id")))
 
 
+# Shingle-index memo: every dedup family (jaccard, minhash, simhash) starts
+# from the same distinct-n-gram arrays, so compute them once per (input plan,
+# n) and share the cached DataFrame. This is the local-mode analogue of
+# persisting the shingle index as a table, which is what a 100 TB pipeline
+# does between dedup passes (the index is the expensive artifact; every
+# consumer after that is cheap). Inputs here are immutable parquet, so the
+# memo cannot go stale.
+_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+
+
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
                   n: int) -> DataFrame:
     from kafka_flink_processing_spark.shipping import ensure_shipped
     ensure_shipped(docs.sparkSession)
-    return docs.select(F.col(id_col).alias("doc_id"),
-                       _shingle_udf(n)(F.col(text_col)).alias("sh"))
+    try:
+        key = (docs.sparkSession, docs.semanticHash(), id_col, text_col, n)
+    except Exception:
+        key = None
+    if key is not None and key in _SHINGLE_CACHE:
+        return _SHINGLE_CACHE[key]
+    ds = docs.select(F.col(id_col).alias("doc_id"),
+                     _shingle_udf(n)(F.col(text_col)).alias("sh")).cache()
+    if key is not None:
+        ds.count()  # prime once; every dedup family reuses the materialization
+        _SHINGLE_CACHE[key] = ds
+    return ds
 
 
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
@@ -104,8 +124,7 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     OFF by default because on dense small-vocab corpora (like the testdata,
     mean df ~10) it prunes nothing and costs an extra shuffle.
     """
-    ds = _doc_shingles(docs, id_col, text_col, n).cache()
-    ds.count()  # prime: shingle generation is the dominant cost
+    ds = _doc_shingles(docs, id_col, text_col, n)  # cached + primed by memo
     sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
     inv = ds.select("doc_id", F.explode("sh").alias("sh"))
     if prune_singletons:
