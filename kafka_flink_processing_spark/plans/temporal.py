@@ -68,6 +68,52 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "min_value", "max_value"))
 
 
+@register(
+    "streaming_tumbling_stats",
+    oracle=f"""
+    WITH prices AS (
+      SELECT ts, {_HUB_SQL} AS hub, value AS price_mwh
+      FROM events WHERE event_type IN ('view','click')
+    )
+    SELECT date_trunc('hour', ts) AS window_start,
+           date_trunc('hour', ts) + INTERVAL '1 hour' AS window_end,
+           hub,
+           COUNT(*) AS n_ticks,
+           {dsum_sql('price_mwh')} AS sum_price,
+           MIN(price_mwh) AS min_price,
+           MAX(price_mwh) AS max_price
+    FROM prices GROUP BY 1, 2, 3
+    """,
+    doc="tumbling window stats via Structured Streaming (complete-mode "
+        "windowed aggregation, availableNow drain) hash-matched against the "
+        "batch SQL oracle — unified batch/streaming semantics for windowed "
+        "aggs; watermarked append-mode variant covered in "
+        "tests/test_streaming_windows.py.",
+)
+def streaming_tumbling_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.windows import (
+        streaming_tumbling_stats,
+    )
+
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    prices = (ev.filter(F.col("event_type").isin("view", "click"))
+                .select("ts", hub.alias("hub"),
+                        F.col("value").alias("price_mwh")))
+    work = tempfile.mkdtemp(prefix="kfps_twin_")
+    src = f"{work}/src"
+    prices.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(prices.schema).parquet(src)
+    agg = streaming_tumbling_stats(stream, "1 hour")
+    name = f"twin_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
+    return spark.table(name)
+
+
 # --------------------------------------------------------------------------
 # Sliding window (engine extension)
 # --------------------------------------------------------------------------

@@ -53,11 +53,14 @@ def parquet_sink(df: DataFrame, out_dir: str, checkpoint_dir: str):
               .start())
 
 
-def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str):
+def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str,
+                      output_mode: str = "append"):
     """Drain everything currently available into an in-memory table and stop
-    (the reference-parity test harness path)."""
+    (the reference-parity test harness path). output_mode="complete" for
+    streaming aggregations whose full result table should land (windowed
+    stats without a watermark); "append" for row streams / stateful emits."""
     q = (df.writeStream.format("memory").queryName(query_name)
-           .outputMode("append")
+           .outputMode(output_mode)
            .option("checkpointLocation", checkpoint_dir)
            .trigger(availableNow=True)
            .start())
