@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_processing_spark.functions.exact import (
+    davg,
     davg_sql,
     dsum,
     dsum_sql,
@@ -328,6 +329,63 @@ def anti_join_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, "orders", sf_dir).filter(F.col("o_orderstatus") == "F")
     return (cust.join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
                 .select("c_custkey", "c_name", "c_acctbal"))
+
+
+# --------------------------------------------------------------------------
+# Correlated scalar subquery (TPC-H Q17 shape, decorrelated)
+# --------------------------------------------------------------------------
+
+@register(
+    "correlated_avg_threshold",
+    oracle=f"""
+    WITH avg_q AS (
+      SELECT l_partkey, {davg_sql('l_quantity')} AS avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT p.p_brand,
+           {dsum_sql('l.l_extendedprice')} AS small_lot_revenue,
+           COUNT(*) AS n_small_lines
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    JOIN avg_q a ON a.l_partkey = l.l_partkey
+    WHERE l.l_quantity < 0.5 * a.avg_qty
+    GROUP BY p.p_brand
+    """,
+    doc="TPC-H Q17-shaped correlated scalar subquery — lines below half "
+        "their part's average quantity — written decorrelated (per-part "
+        "pre-aggregate + equi-join), which is exactly the rewrite Catalyst "
+        "applies to the correlated form; the dim join broadcasts, the "
+        "fact-side joins share one partkey shuffle.",
+)
+def correlated_avg_threshold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    part = load_table(spark, "part", sf_dir)
+    avg_q = (li.groupBy("l_partkey")
+               .agg(davg("l_quantity").alias("avg_qty")))
+    return (li.join(avg_q, "l_partkey")
+              .filter(F.col("l_quantity") < 0.5 * F.col("avg_qty"))
+              .join(F.broadcast(part.select("p_partkey", "p_brand")),
+                    F.col("l_partkey") == F.col("p_partkey"))
+              .groupBy("p_brand")
+              .agg(dsum("l_extendedprice").alias("small_lot_revenue"),
+                   F.count("*").alias("n_small_lines")))
+
+
+@register(
+    "approx_distinct_users",
+    oracle=None,   # HLL sketch values are engine-specific; accuracy vs the
+                   # exact count is asserted in tests/test_relational_extra.py
+    doc="approx_count_distinct (HyperLogLog++) per event_type next to the "
+        "exact distinct count — the sketch path that replaces exact "
+        "distinct at 100 TB (no per-key shuffle of raw ids; sketches merge "
+        "map-side). rows-only driver check; error bound is test-asserted.",
+)
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    return (ev.groupBy("event_type")
+              .agg(F.approx_count_distinct("user_id", rsd=0.02)
+                    .alias("approx_users"),
+                   F.count_distinct(F.col("user_id")).alias("exact_users")))
 
 
 # --------------------------------------------------------------------------

@@ -1,0 +1,41 @@
+"""Semantics tests for the correlated-subquery and approximate-distinct
+queries (plans/relational.py) beyond oracle parity / rows-only checks."""
+
+from __future__ import annotations
+
+from kafka_flink_processing_spark.plans.relational import (
+    approx_distinct_users,
+    correlated_avg_threshold,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_approx_distinct_error_bound(spark):
+    """HLL++ at rsd=0.02 should land within 5% of the exact distinct count
+    for every group (cardinalities here are far above the sparse regime)."""
+    rows = approx_distinct_users(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.exact_users > 0
+        rel_err = abs(r.approx_users - r.exact_users) / r.exact_users
+        assert rel_err <= 0.05, (r.event_type, r.approx_users, r.exact_users)
+
+
+def test_correlated_threshold_is_strictly_below_half_avg(spark):
+    """Every counted line sits strictly below half its part's average —
+    re-derive the per-part averages independently and spot-check totals."""
+    out = {r.p_brand: r.n_small_lines
+           for r in correlated_avg_threshold(spark, SF).collect()}
+    assert out and all(n > 0 for n in out.values())
+
+    li = spark.read.parquet(f"{SF}/lineitem.parquet")
+    part = spark.read.parquet(f"{SF}/part.parquet")
+    pdf = li.join(part, li.l_partkey == part.p_partkey) \
+            .select("l_partkey", "p_brand", "l_quantity").toPandas()
+    avg = pdf.groupby("l_partkey")["l_quantity"].mean()
+    pdf["below"] = pdf.l_quantity < 0.5 * pdf.l_partkey.map(avg)
+    expect = pdf[pdf.below].groupby("p_brand").size().to_dict()
+    # pandas mean vs exact davg can flip rows sitting exactly on the
+    # threshold; quantities are integers so ties are measure-zero here
+    assert out == expect
