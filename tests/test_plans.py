@@ -1,0 +1,97 @@
+"""Physical-plan regression tests — the scale contract.
+
+Correctness tests prove the small-SF answer; these prove the PLAN is the one
+that survives 100 TB: filters pushed into the parquet scan, columns pruned,
+dimension joins broadcast, windows one-shuffle, top-k never a global sort,
+and no accidental cartesian products. A refactor that keeps answers right
+but regresses any of these properties fails here, not in production.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str, executed: bool = False) -> str:
+    _ensure_loaded()
+    df = QUERIES[name].spark(spark, SF)
+    if executed:
+        # codegen wrappers only materialize in the final adaptive plan;
+        # collect() runs THIS DataFrame's queryExecution (a write would
+        # plan a separate command and leave this one un-finalized)
+        df.collect()
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # AQE repeats the tree under "== Initial Plan =="; assert on one copy
+    return plan.split("== Initial Plan ==")[0]
+
+
+def test_q1_filter_pushed_and_columns_pruned(spark):
+    plan = plan_of(spark, "groupby_agg_q1")
+    assert "LessThanOrEqual(l_shipdate" in plan          # pushdown reached scan
+    assert "l_partkey" not in plan                       # pruned: unused column
+    assert "l_suppkey" not in plan
+
+
+def test_dim_joins_broadcast_not_shuffled(spark):
+    plan = plan_of(spark, "join_revenue_by_nation")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # nation/region/supplier/customer dims must never sort-merge at this shape
+    assert "SortMergeJoin" not in plan
+
+
+def test_latest_per_key_uses_rank_pushdown(spark):
+    # row_number()=1 must plan as WindowGroupLimit (partial per-partition
+    # top-1 before the shuffle), not a full window sort of every row
+    assert "WindowGroupLimit" in plan_of(spark, "latest_per_key")
+
+
+def test_topk_is_take_ordered_not_global_sort(spark):
+    plan = plan_of(spark, "topk_recent")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan      # no global sort
+
+
+def test_window_ops_are_single_shuffle(spark):
+    for name in ("forecast_sma", "asof_join_events", "last_value_carried_forward"):
+        plan = plan_of(spark, name)
+        n_exchanges = plan.count("Exchange hashpartitioning")
+        assert n_exchanges == 1, f"{name}: {n_exchanges} shuffles, expected 1"
+
+
+def test_tumbling_window_is_one_shuffle_groupby(spark):
+    plan = plan_of(spark, "tumbling_window_stats")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "HashAggregate" in plan                       # partial+final agg
+
+
+def test_no_cartesian_or_bnl_in_relational_battery(spark):
+    # brute-force similarity legitimately cross-joins (broadcast side is 5
+    # query rows); every relational/temporal query must stay out of
+    # CartesianProduct and BroadcastNestedLoopJoin entirely
+    for name in ("join_topk_orders", "semi_join_late_orders",
+                 "anti_join_customers", "correlated_avg_threshold",
+                 "top_orders_per_customer", "da_rt_asof_basis"):
+        plan = plan_of(spark, name)
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_scans_project_only_needed_columns(spark):
+    # 2-column projection must not read the whole documents schema
+    plan = plan_of(spark, "dedup_exact")
+    assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
+
+
+@pytest.mark.parametrize("name", ["groupby_agg_q1", "forecast_sma",
+                                  "latest_per_key", "join_revenue_by_nation"])
+def test_hot_path_stays_in_codegen(spark, name):
+    # whole-stage codegen must cover the hot path: no Python evals anywhere
+    plan = plan_of(spark, name, executed=True)
+    assert "*(" in plan          # "*(N) Op" prefix = inside a codegen span
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
