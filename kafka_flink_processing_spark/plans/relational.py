@@ -389,6 +389,55 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # --------------------------------------------------------------------------
+# Skew mitigation (operators/skew.py) — salted plans, identical results
+# --------------------------------------------------------------------------
+
+@register(
+    "skew_salted_distinct",
+    oracle="""
+    SELECT event_type, COUNT(DISTINCT user_id) AS n_distinct
+    FROM events GROUP BY event_type
+    """,
+    doc="exact distinct count via domain-partitioned salting (hash(value) % "
+        "16 two-stage agg, operators/skew.py) — a hot key's distinct domain "
+        "spreads over 16 reducers; oracle asserts the salted plan equals "
+        "the naive COUNT(DISTINCT).",
+)
+def skew_salted_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.skew import (
+        salted_distinct_count,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    return salted_distinct_count(ev, ["event_type"], "user_id", n_salt=16)
+
+
+@register(
+    "skew_salted_join",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, l.l_quantity,
+           o.o_orderstatus, o.o_totalprice
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    """,
+    doc="fact-fact equi-join through the salted path (skewed side salted by "
+        "hash(l_linenumber) % 16, other side replicated 16x, join on "
+        "(key, salt) — operators/skew.py): multiplicities preserved, "
+        "result identical to the unsalted join per the oracle. The explicit "
+        "fallback for when AQE skew-splitting is unavailable.",
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.skew import salted_join
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+    orders = load_table(spark, "orders", sf_dir) \
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    out = salted_join(li, orders.withColumnRenamed("o_orderkey", "l_orderkey"),
+                      on=["l_orderkey"], tiebreak_col="l_linenumber",
+                      n_salt=16)
+    return out.select("l_orderkey", "l_linenumber", "l_quantity",
+                      "o_orderstatus", "o_totalprice")
+
+
+# --------------------------------------------------------------------------
 # Set operations (SURVEY.md §2.5 — engine-native; absent in the reference)
 # --------------------------------------------------------------------------
 
