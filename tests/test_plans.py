@@ -82,7 +82,10 @@ def test_no_cartesian_or_bnl_in_relational_battery(spark):
 
 
 def test_scans_project_only_needed_columns(spark):
-    # 2-column projection must not read the whole documents schema
+    # 2-column projection must not read the whole documents schema.
+    # (clear the cache first: a cached `documents` from another test module
+    # would swap the FileScan for an InMemoryTableScan and hide ReadSchema)
+    spark.catalog.clearCache()
     plan = plan_of(spark, "dedup_exact")
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan
 
