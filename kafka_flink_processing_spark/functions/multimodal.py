@@ -75,3 +75,79 @@ def with_payload(docs: DataFrame, text_col: str = "text") -> DataFrame:
     """Derive an opaque binary payload column from text (the testdata has no
     real media; utf-8 bytes stand in as the payload)."""
     return docs.withColumn("payload", F.encode(F.col(text_col), "UTF-8"))
+
+
+RESIZE_SCHEMA = ("doc_id long, target_w int, target_h int, "
+                 "src_w int, src_h int, scale double, thumb_hash string")
+
+
+def resize_features(df: DataFrame, target_w: int = 64, target_h: int = 64,
+                    payload_col: str = "payload",
+                    id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas resize stage (1 row -> 1 row, bytes stay executor-side).
+
+    Real pipeline: decode, resample to (target_w, target_h), re-encode or
+    emit pixel tensors. Stubbed resample = keep every k-th byte (k chosen
+    from the fake source dims), hash the result — deterministic, and the
+    batch shape (binary in, small typed columns out) is the real one.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                src_w, src_h, _, _ = _fake_features(b)
+                scale = min(target_w / src_w, target_h / src_h)
+                k = max(1, int(1 / scale)) if scale < 1 else 1
+                thumb = b[::k]
+                rows.append((doc_id, target_w, target_h, src_w, src_h,
+                             scale, hashlib.md5(thumb).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "target_w", "target_h",
+                                              "src_w", "src_h", "scale",
+                                              "thumb_hash"])
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+FRAME_SCHEMA = ("doc_id long, frame_idx int, frame_offset long, "
+                "frame_bytes long, frame_hash string")
+
+FRAME_SIZE = 256        # stub "video": fixed-size byte chunks as frames
+FRAME_STRIDE = 4        # sample every 4th frame
+
+
+def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE,
+                  stride: int = FRAME_STRIDE,
+                  payload_col: str = "payload",
+                  id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas frame-sampling stage (1 row -> N rows).
+
+    Real pipeline: demux video, decode every stride-th frame, emit one row
+    per sampled frame for downstream embedding. Stub: the payload is cut
+    into fixed-size chunks ("frames"); every stride-th chunk yields a row
+    with its offset and hash. The fan-out shape (one input batch producing
+    a larger output batch) is exactly the real stage's.
+    """
+    import hashlib
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
+                for i in range(0, n_frames, stride):
+                    chunk = b[i * frame_size:(i + 1) * frame_size]
+                    rows.append((doc_id, i, i * frame_size, len(chunk),
+                                 hashlib.md5(chunk).hexdigest()))
+            yield pd.DataFrame(rows, columns=["doc_id", "frame_idx",
+                                              "frame_offset", "frame_bytes",
+                                              "frame_hash"])
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, FRAME_SCHEMA)

@@ -544,3 +544,35 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = with_payload(load_table(spark, "documents", sf_dir))
     return decode_features(docs)
+
+
+@register(
+    "multimodal_resize",
+    oracle=None,   # stubbed resample; batch shape + determinism test-pinned
+    doc="binary payload -> thumbnail features via Arrow-batched mapInPandas "
+        "(1 row -> 1 row resize stage; stubbed byte-resample, real codec "
+        "slot documented in functions/multimodal.py).",
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        resize_features,
+        with_payload,
+    )
+    docs = with_payload(load_table(spark, "documents", sf_dir))
+    return resize_features(docs)
+
+
+@register(
+    "multimodal_frame_sample",
+    oracle=None,   # stubbed demux; fan-out row count asserted in tests
+    doc="video-style frame sampling via mapInPandas (1 row -> N rows "
+        "fan-out: every 4th fixed-size chunk emits offset+hash; the real "
+        "stage swaps the chunker for a demuxer/decoder).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        sample_frames,
+        with_payload,
+    )
+    docs = with_payload(load_table(spark, "documents", sf_dir))
+    return sample_frames(docs)

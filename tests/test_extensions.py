@@ -111,3 +111,43 @@ def test_multimodal_decode_plumbing(spark):
 def test_real_decoder_is_explicit_stub():
     with pytest.raises(NotImplementedError):
         decode_image(b"\x89PNG")
+
+
+def test_multimodal_resize_shapes(spark):
+    from kafka_flink_processing_spark.functions.multimodal import (
+        resize_features,
+    )
+    docs = with_payload(load_table(spark, "documents", SF))
+    out = resize_features(docs, target_w=64, target_h=64)
+    rows = out.collect()
+    assert len(rows) == docs.count()          # 1 -> 1 stage
+    for r in rows[:20]:
+        assert r.target_w == 64 and r.target_h == 64
+        assert r.scale == pytest.approx(min(64 / r.src_w, 64 / r.src_h))
+        assert len(r.thumb_hash) == 32
+    # deterministic: same input, same hashes
+    again = {r.doc_id: r.thumb_hash for r in resize_features(docs).collect()}
+    assert again == {r.doc_id: r.thumb_hash for r in rows}
+
+
+def test_multimodal_frame_sample_fanout(spark):
+    from kafka_flink_processing_spark.functions.multimodal import (
+        FRAME_SIZE,
+        FRAME_STRIDE,
+        sample_frames,
+    )
+    docs = with_payload(load_table(spark, "documents", SF))
+    out = sample_frames(docs).collect()
+    src = {r.doc_id: len(r.text.encode())
+           for r in docs.select("doc_id", "text").collect()}
+    by_doc = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    assert set(by_doc) == set(src)
+    for doc_id, frames in by_doc.items():
+        n_frames = max(1, -(-src[doc_id] // FRAME_SIZE))
+        expect_idx = list(range(0, n_frames, FRAME_STRIDE))
+        assert sorted(f.frame_idx for f in frames) == expect_idx
+        for f in frames:
+            assert f.frame_offset == f.frame_idx * FRAME_SIZE
+            assert 0 < f.frame_bytes <= FRAME_SIZE
