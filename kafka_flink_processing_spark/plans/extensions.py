@@ -294,6 +294,54 @@ def dedup_minhash_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                              n=3, threshold=0.6)
 
 
+_MINHASH_PAIRS_CTES = f"""
+    {_SHINGLES3},
+    {{sig}},
+    bands AS ({{bands}}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b
+      FROM cand JOIN ds sa ON doc_a = sa.doc_id JOIN ds sb ON doc_b = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh))
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.6)
+"""
+
+
+@register(
+    "dedup_clusters",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES.replace('WITH ', '', 1).format(
+        sig=_minhash_sig_sql().strip().lstrip(), bands='{bands}')}
+    ,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a
+    """.format(bands=_minhash_bands_sql()),
+    doc="duplicate CLUSTERS: connected components over the MinHash-LSH "
+        "pair graph (operators/cluster.py, iterative min-label propagation "
+        "— one shuffle join per round, rounds = component diameter). "
+        "Canonical doc = min id per component; singletons map to "
+        "themselves. Oracle = recursive-CTE transitive closure over the "
+        "identical pair set.",
+)
+def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.cluster import (
+        connected_components,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    return connected_components(pairs, docs.select("doc_id"))
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"
