@@ -224,6 +224,71 @@ def running_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(signed.cast("long")).over(w).alias("position_mw"))
 
 
+# --- exact median per key: rank-based formulation, portable across engines
+# (avg of the middle one/two values; percentile_approx/quantile_cont sketch
+# or interpolation internals differ between engines, the rank form doesn't)
+@register(
+    "median_value_by_type",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           SUM(value) / COUNT(*) AS median_value,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM r
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    GROUP BY event_type
+    """,
+    doc="exact per-group median via rank selection (row_number + middle-"
+        "element average) — deterministic and engine-portable where "
+        "interpolating quantile implementations are not; one shuffle on "
+        "the group key.",
+)
+def median_value_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (ev.withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wn)))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)))
+    return (mid.groupBy("event_type")
+               .agg((F.sum("value") / F.count("*")).alias("median_value"),
+                    F.max("n").cast("long").alias("n_rows")))
+
+
+# --- histogram: fixed-width value buckets (codegen'd bucket expression)
+@register(
+    "value_histogram",
+    oracle="""
+    SELECT CAST(FLOOR(value / 10.0) AS BIGINT) AS bucket,
+           CAST(FLOOR(value / 10.0) AS BIGINT) * 10.0 AS bucket_lo,
+           COUNT(*) AS n,
+           MIN(value) AS min_in_bucket,
+           MAX(value) AS max_in_bucket
+    FROM events GROUP BY 1, 2
+    """,
+    doc="fixed-width histogram of `value` (width 10): bucket id is a "
+        "codegen'd floor-div, one shuffle on the bucket — the profile "
+        "primitive for data-quality monitoring at scale.",
+)
+def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    bucket = F.floor(F.col("value") / 10.0).cast("long")
+    return (ev.groupBy(bucket.alias("bucket"))
+              .agg(F.count("*").alias("n"),
+                   F.min("value").alias("min_in_bucket"),
+                   F.max("value").alias("max_in_bucket"))
+              .select("bucket", (F.col("bucket") * 10.0).alias("bucket_lo"),
+                      "n", "min_in_bucket", "max_in_bucket"))
+
+
 # --- W1 in STREAMING mode, oracle-gated: the Structured Streaming stateful
 # SMA (applyInPandasWithState) drained with availableNow over the same
 # derived prices, hash-compared against the SAME SQL oracle as the batch
