@@ -224,6 +224,45 @@ def running_position(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(signed.cast("long")).over(w).alias("position_mw"))
 
 
+# --- semi-structured: JSON path extraction over the props column (the
+# engine equivalent of P1-P3's from_json, exercised on nested payload data)
+@register(
+    "json_props_stats",
+    oracle="""
+    WITH x AS (
+      SELECT event_type,
+             CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      FROM events
+    )
+    SELECT event_type,
+           COUNT(*) AS n,
+           COUNT(k) AS n_with_k,
+           SUM(k) AS sum_k,
+           MIN(k) AS min_k,
+           MAX(k) AS max_k,
+           CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_even
+    FROM x GROUP BY event_type
+    """,
+    doc="semi-structured column processing: JSON path extraction "
+        "(get_json_object, the row-level form of P1-P3's from_json) with "
+        "typed cast, null-safe aggregation, and integer arithmetic — all "
+        "JVM-side; the JSON never reaches Python.",
+)
+def json_props_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    k = F.get_json_object(F.col("props"), "$.k").cast("long")
+    return (ev.select("event_type", k.alias("k"))
+              .groupBy("event_type")
+              .agg(F.count("*").alias("n"),
+                   F.count("k").alias("n_with_k"),
+                   F.sum("k").alias("sum_k"),
+                   F.min("k").alias("min_k"),
+                   F.max("k").alias("max_k"),
+                   F.sum(F.when(F.col("k") % 2 == 0, 1).otherwise(0))
+                    .cast("long").alias("n_even")))
+
+
 # --- exact median per key: rank-based formulation, portable across engines
 # (avg of the middle one/two values; percentile_approx/quantile_cont sketch
 # or interpolation internals differ between engines, the rank form doesn't)
