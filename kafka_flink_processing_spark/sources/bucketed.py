@@ -38,3 +38,13 @@ def write_bucketed(df: DataFrame, table: str, keys: Sequence[str],
 
 def bucketed(spark: SparkSession, table: str) -> DataFrame:
     return spark.table(table)
+
+
+def write_partitioned(df: DataFrame, path: str,
+                      partition_cols: Sequence[str]) -> None:
+    """Hive-style directory partitioning (the other half of the layout
+    story): equality/IN filters on partition_cols prune whole directories
+    at planning time — the parquet analogue of the reference's B-tree
+    lookups on (hub, ts) (init.sql:17). Partition by low-cardinality keys
+    (hub, date) only; high-cardinality partitioning makes small files."""
+    df.write.mode("overwrite").partitionBy(*partition_cols).parquet(path)
