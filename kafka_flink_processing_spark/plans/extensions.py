@@ -548,6 +548,65 @@ def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Format connectors: JSONL / CSV ingest (sources/formats.py)
+# ---------------------------------------------------------------------------
+
+@register(
+    "jsonl_roundtrip",
+    oracle="""
+    SELECT doc_id, lang, md5(text) AS text_md5,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="JSONL connector round-trip: documents written as JSON-lines and "
+        "read back with the explicit schema must hash identically to the "
+        "parquet source — lossless text ingest (escapes, unicode) proven "
+        "by the oracle, not assumed.",
+)
+def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_flink_processing_spark.sources.formats import (
+        read_jsonl,
+        write_jsonl,
+    )
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "text")
+    work = tempfile.mkdtemp(prefix="kfps_jsonl_")
+    write_jsonl(docs, work)
+    back = read_jsonl(spark, work, docs.schema)
+    return back.select("doc_id", "lang",
+                       F.md5(F.col("text")).alias("text_md5"),
+                       F.length("text").cast("long").alias("n_chars"))
+
+
+@register(
+    "csv_roundtrip",
+    oracle="""
+    SELECT event_id, user_id, event_type, value, md5(props) AS props_md5
+    FROM events
+    """,
+    doc="CSV connector round-trip on events (quoted JSON in the props "
+        "column stresses quoting/escaping): read-back content equals the "
+        "parquet source per the oracle.",
+)
+def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_flink_processing_spark.sources.formats import (
+        read_csv,
+        write_csv,
+    )
+    ev = load_table(spark, "events", sf_dir).select(
+        "event_id", "user_id", "event_type", "value", "props")
+    work = tempfile.mkdtemp(prefix="kfps_csv_")
+    write_csv(ev, work)
+    back = read_csv(spark, work, ev.schema)
+    return back.select("event_id", "user_id", "event_type", "value",
+                       F.md5(F.col("props")).alias("props_md5"))
+
+
+# ---------------------------------------------------------------------------
 # Multimodal columns
 # ---------------------------------------------------------------------------
 
