@@ -388,6 +388,33 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
                    F.count_distinct(F.col("user_id")).alias("exact_users")))
 
 
+@register(
+    "not_in_null_aware",
+    oracle="""
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE c_custkey NOT IN (SELECT o_custkey FROM orders
+                            WHERE o_orderstatus = 'F')
+    """,
+    doc="NOT IN subquery — null-aware anti join semantics (three-valued "
+        "logic: one NULL in the subquery empties the result), planned as "
+        "Spark's NAAJ variant rather than a plain left_anti; complements "
+        "anti_join_customers which uses the null-blind DataFrame "
+        "left_anti.",
+)
+def not_in_null_aware(spark: SparkSession, sf_dir: str) -> DataFrame:
+    customer = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir)
+    customer.createOrReplaceTempView("__niv_customer")
+    orders.createOrReplaceTempView("__niv_orders")
+    return spark.sql("""
+        SELECT c_custkey, c_name, c_acctbal
+        FROM __niv_customer
+        WHERE c_custkey NOT IN (SELECT o_custkey FROM __niv_orders
+                                WHERE o_orderstatus = 'F')
+    """)
+
+
 # --------------------------------------------------------------------------
 # Skew mitigation (operators/skew.py) — salted plans, identical results
 # --------------------------------------------------------------------------
