@@ -548,6 +548,98 @@ def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Dataset assembly: deterministic splits + the composed curation pipeline
+# ---------------------------------------------------------------------------
+
+@register(
+    "train_test_split",
+    oracle=f"""
+    WITH h AS (
+      SELECT doc_id, lang,
+             {_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")} % 100
+               AS bucket
+      FROM documents
+    )
+    SELECT doc_id, lang, bucket,
+           CASE WHEN bucket < 95 THEN 'train'
+                WHEN bucket < 99 THEN 'val'
+                ELSE 'test' END AS split
+    FROM h
+    """,
+    doc="deterministic 95/4/1 train/val/test assignment by salted content-"
+        "id hash — stable across runs, partitions, and cluster sizes "
+        "(rand()-based splits are none of those); the salt prefix "
+        "decorrelates this split from any other hash use of doc_id.",
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (md5_hash60(F.concat(F.lit("split:"),
+                                  F.col("doc_id").cast("string"))) % 100)
+    return (docs.select("doc_id", "lang", bucket.alias("bucket"))
+            .withColumn("split",
+                        F.when(F.col("bucket") < 95, "train")
+                         .when(F.col("bucket") < 99, "val")
+                         .otherwise("test")))
+
+
+_QUALITY_SQL = """
+    (CAST(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
+      * (length(regexp_replace(text, '[^a-z]', '', 'g'))
+         / GREATEST(length(text), 1))
+      * (CASE WHEN CAST(length(text) AS DOUBLE)
+                   / GREATEST(len(string_split(text, ' ')), 1) >= 3.0
+              THEN 1.0
+              ELSE (CAST(length(text) AS DOUBLE)
+                    / GREATEST(len(string_split(text, ' ')), 1)) / 3.0 END)
+"""
+
+
+@register(
+    "curation_pipeline",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, lang, text,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    canon AS (
+      SELECT text_hash, MIN(doc_id) AS canonical_id
+      FROM scored GROUP BY text_hash
+    )
+    SELECT s.doc_id, s.lang, s.n_tokens, s.quality
+    FROM scored s JOIN canon c
+      ON s.text_hash = c.text_hash AND s.doc_id = c.canonical_id
+    WHERE s.n_tokens >= 5 AND s.quality >= 0.3
+    """,
+    doc="the composed training-data curation pipeline in ONE declarative "
+        "plan: token-count floor + quality floor + exact-dedup canonical "
+        "selection (keep min doc_id per normalized-text hash). Catalyst "
+        "fuses the scoring into the scan pass; the only shuffle is the "
+        "dedup groupBy — the shape a 100 TB curation run uses, with "
+        "MinHash clustering (dedup_clusters) as the near-dup upgrade.",
+)
+def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id", "lang", "text",
+        F.md5(normalize_text(t)).alias("text_hash"),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"))
+    canon = (scored.groupBy("text_hash")
+             .agg(F.min("doc_id").alias("canonical_id")))
+    return (scored.join(canon,
+                        (scored.text_hash == canon.text_hash)
+                        & (scored.doc_id == canon.canonical_id))
+            .filter((F.col("n_tokens") >= 5) & (F.col("quality") >= 0.3))
+            .select("doc_id", "lang", "n_tokens", "quality"))
+
+
+# ---------------------------------------------------------------------------
 # Format connectors: JSONL / CSV ingest (sources/formats.py)
 # ---------------------------------------------------------------------------
 

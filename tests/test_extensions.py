@@ -113,6 +113,31 @@ def test_real_decoder_is_explicit_stub():
         decode_image(b"\x89PNG")
 
 
+def test_train_test_split_stable_and_proportional(spark):
+    from kafka_flink_processing_spark.plans.extensions import train_test_split
+    a = {r.doc_id: r.split
+         for r in train_test_split(spark, SF).collect()}
+    b = {r.doc_id: r.split
+         for r in train_test_split(spark, SF).collect()}
+    assert a == b                       # deterministic across runs
+    n = len(a)
+    train = sum(1 for s in a.values() if s == "train")
+    assert 0.88 * n <= train <= 0.99 * n   # ~95% within hash variance
+
+
+def test_curation_pipeline_keeps_only_canonical_quality_docs(spark):
+    from kafka_flink_processing_spark.operators.dedup import exact_dedup
+    from kafka_flink_processing_spark.plans.extensions import curation_pipeline
+    docs = load_table(spark, "documents", SF)
+    kept = curation_pipeline(spark, SF)
+    rows = kept.collect()
+    assert 0 < len(rows) < docs.count()    # filters actually bite
+    assert all(r.n_tokens >= 5 and r.quality >= 0.3 for r in rows)
+    # no two kept docs share a normalized-text hash
+    canon = {r.canonical_id for r in exact_dedup(docs).collect()}
+    assert all(r.doc_id in canon for r in rows)
+
+
 def test_multimodal_resize_shapes(spark):
     from kafka_flink_processing_spark.functions.multimodal import (
         resize_features,
