@@ -30,6 +30,7 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
 
     pairs: columns doc_a, doc_b (undirected edges). nodes: column doc_id.
     """
+    spark = pairs.sparkSession
     edges = (pairs.select(F.col("doc_a").alias("src"),
                           F.col("doc_b").alias("dst"))
              .unionByName(pairs.select(F.col("doc_b").alias("src"),
@@ -37,30 +38,47 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # membership in few/small clusters => the label frontier stays tiny;
     # cache edges once, iterate on the label table only
     edges = edges.cache()
-    labels = nodes.select(F.col("doc_id"),
-                          F.col("doc_id").alias("canonical_id"))
+    n_edges = edges.count()
 
-    for _ in range(max_iter):
-        neighbor_min = (edges.join(labels,
-                                   edges.dst == labels.doc_id)
-                        .groupBy("src")
-                        .agg(F.min("canonical_id").alias("nbr_min")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.doc_id == neighbor_min.src, "left")
-                      .select("doc_id",
-                              F.least("canonical_id",
-                                      F.coalesce("nbr_min", "canonical_id"))
-                               .alias("canonical_id")))
-        new_labels = new_labels.cache()
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), "doc_id")
-                   .filter(F.col("n.canonical_id") != F.col("o.canonical_id"))
-                   .limit(1).count())
-        old = labels
-        labels = new_labels
-        if hasattr(old, "unpersist") and old is not nodes:
-            old.unpersist()
-        if changed == 0:
-            break
+    # Size the iteration's shuffle width to the EDGE volume (as a Pregel
+    # runtime would), not the session default: a 32-way shuffle over a few
+    # hundred edges is pure task overhead per round, while at billions of
+    # edges the width grows back to the session setting. ~1M edge rows per
+    # reduce task keeps partitions executor-sized either way.
+    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
+    loop_parts = max(1, min(int(default_parts), 1 + n_edges // 1_000_000))
+    old_total = None
+    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
+    try:
+        labels = nodes.select(F.col("doc_id"),
+                              F.col("doc_id").alias("canonical_id"))
+        for _ in range(max_iter):
+            neighbor_min = (edges.join(labels,
+                                       edges.dst == labels.doc_id)
+                            .groupBy("src")
+                            .agg(F.min("canonical_id").alias("nbr_min")))
+            new_labels = (labels.join(neighbor_min,
+                                      labels.doc_id == neighbor_min.src,
+                                      "left")
+                          .select("doc_id",
+                                  F.least("canonical_id",
+                                          F.coalesce("nbr_min",
+                                                     "canonical_id"))
+                                   .alias("canonical_id")))
+            new_labels = new_labels.cache()
+            # labels only ever DECREASE, so the label sum is strictly
+            # monotone — equality means a fixpoint. One cheap aggregate
+            # materializes the cache and tests convergence in a single
+            # action (no compare-join).
+            total = new_labels.agg(F.sum("canonical_id")).collect()[0][0]
+            old = labels
+            labels = new_labels
+            if hasattr(old, "unpersist"):
+                old.unpersist()
+            if total == old_total:
+                break
+            old_total = total
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
     edges.unpersist()
     return labels

@@ -332,6 +332,7 @@ _MINHASH_PAIRS_CTES = f"""
         "Canonical doc = min id per component; singletons map to "
         "themselves. Oracle = recursive-CTE transitive closure over the "
         "identical pair set.",
+    bench=True,
 )
 def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.cluster import (
@@ -520,6 +521,7 @@ from kafka_flink_processing_spark.operators.similarity import IVF_K, IVF_NPROBE 
         "standing in for offline k-means), shuffle-free cell assignment, "
         "probe-join + exact re-rank. Complements LSH: cost ~ nprobe/K of "
         "brute force, recall asserted vs brute force in tests.",
+    bench=True,
 )
 def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import ivf_cosine_topk
@@ -621,6 +623,7 @@ _QUALITY_SQL = """
         "fuses the scoring into the scan pass; the only shuffle is the "
         "dedup groupBy — the shape a 100 TB curation run uses, with "
         "MinHash clustering (dedup_clusters) as the near-dup upgrade.",
+    bench=True,
 )
 def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)

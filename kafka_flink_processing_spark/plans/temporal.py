@@ -187,6 +187,7 @@ _SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
         "of F.session_window, two codegen'd window passes over ONE shuffle "
         "on user_id (microsecond-integer gap arithmetic, cross-engine "
         "exact).",
+    bench=True,
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)

@@ -26,6 +26,17 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # (verified: floor, not round).
 _NANOS_TS_COLS = {"events": ("ts",)}
 
+# Compute-dense tables: tiny on disk (snappy text / packed vectors compress
+# a compute-heavy payload into one scan split) but each ROW costs real CPU
+# downstream (regex scoring, shingle UDFs, dot products). A sub-MB file
+# means a 1-task scan, serializing those stages on one core; fan the rows
+# out once at load so per-row compute uses the whole machine. The shuffle
+# moves <1 MB — noise. On a real cluster these corpora arrive as thousands
+# of files and the repartition coalesces/spreads equally harmlessly;
+# results are unaffected because every engine query is partition-count-
+# independent by design (functions/exact.py, COVERAGE.md).
+_COMPUTE_DENSE_TABLES = {"documents", "embeddings"}
+
 
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
@@ -36,6 +47,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # integral `div` keeps full 64-bit precision (a float `/` would
             # round 1.7e18-scale nanos); values are post-epoch so div==floor
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    if name in _COMPUTE_DENSE_TABLES:
+        df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
 
 
