@@ -71,14 +71,19 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
             # materializes the cache and tests convergence in a single
             # action (no compare-join).
             total = new_labels.agg(F.sum("canonical_id")).collect()[0][0]
-            old = labels
             labels = new_labels
-            if hasattr(old, "unpersist"):
-                old.unpersist()
             if total == old_total:
                 break
             old_total = total
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", default_parts)
-    edges.unpersist()
+    # Deliberately unpersist NOTHING here. uncacheQuery (even non-cascading)
+    # clears the materialized buffers of every cached plan built on top of
+    # the dropped one, so unpersisting a superseded round — or `edges` before
+    # the caller consumes the result — silently turns the returned DataFrame
+    # back into its full lineage (re-mines the pair graph on next action;
+    # measured 9s vs 4s at sf0.1). The retained footprint is the edge list
+    # plus one slim (id, label) row per node per round, spillable
+    # (MEMORY_AND_DISK) and session-scoped; a production run persists the
+    # final label table to storage and then frees the session caches.
     return labels

@@ -158,6 +158,28 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return sig.join(ds, "doc_id")
 
 
+# Signature memo, same rationale and keying as the shingle memo above: the
+# MinHash signature table is the second expensive dedup artifact (a 16-way
+# min-agg over the exploded shingle index), and both the pair query and the
+# clustering query start from it. Keyed by the immutable input plan, so it
+# cannot go stale.
+_SIG_CACHE: dict[tuple, DataFrame] = {}
+
+
+def _cached_signatures(docs: DataFrame, n: int, id_col: str,
+                       text_col: str) -> DataFrame:
+    try:
+        key = (docs.sparkSession, docs.semanticHash(), id_col, text_col, n)
+    except Exception:
+        key = None
+    if key is not None and key in _SIG_CACHE:
+        return _SIG_CACHE[key]
+    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    if key is not None:
+        _SIG_CACHE[key] = sig
+    return sig
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -167,7 +189,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     verification uses array_intersect on the (distinct) shingle sets, which
     only runs on same-band pairs.
     """
-    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    sig = _cached_signatures(docs, n, id_col, text_col)
     # (no eager prime here: materializing the cached shingle arrays costs
     # more than the branch recompute it saves — measured 8.7s vs 2.0s)
     bands = sig.select(
