@@ -585,6 +585,31 @@ def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
                          .otherwise("test")))
 
 
+@register(
+    "stratified_sample",
+    oracle=f"""
+    SELECT doc_id, lang, source
+    FROM documents
+    WHERE {_H60.format(x="'samp:' || CAST(doc_id AS VARCHAR)")} % 10000
+          < CASE WHEN lang = 'en' THEN 2500 ELSE 10000 END
+    """,
+    doc="deterministic stratified downsampling: keep 25% of the dominant "
+        "class (en, ~45% of the corpus) and 100% of the rest, by salted "
+        "content-id hash threshold — the language-rebalancing step of a "
+        "training-data mix. Pure scan-side filter (no shuffle, no rand(): "
+        "reproducible on any cluster size / partition count / retry, and "
+        "the salt decorrelates it from the train/val/test split hash).",
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    rate_bp = F.when(F.col("lang") == "en", F.lit(2500)).otherwise(F.lit(10000))
+    keep = (md5_hash60(F.concat(F.lit("samp:"),
+                                F.col("doc_id").cast("string"))) % 10000
+            < rate_bp)
+    return docs.filter(keep).select("doc_id", "lang", "source")
+
+
 _QUALITY_SQL = """
     (CAST(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
       * (length(regexp_replace(text, '[^a-z]', '', 'g'))
