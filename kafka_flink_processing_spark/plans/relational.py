@@ -389,6 +389,31 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "approx_quantiles_value",
+    oracle=None,   # t-digest-style percentile_approx values are engine-
+                   # specific; closeness to the exact rank-based quantiles
+                   # is asserted in tests/test_relational_extra.py
+    doc="approx percentiles (p50/p95/p99 of value per event_type) via "
+        "percentile_approx next to the exact percentiles — the sketch that "
+        "replaces a full per-group sort at 100 TB (bounded-memory digests, "
+        "merged map-side; exact percentile_disc needs the whole group "
+        "materialized). rows-only driver check; accuracy is test-asserted.",
+)
+def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
+    return (ev.groupBy("event_type")
+              .agg(F.percentile_approx("value", pcts, 10000)
+                    .alias("approx_pcts"),
+                   F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
+                    .alias("exact_p50"),
+                   F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")
+                    .alias("exact_p95"),
+                   F.expr("percentile_disc(0.99) WITHIN GROUP (ORDER BY value)")
+                    .alias("exact_p99")))
+
+
+@register(
     "not_in_null_aware",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal
@@ -679,3 +704,47 @@ def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce(F.nullif(et, F.lit("error")), F.lit("n/a")).alias("etype_clean"),
         (F.col("event_id") % 7).alias("bucket"),
     )
+
+
+# --------------------------------------------------------------------------
+# SQL entry point: one ANSI SQL text planned by Catalyst AND by DuckDB
+# --------------------------------------------------------------------------
+
+# TPC-H Q3 shape (shipping-priority revenue). The reference delegates every
+# ad-hoc read to Postgres's planner (README.md:83-101, SURVEY.md §3.3); this
+# engine's equivalent entry point is spark.sql over registered views — parse
+# -> analyze -> Catalyst -> Tungsten. The SAME text is the oracle, so the
+# query must be engine-portable AND exact: scaled-int revenue sum, explicit
+# l_orderkey tie-break under the LIMIT.
+_Q3_SQL = """
+SELECT l_orderkey,
+       CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 10000)
+                     AS BIGINT)) AS DOUBLE) / 10000.0 AS revenue,
+       o_orderdate, o_orderpriority
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_orderkey, o_orderdate, o_orderpriority
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+"""
+
+
+@register(
+    "sql_q3_shipping_priority",
+    oracle=_Q3_SQL,
+    doc="the engine's textual-SQL entry point: TPC-H Q3 (shipping-priority "
+        "revenue) submitted as ONE ANSI string to spark.sql over registered "
+        "views — the planner surface the reference never had (it delegated "
+        "reads to Postgres, SURVEY.md §3.3). The oracle is the identical "
+        "text run by DuckDB, so this also pins SQL-dialect portability. "
+        "Catalyst plans it: filters push into all three scans, customer "
+        "broadcasts, TakeOrderedAndProject caps the sort at k=10.",
+)
+def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.sources.parquet import register_views
+    register_views(spark, sf_dir)
+    return spark.sql(_Q3_SQL)

@@ -39,3 +39,20 @@ def test_correlated_threshold_is_strictly_below_half_avg(spark):
     # pandas mean vs exact davg can flip rows sitting exactly on the
     # threshold; quantities are integers so ties are measure-zero here
     assert out == expect
+
+
+def test_approx_quantiles_close_to_exact(spark):
+    """percentile_approx at accuracy=10000 should land within a tight
+    quantile-rank band of the exact percentile_disc values; compare by
+    VALUE with a tolerance derived from the data spread."""
+    from kafka_flink_processing_spark.plans.relational import (
+        approx_quantiles_value,
+    )
+    rows = approx_quantiles_value(spark, SF).collect()
+    assert rows
+    for r in rows:
+        exact = [r.exact_p50, r.exact_p95, r.exact_p99]
+        spread = max(exact) - min(exact) or 1.0
+        for approx, ex in zip(r.approx_pcts, exact):
+            # value-space tolerance: 5% of the p50..p99 spread per group
+            assert abs(approx - ex) <= 0.05 * spread, (r.event_type, approx, ex)
