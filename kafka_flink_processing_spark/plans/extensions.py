@@ -803,3 +803,90 @@ def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = with_payload(load_table(spark, "documents", sf_dir))
     return sample_frames(docs)
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary building + incremental dedup (production pipeline shapes)
+# ---------------------------------------------------------------------------
+
+@register(
+    "vocab_top_tokens",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+               AS token
+      FROM documents
+    )
+    SELECT token, COUNT(*) AS freq,
+           COUNT(DISTINCT doc_id) AS doc_freq
+    FROM tok GROUP BY token
+    ORDER BY freq DESC, token
+    LIMIT 100
+    """,
+    doc="top-100 token vocabulary with corpus + document frequency over the "
+        "BPE-ish token regex (functions/text.py) — the tokenizer-vocab / "
+        "stopword-mining pass of a training-data pipeline. explode -> "
+        "count: partial aggregation collapses the token stream map-side, "
+        "so the shuffle carries one row per (partition, distinct token), "
+        "not per token occurrence; top-k is TakeOrderedAndProject with a "
+        "deterministic token tie-break, never a global sort.",
+)
+def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit(TOKEN_REGEX), F.lit(0)))
+         .alias("token"))
+    return (tok.groupBy("token")
+            .agg(F.count("*").alias("freq"),
+                 F.count_distinct("doc_id").alias("doc_freq"))
+            .orderBy(F.desc("freq"), "token")
+            .limit(100))
+
+
+@register(
+    "dedup_incremental",
+    oracle="""
+    WITH corpus AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS text_hash
+      FROM documents WHERE doc_id % 10 <> 0
+    ), batch AS (
+      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS text_hash
+      FROM documents WHERE doc_id % 10 = 0
+    )
+    SELECT b.doc_id,
+           CASE WHEN c.doc_id IS NOT NULL THEN 1 ELSE 0 END AS is_dup,
+           MIN(c.doc_id) AS dup_of
+    FROM batch b LEFT JOIN (SELECT text_hash, MIN(doc_id) AS doc_id
+                            FROM corpus GROUP BY text_hash) c
+      ON b.text_hash = c.text_hash
+    GROUP BY b.doc_id, 2
+    """,
+    doc="incremental dedup: screen an arriving batch (doc_id % 10 = 0 "
+        "stands in for today's crawl) against the standing corpus by "
+        "normalized-text hash — the daily-increment shape of a 100 TB "
+        "pipeline, where re-clustering the whole corpus per day is "
+        "unaffordable. The corpus side pre-aggregates to one canonical row "
+        "per hash before the join (shuffle carries hashes, never text); in "
+        "production that aggregate IS the persisted dedup index, and the "
+        "join is a hash-bucketed lookup the size of the batch.",
+)
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import normalize_text
+
+    docs = load_table(spark, "documents", sf_dir)
+    hashed = docs.select(
+        "doc_id", F.md5(normalize_text(F.col("text"))).alias("text_hash"))
+    corpus = (hashed.filter(F.col("doc_id") % 10 != 0)
+              .groupBy("text_hash")
+              .agg(F.min("doc_id").alias("corpus_id")))
+    batch = hashed.filter(F.col("doc_id") % 10 == 0)
+    return (batch.join(corpus, "text_hash", "left")
+            .groupBy("doc_id",
+                     F.when(F.col("corpus_id").isNotNull(), 1).otherwise(0)
+                      .alias("is_dup"))
+            .agg(F.min("corpus_id").alias("dup_of"))
+            .select("doc_id", "is_dup", "dup_of"))
