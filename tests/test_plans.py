@@ -98,3 +98,38 @@ def test_hot_path_stays_in_codegen(spark, name):
     assert "*(" in plan          # "*(N) Op" prefix = inside a codegen span
     assert "BatchEvalPython" not in plan
     assert "ArrowEvalPython" not in plan
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark):
+    # the bucketing rewrite must give Catalyst an equi-join: a raw BETWEEN
+    # range predicate plans as BroadcastNestedLoopJoin, which is quadratic
+    # per key and dead at scale
+    plan = plan_of(spark, "range_join_attribution")
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "HashJoin" in plan
+    # the exact range re-check rides the hash join as a residual condition
+    assert "__r_us" in plan and "__l_us" in plan
+
+
+def test_sql_entry_point_plans_like_dataframes(spark):
+    # the textual-SQL surface must get the same physical treatment: filter
+    # pushdown into all scans, broadcast dim, top-k without a global sort
+    plan = plan_of(spark, "sql_q3_shipping_priority")
+    assert "TakeOrderedAndProject" in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan       # pushed to scan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_vocab_topk_partial_aggregates_before_shuffle(spark):
+    plan = plan_of(spark, "vocab_top_tokens")
+    assert "partial_count" in plan                        # map-side combine
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_rollup_multigrain_is_one_shuffle(spark):
+    plan = plan_of(spark, "time_rollup_multigrain")
+    assert plan.count("Exchange hashpartitioning") == 1   # expand, then ONE shuffle
+    assert "Expand" in plan
