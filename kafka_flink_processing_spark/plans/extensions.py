@@ -890,3 +890,38 @@ def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
                       .alias("is_dup"))
             .agg(F.min("corpus_id").alias("dup_of"))
             .select("doc_id", "is_dup", "dup_of"))
+
+
+@register(
+    "per_source_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, lang,
+             ROW_NUMBER() OVER (
+               PARTITION BY source
+               ORDER BY {_H60.format(x="'cap:' || CAST(doc_id AS VARCHAR)")},
+                        doc_id
+             ) AS rn
+      FROM documents
+    )
+    SELECT doc_id, source, lang FROM ranked WHERE rn <= 20
+    """,
+    doc="per-source document cap (keep <=20 docs per source): the "
+        "anti-crawl-domination step of a corpus mix, selecting a "
+        "deterministic pseudo-random subset per source by ordering on a "
+        "salted hash (stable across runs/partitions, unbiased w.r.t. "
+        "content, unlike 'first 20 by id'). Plans as WindowGroupLimit — "
+        "each partition keeps its local top-20 per source BEFORE the "
+        "shuffle, so the exchange carries O(sources x 20) rows, not the "
+        "corpus.",
+)
+def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    h = md5_hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string")))
+    rn = F.row_number().over(
+        Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
+    return (docs.withColumn("rn", rn).filter(F.col("rn") <= 20)
+            .select("doc_id", "source", "lang"))
