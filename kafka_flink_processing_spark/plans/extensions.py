@@ -925,3 +925,58 @@ def per_source_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("source").orderBy(h.asc(), F.col("doc_id").asc()))
     return (docs.withColumn("rn", rn).filter(F.col("rn") <= 20)
             .select("doc_id", "source", "lang"))
+
+
+@register(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+               AS token
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, token, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+    ), df AS (
+      SELECT token, COUNT(*) AS doc_freq FROM tf GROUP BY 1
+    ), scored AS (
+      SELECT tf.doc_id, tf.token, tf.tf, df.doc_freq,
+             CAST(tf.tf * (SELECT COUNT(*) FROM documents) AS DOUBLE)
+               / df.doc_freq AS score
+      FROM tf JOIN df USING (token)
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id
+                                   ORDER BY score DESC, token) AS rn
+      FROM scored
+    )
+    SELECT doc_id, token, tf, doc_freq, score FROM ranked WHERE rn <= 5
+    """,
+    doc="top-5 characteristic terms per document by tf-idf — the keyword/"
+        "topic-signal pass of a corpus analysis. idf is the RAW ratio "
+        "N/doc_freq rather than its log: rank-equivalent per document "
+        "(log is monotone) and cross-engine exact (one integer-derived "
+        "division; no transcendentals, which differ by ulps between libm "
+        "and the JVM). Shape at scale: tf/df aggregations with map-side "
+        "partials, doc_freq broadcast back onto tf (vocabulary << corpus), "
+        "WindowGroupLimit for the per-doc top-5.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id",
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit(TOKEN_REGEX), F.lit(0)))
+         .alias("token"))
+    tf = tok.groupBy("doc_id", "token").agg(F.count("*").alias("tf"))
+    df_ = tf.groupBy("token").agg(F.count("*").alias("doc_freq"))
+    n_docs = docs.select(F.count("*").alias("n_docs"))
+    scored = (tf.join(F.broadcast(df_), "token")
+                .join(F.broadcast(n_docs))
+                .withColumn("score",
+                            (F.col("tf") * F.col("n_docs")).cast("double")
+                            / F.col("doc_freq")))
+    rn = F.row_number().over(
+        Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token")))
+    return (scored.withColumn("rn", rn).filter(F.col("rn") <= 5)
+            .select("doc_id", "token", "tf", "doc_freq", "score"))
