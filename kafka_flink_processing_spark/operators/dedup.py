@@ -180,6 +180,20 @@ def _cached_signatures(docs: DataFrame, n: int, id_col: str,
     return sig
 
 
+def _lsh_bands(sig: DataFrame) -> DataFrame:
+    """Explode a signature table into (doc_id, band, key) LSH bucket rows
+    (bands of 2 minhashes). In a production pipeline this table, built over
+    the standing corpus, IS the persisted near-dup index."""
+    bands = sig.select(
+        "doc_id",
+        F.explode(F.array(*[
+            F.struct(F.lit(k).alias("band"),
+                     F.concat_ws("_", F.col(f"mh{2*k}"), F.col(f"mh{2*k+1}"))
+                      .alias("key"))
+            for k in range(N_BANDS)])).alias("bk"))
+    return bands.select("doc_id", "bk.band", "bk.key")
+
+
 def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -192,14 +206,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     sig = _cached_signatures(docs, n, id_col, text_col)
     # (no eager prime here: materializing the cached shingle arrays costs
     # more than the branch recompute it saves — measured 8.7s vs 2.0s)
-    bands = sig.select(
-        "doc_id",
-        F.explode(F.array(*[
-            F.struct(F.lit(k).alias("band"),
-                     F.concat_ws("_", F.col(f"mh{2*k}"), F.col(f"mh{2*k+1}"))
-                      .alias("key"))
-            for k in range(N_BANDS)])).alias("bk"))
-    bands = bands.select("doc_id", "bk.band", "bk.key")
+    bands = _lsh_bands(sig)
     a, b = bands.alias("a"), bands.alias("b")
     cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
                    & (F.col("a.key") == F.col("b.key"))
@@ -266,3 +273,36 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
                      F.col("b.doc_id").alias("doc_b"),
                      ham.alias("hamming"))
              .distinct())
+
+
+def incremental_minhash_dups(docs: DataFrame, batch_cond,
+                             n: int = 3, threshold: float = 0.6,
+                             id_col: str = "doc_id",
+                             text_col: str = "text") -> DataFrame:
+    """Near-dup screen of an arriving batch against the standing corpus:
+    (doc_id [batch], dup_of [corpus], jaccard) for every cross pair with
+    Jaccard >= threshold.
+
+    batch_cond is a boolean Column splitting docs into batch (true) and
+    corpus (false). Only batch bands probe corpus bands — candidate volume
+    is O(batch x dup rate), never corpus x corpus; at 100 TB the corpus
+    band table is the persisted LSH index and this is a bucketed lookup
+    join the size of the day's increment.
+    """
+    sig = _cached_signatures(docs, n, id_col, text_col)
+    batch_bands = _lsh_bands(sig.filter(batch_cond))
+    corpus_bands = _lsh_bands(sig.filter(~batch_cond))
+    b, c = batch_bands.alias("b"), corpus_bands.alias("c")
+    cand = (b.join(c, (F.col("b.band") == F.col("c.band"))
+                   & (F.col("b.key") == F.col("c.key")))
+             .select(F.col("b.doc_id").alias("doc_id"),
+                     F.col("c.doc_id").alias("dup_of"))
+             .distinct())
+    sh_b = sig.select(F.col("doc_id"), F.col("sh").alias("sh_b"))
+    sh_c = sig.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_c"))
+    joined = cand.join(sh_b, "doc_id").join(sh_c, "dup_of")
+    inter = F.size(F.array_intersect("sh_b", "sh_c"))
+    jac = inter / (F.size("sh_b") + F.size("sh_c") - inter)
+    return (joined.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select("doc_id", "dup_of", "jaccard"))

@@ -980,3 +980,41 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         Window.partitionBy("doc_id").orderBy(F.desc("score"), F.col("token")))
     return (scored.withColumn("rn", rn).filter(F.col("rn") <= 5)
             .select("doc_id", "token", "tf", "doc_freq", "score"))
+
+
+@register(
+    "dedup_incremental_minhash",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    cand AS (SELECT DISTINCT b.doc_id AS doc_id, c.doc_id AS dup_of
+             FROM bands b JOIN bands c
+               ON b.band = c.band AND b.key = c.key
+              AND b.doc_id % 10 = 0 AND c.doc_id % 10 <> 0)
+    SELECT cand.doc_id AS doc_id, cand.dup_of AS dup_of,
+           len(list_intersect(sb.sh, sc.sh))
+             / (len(sb.sh) + len(sc.sh) - len(list_intersect(sb.sh, sc.sh)))
+             AS jaccard
+    FROM cand JOIN ds sb ON cand.doc_id = sb.doc_id
+              JOIN ds sc ON cand.dup_of = sc.doc_id
+    WHERE len(list_intersect(sb.sh, sc.sh))
+            / (len(sb.sh) + len(sc.sh) - len(list_intersect(sb.sh, sc.sh)))
+          >= 0.6
+    """,
+    doc="NEAR-dup incremental screen: the arriving batch (doc_id % 10 = 0) "
+        "probes the standing corpus's LSH band index; only cross "
+        "batch-corpus candidates are Jaccard-verified. Candidate volume is "
+        "O(batch x dup rate) — the corpus never self-joins — which is what "
+        "makes daily near-dup screening affordable at 100 TB (the corpus "
+        "band table is the persisted index, maintained by appending each "
+        "day's batch bands). Complements dedup_incremental (exact-hash "
+        "screen) and dedup_clusters (full-corpus clustering).",
+)
+def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        incremental_minhash_dups,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    return incremental_minhash_dups(docs, F.col("doc_id") % 10 == 0,
+                                    n=3, threshold=0.6)
