@@ -12,6 +12,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
 from kafka_flink_processing_spark.operators.pnl import pnl_positions, price_exposure
 from kafka_flink_processing_spark.operators.windows import (
     last_value_carried_forward,
@@ -378,3 +379,63 @@ def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     run_available_now(fc, name, f"{work}/ckpt")
     return spark.table(name).select("ts", "hub", "price_mwh",
                                     "sma5", "sma20", "forecast_next")
+
+
+# --- winsorized statistics: rank-based exact percentile bounds + clipping
+@register(
+    "winsorized_stats",
+    oracle=f"""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    ), bounds AS (
+      SELECT event_type,
+             MIN(CASE WHEN rn = CAST(CEIL(0.05 * n) AS BIGINT)
+                      THEN value END) AS p05,
+             MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                      THEN value END) AS p95,
+             CAST(MAX(n) AS BIGINT) AS n_rows
+      FROM r GROUP BY event_type
+    )
+    SELECT e.event_type, b.p05, b.p95, b.n_rows,
+           {dsum_sql('LEAST(GREATEST(e.value, b.p05), b.p95)')}
+             AS winsorized_sum,
+           SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS n_clipped_low,
+           SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS n_clipped_high
+    FROM events e JOIN bounds b USING (event_type)
+    GROUP BY 1, 2, 3, 4
+    """,
+    doc="winsorized (outlier-clipped) statistics per event_type: exact "
+        "rank-based p05/p95 bounds (percentile_disc semantics — the value "
+        "at rank ceil(p*n), deterministic and engine-portable where "
+        "interpolating quantiles are not), then every value clipped into "
+        "[p05, p95] and exact-summed — the outlier-robust aggregation step "
+        "of metric cleaning. One window shuffle derives the bounds; the "
+        "groups-sized bounds table broadcasts back onto the fact scan.",
+)
+def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (ev.select("event_type", "value", "event_id")
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wn)))
+    bounds = (ranked.groupBy("event_type")
+              .agg(F.min(F.when(F.col("rn")
+                                == F.ceil(F.lit(0.05) * F.col("n")),
+                                F.col("value"))).alias("p05"),
+                   F.min(F.when(F.col("rn")
+                                == F.ceil(F.lit(0.95) * F.col("n")),
+                                F.col("value"))).alias("p95"),
+                   F.max("n").cast("long").alias("n_rows")))
+    clipped = ev.join(F.broadcast(bounds), "event_type")
+    win_val = F.least(F.greatest(F.col("value"), F.col("p05")), F.col("p95"))
+    return (clipped.groupBy("event_type", "p05", "p95", "n_rows")
+            .agg(dsum(win_val).alias("winsorized_sum"),
+                 F.sum(F.when(F.col("value") < F.col("p05"), 1).otherwise(0))
+                  .alias("n_clipped_low"),
+                 F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
+                  .alias("n_clipped_high")))
