@@ -306,3 +306,33 @@ def incremental_minhash_dups(docs: DataFrame, batch_cond,
     return (joined.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select("doc_id", "dup_of", "jaccard"))
+
+
+def contamination_screen(docs: DataFrame, eval_cond, n: int = 4,
+                         id_col: str = "doc_id",
+                         text_col: str = "text") -> DataFrame:
+    """Benchmark-decontamination screen: for every training doc, count the
+    distinct word n-grams it shares with ANY doc in the held-out eval set
+    (eval_cond true => eval member). Returns only contaminated docs:
+    (doc_id, n_shared_grams, n_grams, contamination_ratio).
+
+    Scale shape: the eval side (benchmarks) is tiny relative to a 100 TB
+    corpus, so its distinct-gram set broadcasts — the corpus n-grams are
+    screened map-side with no shuffle of the training data; the only
+    exchange is the per-doc hit count on doc_id. Shares the cached shingle
+    index with the dedup families (same (plan, n) memo)."""
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+    eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
+    tagged = ex.join(eval_ids, "doc_id")
+    ev_grams = tagged.filter(F.col("ev")).select("sh").distinct()
+    hits = (tagged.filter(~F.col("ev"))
+            .join(F.broadcast(ev_grams), "sh")
+            .groupBy("doc_id")
+            .agg(F.count("*").alias("n_shared_grams")))
+    sizes = (ds.join(eval_ids, "doc_id").filter(~F.col("ev"))
+             .select("doc_id", F.size("sh").cast("long").alias("n_grams")))
+    return (hits.join(sizes, "doc_id")
+            .select("doc_id", "n_shared_grams", "n_grams",
+                    (F.col("n_shared_grams").cast("double")
+                     / F.col("n_grams")).alias("contamination_ratio")))

@@ -1018,3 +1018,128 @@ def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return incremental_minhash_dups(docs, F.col("doc_id") % 10 == 0,
                                     n=3, threshold=0.6)
+
+
+_SHINGLES4 = f"""
+  WITH t AS ({_WORDS}),
+  ds AS (SELECT doc_id,
+           CASE WHEN len(words) < 4 THEN []
+                ELSE list_distinct([words[i] || ' ' || words[i+1] || ' ' ||
+                                    words[i+2] || ' ' || words[i+3]
+                                    for i in range(1, len(words)-2)])
+           END AS sh
+         FROM t)
+"""
+
+
+@register(
+    "decontaminate_ngram",
+    oracle=f"""
+    {_SHINGLES4},
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    ev AS (SELECT DISTINCT sh FROM ex WHERE doc_id % 13 = 0),
+    hits AS (SELECT doc_id, COUNT(*) AS n_shared_grams
+             FROM ex JOIN ev USING (sh)
+             WHERE doc_id % 13 <> 0 GROUP BY 1)
+    SELECT h.doc_id, h.n_shared_grams,
+           CAST(len(d.sh) AS BIGINT) AS n_grams,
+           CAST(h.n_shared_grams AS DOUBLE) / len(d.sh)
+             AS contamination_ratio
+    FROM hits h JOIN ds d ON h.doc_id = d.doc_id
+    """,
+    doc="benchmark-decontamination screen: training docs (doc_id % 13 <> 0) "
+        "that share any distinct word 4-gram with the held-out eval slice "
+        "(doc_id % 13 = 0), with shared-gram counts and contamination "
+        "ratio. The eval gram set is tiny vs the corpus, so it broadcasts "
+        "— training data is screened map-side, the only shuffle is the "
+        "per-doc hit count. Shares the cached shingle index with the "
+        "dedup families.",
+)
+def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_screen(docs, F.col("doc_id") % 13 == 0, n=4)
+
+
+@register(
+    "repetition_stats",
+    oracle=f"""
+    WITH t AS ({_WORDS}),
+    ex AS (SELECT doc_id, unnest(words) AS tok FROM t),
+    pt AS (SELECT doc_id, tok, COUNT(*) AS c FROM ex GROUP BY 1, 2),
+    s AS (SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens,
+                 COUNT(*) AS n_distinct, MAX(c) AS top_count
+          FROM pt GROUP BY 1),
+    g2 AS (SELECT doc_id,
+             CASE WHEN len(words) < 2 THEN 0
+                  ELSE len(list_distinct([words[i] || ' ' || words[i+1]
+                                          for i in range(1, len(words))]))
+             END AS n_bigrams
+           FROM t)
+    SELECT s.doc_id, s.n_tokens,
+           CAST(s.n_distinct AS DOUBLE) / s.n_tokens AS distinct_frac,
+           CAST(s.top_count AS DOUBLE) / s.n_tokens AS top_token_frac,
+           CASE WHEN s.n_tokens < 2 THEN 0.0
+                ELSE 1.0 - CAST(g2.n_bigrams AS DOUBLE) / (s.n_tokens - 1)
+           END AS dup_bigram_frac,
+           (CAST(s.n_distinct AS DOUBLE) / s.n_tokens >= 0.35
+            AND CAST(s.top_count AS DOUBLE) / s.n_tokens <= 0.125
+            AND (CASE WHEN s.n_tokens < 2 THEN 0.0
+                      ELSE 1.0 - CAST(g2.n_bigrams AS DOUBLE)
+                           / (s.n_tokens - 1) END) <= 0.06)
+             AS passes_repetition_filter
+    FROM s JOIN g2 ON s.doc_id = g2.doc_id
+    """,
+    doc="Gopher-style repetition/quality metrics per doc: distinct-token "
+        "fraction, most-common-token fraction, duplicate-bigram fraction, "
+        "and the pass/fail filter flag (thresholds 0.35/0.125/0.06 chosen "
+        "to split this corpus). One explode + two doc_id-local aggregates; "
+        "the bigram side reuses the cached shingle index. All fractions "
+        "are exact integer ratios so the oracle matches bit-for-bit.",
+)
+def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import _doc_shingles
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    pt = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
+    s = pt.groupBy("doc_id").agg(
+        F.sum("c").cast("long").alias("n_tokens"),
+        F.count("*").alias("n_distinct"),
+        F.max("c").alias("top_count"))
+    g2 = _doc_shingles(docs, "doc_id", "text", 2) \
+        .select("doc_id", F.size("sh").alias("n_bigrams"))
+    j = s.join(g2, "doc_id")
+    distinct_frac = F.col("n_distinct").cast("double") / F.col("n_tokens")
+    top_frac = F.col("top_count").cast("double") / F.col("n_tokens")
+    dup_big = F.when(F.col("n_tokens") < 2, F.lit(0.0)).otherwise(
+        F.lit(1.0) - F.col("n_bigrams").cast("double")
+        / (F.col("n_tokens") - 1))
+    return j.select(
+        "doc_id", "n_tokens",
+        distinct_frac.alias("distinct_frac"),
+        top_frac.alias("top_token_frac"),
+        dup_big.alias("dup_bigram_frac"),
+        ((distinct_frac >= 0.35) & (top_frac <= 0.125) & (dup_big <= 0.06))
+        .alias("passes_repetition_filter"))
+
+
+@register(
+    "kmeans_embeddings",
+    oracle=None,  # iterative float algorithm — rows-only; numpy-parity
+    # test in tests/test_extensions.py is the strong check
+    doc="k-means codebook training over the embedding corpus (8 cells, 5 "
+        "Lloyd iterations, deterministic lowest-id init): per-cluster "
+        "(cell, n_points, inertia, centroid_norm). Per iteration the "
+        "driver-resident k x d centroid matrix ships into an Arrow-batched "
+        "assignment UDF (numpy argmin over the batch) and the update is "
+        "one map-side-combined k-row aggregate — vectors are never "
+        "shuffled, so iteration cost is a scan, regardless of cluster "
+        "size. This is the offline trainer for similarity_ivf_topk's "
+        "coarse quantizer.",
+)
+def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.kmeans import kmeans_summary
+    emb = load_table(spark, "embeddings", sf_dir)
+    return kmeans_summary(emb, k=8, iters=5)

@@ -748,3 +748,35 @@ def sql_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.sources.parquet import register_views
     register_views(spark, sf_dir)
     return spark.sql(_Q3_SQL)
+
+
+@register(
+    "custdist_q13",
+    oracle="""
+    WITH c_orders AS (
+      SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey
+       AND o_orderpriority <> '4-NOT SPECIFIED'
+      GROUP BY c_custkey
+    )
+    SELECT c_count, COUNT(*) AS custdist
+    FROM c_orders GROUP BY c_count
+    """,
+    doc="TPC-H Q13-shaped customer-order-count distribution: LEFT OUTER "
+        "join with the predicate INSIDE the join condition (zero-order "
+        "customers must survive), COUNT of the nullable key, then a "
+        "second tiny aggregate over the counts. Exercises outer-join "
+        "null semantics plus two-level aggregation; the second groupBy "
+        "is ~dozens of rows so its exchange is negligible.",
+)
+def custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir)
+    orders = load_table(spark, "orders", sf_dir) \
+        .filter(F.col("o_orderpriority") != "4-NOT SPECIFIED")
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey,
+                      "left_outer")
+            .groupBy("c_custkey")
+            .agg(F.count("o_orderkey").alias("c_count"))
+            .groupBy("c_count")
+            .agg(F.count("*").alias("custdist")))

@@ -176,3 +176,65 @@ def test_multimodal_frame_sample_fanout(spark):
         for f in frames:
             assert f.frame_offset == f.frame_idx * FRAME_SIZE
             assert 0 < f.frame_bytes <= FRAME_SIZE
+
+
+def test_kmeans_matches_numpy_reference(emb):
+    """Spark Lloyd's iterations must track a straight-line numpy k-means
+    with identical init (lowest-id vectors) and tie rules; centroid means
+    are float64 whose summation order differs, so compare with tolerance."""
+    import numpy as np
+
+    from kafka_flink_processing_spark.operators.kmeans import kmeans_train
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    x = np.asarray(pdf["embedding"].tolist(), dtype=np.float64)
+    k, iters = 8, 5
+    cents = x[:k].copy()
+    for _ in range(iters):
+        d2 = ((x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T)
+              + (cents * cents).sum(axis=1))
+        cell = d2.argmin(axis=1)
+        for c in range(k):
+            if (cell == c).any():
+                cents[c] = x[cell == c].mean(axis=0)
+    d2 = ((x * x).sum(axis=1, keepdims=True) - 2.0 * (x @ cents.T)
+          + (cents * cents).sum(axis=1))
+    ref_cell = d2.argmin(axis=1)
+
+    got_cents, asg = kmeans_train(emb, k=k, iters=iters)
+    got = asg.orderBy("vec_id").toPandas()
+    assert np.allclose(got_cents, cents, atol=1e-9)
+    assert (got["cell"].to_numpy() == ref_cell).all()
+    assert np.allclose(
+        got["sqdist"].to_numpy(),
+        d2[np.arange(len(ref_cell)), ref_cell], atol=1e-9)
+
+
+def test_contamination_screen_ground_truth(docs):
+    """Every flagged doc must share >= 1 distinct 4-gram with the eval
+    slice, every unflagged doc none (brute-force set check)."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen,
+    )
+
+    pdf = docs.select("doc_id", "text").toPandas()
+
+    def grams(text):
+        ws = text.split(" ")
+        return {" ".join(ws[i:i + 4]) for i in range(len(ws) - 3)}
+
+    ev = set()
+    for _, r in pdf.iterrows():
+        if r.doc_id % 13 == 0:
+            ev |= grams(r.text)
+    expect = {}
+    for _, r in pdf.iterrows():
+        if r.doc_id % 13 != 0:
+            shared = len(grams(r.text) & ev)
+            if shared:
+                expect[r.doc_id] = shared
+
+    got = contamination_screen(docs, F.col("doc_id") % 13 == 0, n=4)
+    rows = {r.doc_id: r.n_shared_grams for r in got.collect()}
+    assert rows == expect
+    assert all(r.n_shared_grams <= r.n_grams for r in got.collect())
