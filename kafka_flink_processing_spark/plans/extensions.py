@@ -13,7 +13,7 @@ deterministic algorithm.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_processing_spark.functions.constants import (
@@ -1143,3 +1143,68 @@ def kmeans_embeddings_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.kmeans import kmeans_summary
     emb = load_table(spark, "embeddings", sf_dir)
     return kmeans_summary(emb, k=8, iters=5)
+
+
+@register(
+    "data_mix_summary",
+    oracle="""
+    WITH d AS (
+      SELECT source, lang, COUNT(*) AS n_docs,
+             CAST(SUM(len(string_split(text, ' '))) AS BIGINT)
+               AS total_tokens
+      FROM documents GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_tokens,
+           CAST(total_tokens AS DOUBLE)
+             / CAST(SUM(total_tokens) OVER () AS BIGINT) AS token_share
+    FROM d
+    """,
+    doc="training-data mixture report: per (source, lang) doc and token "
+        "counts plus each cell's share of the corpus token budget — the "
+        "sampling-weight input of a data-mixing stage. One partial-agg "
+        "shuffle to ~|sources|x|langs| rows; the share window runs over "
+        "that tiny grouped set, never the corpus.",
+)
+def data_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import word_count
+    docs = load_table(spark, "documents", sf_dir)
+    d = (docs.groupBy("source", "lang")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum(word_count(F.col("text"))).alias("total_tokens")))
+    total = F.sum("total_tokens").over(Window.partitionBy())
+    return d.select(
+        "source", "lang", "n_docs", "total_tokens",
+        (F.col("total_tokens").cast("double") / total).alias("token_share"))
+
+
+@register(
+    "token_rarity_score",
+    oracle=f"""
+    WITH t AS ({_WORDS}),
+    ex AS (SELECT doc_id, unnest(words) AS tok FROM t),
+    v AS (SELECT tok, COUNT(*) AS freq FROM ex GROUP BY 1)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(freq) AS BIGINT) AS sum_freq,
+           CAST(SUM(freq) AS DOUBLE) / COUNT(*) AS mean_token_freq
+    FROM ex JOIN v USING (tok) GROUP BY doc_id
+    """,
+    doc="unigram-LM-style commonness score per doc: corpus token "
+        "frequencies (the trained 'model') broadcast back onto each doc's "
+        "token stream; mean corpus frequency ranks docs from rare-heavy "
+        "to boilerplate — the log-free, integer-exact cousin of mean "
+        "token log-likelihood (rank-equivalent since log is monotone on "
+        "the per-token factors being averaged... used for quality "
+        "binning, not probability estimates). Two shuffles: vocab build "
+        "and the per-doc re-aggregate; the vocab (|V| rows) broadcasts.",
+)
+def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    vocab = ex.groupBy("tok").agg(F.count("*").alias("freq"))
+    return (ex.join(F.broadcast(vocab), "tok")
+            .groupBy("doc_id")
+            .agg(F.count("*").cast("long").alias("n_tokens"),
+                 F.sum("freq").cast("long").alias("sum_freq"))
+            .select("doc_id", "n_tokens", "sum_freq",
+                    (F.col("sum_freq").cast("double") / F.col("n_tokens"))
+                    .alias("mean_token_freq")))

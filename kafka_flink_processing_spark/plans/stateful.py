@@ -439,3 +439,50 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                   .alias("n_clipped_low"),
                  F.sum(F.when(F.col("value") > F.col("p95"), 1).otherwise(0))
                   .alias("n_clipped_high")))
+
+
+# --- stream-static enrichment join: the standard Structured Streaming
+# dimension-lookup pattern (stream side micro-batches, static side broadcast
+# per batch — no state, no watermark needed for an inner equi-join).
+@register(
+    "streaming_enrich_static",
+    oracle="""
+    WITH prices AS (
+      SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+             value AS price_mwh
+      FROM events WHERE event_type IN ('view','click')
+    ), dim AS (
+      SELECT 'HUB' || CAST(n_nationkey AS VARCHAR) AS hub, n_name AS region
+      FROM nation WHERE n_nationkey < 4
+    )
+    SELECT p.ts, p.hub, p.price_mwh, d.region
+    FROM prices p JOIN dim d ON p.hub = d.hub
+    """,
+    doc="stream-static dimension enrichment: the derived price stream "
+        "joins the 4-row hub dimension (from nation) — Spark broadcasts "
+        "the static side into every micro-batch, so the stream is "
+        "enriched map-side with zero shuffle and zero state; drained "
+        "with availableNow and hash-matched against the batch join "
+        "oracle (unified-semantics evidence, like streaming_forecast_sma).",
+)
+def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+
+    _, prices = derive_market(spark, sf_dir)
+    dim = (load_table(spark, "nation", sf_dir)
+           .filter(F.col("n_nationkey") < 4)
+           .select(F.concat(F.lit("HUB"),
+                            F.col("n_nationkey").cast("string")).alias("hub"),
+                   F.col("n_name").alias("region")))
+    work = tempfile.mkdtemp(prefix="kfps_stream_")
+    src = f"{work}/src"
+    prices.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(prices.schema).parquet(src)
+    enriched = stream.join(F.broadcast(dim), "hub") \
+        .select("ts", "hub", "price_mwh", "region")
+    name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(enriched, name, f"{work}/ckpt")
+    return spark.table(name)
