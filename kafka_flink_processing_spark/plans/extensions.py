@@ -1208,3 +1208,106 @@ def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "n_tokens", "sum_freq",
                     (F.col("sum_freq").cast("double") / F.col("n_tokens"))
                     .alias("mean_token_freq")))
+
+
+# --------------------------------------------------------------------------
+# PII scrubbing (training-data curation stage)
+# --------------------------------------------------------------------------
+
+# Patterns restricted to syntax with identical semantics in Java regex
+# (Spark) and RE2 (DuckDB): character classes, bounded repetition, \d, \b.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_PHONE = r"\b\d{3}-\d{3}-\d{4}\b"
+_PII_IP = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+# The synthetic corpus is PII-free word soup, so both engines inject
+# deterministic PII derived from doc_id before scanning — the oracle then
+# genuinely exercises cross-engine regex parity (match + replacement),
+# not just zero-counts.
+_PII_AUG_SQL = """
+      SELECT doc_id, text
+        || CASE WHEN doc_id % 7 = 0 THEN ' contact user'
+             || CAST(doc_id AS VARCHAR) || '@example.com now' ELSE '' END
+        || CASE WHEN doc_id % 11 = 0 THEN ' call 555-'
+             || lpad(CAST(doc_id * 7 % 1000 AS VARCHAR), 3, '0') || '-'
+             || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+        || CASE WHEN doc_id % 13 = 0 THEN ' from 10.'
+             || CAST(doc_id % 256 AS VARCHAR) || '.'
+             || CAST(doc_id * 3 % 256 AS VARCHAR) || '.'
+             || CAST(doc_id % 200 + 1 AS VARCHAR) ELSE '' END AS text
+      FROM documents
+"""
+
+
+@register(
+    "pii_redaction",
+    oracle=f"""
+    WITH aug AS ({_PII_AUG_SQL}),
+    red AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(text, '{_PII_EMAIL}')) AS BIGINT)
+               AS n_emails,
+             CAST(len(regexp_extract_all(text, '{_PII_PHONE}')) AS BIGINT)
+               AS n_phones,
+             CAST(len(regexp_extract_all(text, '{_PII_IP}')) AS BIGINT)
+               AS n_ips,
+             regexp_replace(regexp_replace(regexp_replace(text,
+               '{_PII_EMAIL}', '<EMAIL>', 'g'),
+               '{_PII_PHONE}', '<PHONE>', 'g'),
+               '{_PII_IP}', '<IP>', 'g') AS clean
+      FROM aug)
+    SELECT doc_id, n_emails, n_phones, n_ips,
+           n_emails + n_phones + n_ips > 0 AS has_pii,
+           md5(clean) AS clean_md5,
+           CAST(length(clean) AS BIGINT) AS clean_len
+    FROM red
+    """,
+    doc="PII scrub: detect + redact emails / US phone numbers / IPv4 "
+        "addresses, emitting per-doc counts and the md5 of the redacted "
+        "text (so the oracle pins the exact replacement output, not just "
+        "counts). Deterministic PII is injected from doc_id on both "
+        "engines because the synthetic corpus has none. Pure map-side "
+        "regexp work — zero shuffles, embarrassingly parallel at 100 TB; "
+        "the scan reads only (doc_id, text). Patterns use the Java/RE2 "
+        "common subset so Spark and DuckDB agree byte-for-byte.",
+)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.when(did % 7 == 0,
+               F.concat(F.lit(" contact user"), did.cast("string"),
+                        F.lit("@example.com now"))).otherwise(F.lit("")),
+        F.when(did % 11 == 0,
+               F.concat(F.lit(" call 555-"),
+                        F.lpad((did * 7 % 1000).cast("string"), 3, "0"),
+                        F.lit("-"),
+                        F.lpad((did % 10000).cast("string"), 4, "0")))
+         .otherwise(F.lit("")),
+        F.when(did % 13 == 0,
+               F.concat(F.lit(" from 10."), (did % 256).cast("string"),
+                        F.lit("."), (did * 3 % 256).cast("string"),
+                        F.lit("."), (did % 200 + 1).cast("string")))
+         .otherwise(F.lit("")))
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), F.lit(_PII_EMAIL),
+                             F.lit("<EMAIL>")),
+            F.lit(_PII_PHONE), F.lit("<PHONE>")),
+        F.lit(_PII_IP), F.lit("<IP>"))
+    counted = (docs.select("doc_id", aug.alias("text"))
+               .select("doc_id",
+                       F.regexp_count(F.col("text"), F.lit(_PII_EMAIL))
+                        .cast("long").alias("n_emails"),
+                       F.regexp_count(F.col("text"), F.lit(_PII_PHONE))
+                        .cast("long").alias("n_phones"),
+                       F.regexp_count(F.col("text"), F.lit(_PII_IP))
+                        .cast("long").alias("n_ips"),
+                       clean.alias("clean")))
+    return counted.select(
+        "doc_id", "n_emails", "n_phones", "n_ips",
+        (F.col("n_emails") + F.col("n_phones") + F.col("n_ips") > 0)
+        .alias("has_pii"),
+        F.md5("clean").alias("clean_md5"),
+        F.length("clean").cast("long").alias("clean_len"))

@@ -394,3 +394,49 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
                  dsum("value").alias("sum_value"))
             .select("event_type", "day", "hour", "g_day", "g_hour",
                     "n_events", "sum_value"))
+
+
+# --------------------------------------------------------------------------
+# Time-RANGE window frame (value-based frame; the reference has only
+# count-based ROWS frames — ForecastsJob.java:83-86)
+# --------------------------------------------------------------------------
+
+@register(
+    "time_range_moving_avg",
+    oracle="""
+    WITH e AS (
+      SELECT event_id, event_type, ts, value,
+             CAST(floor(epoch(ts)) AS BIGINT) AS ts_sec
+      FROM events
+    )
+    SELECT event_id, event_type, ts, value,
+           CAST(COUNT(value) OVER w AS BIGINT) AS n_5min,
+           (CAST(SUM(CAST(ROUND(value * 10000) AS BIGINT)) OVER w AS DOUBLE)
+            / 10000.0) / COUNT(value) OVER w AS avg_5min
+    FROM e
+    WINDOW w AS (PARTITION BY event_type ORDER BY ts_sec
+                 RANGE BETWEEN 300 PRECEDING AND CURRENT ROW)
+    """,
+    doc="trailing 5-minute moving average per event_type — a RANGE (value-"
+        "based) window frame over event time, vs the reference's count-based "
+        "ROWS frames (SURVEY.md §2.6). Frame key = floor(epoch seconds) on "
+        "BOTH engines so frame membership is bit-identical; the windowed sum "
+        "is long-scaled (functions/exact.py) because a variable-size frame "
+        "cannot use the lag-chain oracle trick. One shuffle on event_type; "
+        "ties on the same second are peers in both engines, so the result "
+        "is order-deterministic. Scale note: a per-key global sort; at "
+        "100 TB re-key to (event_type, day) with a 5-min boundary carry to "
+        "bound partition size.",
+)
+def time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (load_table(spark, "events", sf_dir)
+          .withColumn("ts_sec", F.col("ts").cast("long")))
+    w = (Window.partitionBy("event_type").orderBy("ts_sec")
+         .rangeBetween(-300, 0))
+    scaled = F.round(F.col("value") * 10000).cast("long")
+    n = F.count("value").over(w)
+    return ev.select(
+        "event_id", "event_type", "ts", "value",
+        n.cast("long").alias("n_5min"),
+        ((F.sum(scaled).over(w).cast("double") / 10000.0) / n)
+        .alias("avg_5min"))
