@@ -780,3 +780,76 @@ def custdist_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("o_orderkey").alias("c_count"))
             .groupBy("c_count")
             .agg(F.count("*").alias("custdist")))
+
+
+# --------------------------------------------------------------------------
+# Unpivot / melt (wide measures -> long) — engine-native reshape
+# --------------------------------------------------------------------------
+
+@register(
+    "unpivot_measures",
+    oracle=f"""
+    WITH long_form AS (
+      SELECT l_returnflag, 'l_quantity' AS measure, l_quantity AS val
+      FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_extendedprice', l_extendedprice FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_discount', l_discount FROM lineitem
+      UNION ALL
+      SELECT l_returnflag, 'l_tax', l_tax FROM lineitem
+    )
+    SELECT l_returnflag, measure, COUNT(*) AS n,
+           {dsum_sql('val', 4)} AS sum_val,
+           MIN(val) AS min_val, MAX(val) AS max_val
+    FROM long_form GROUP BY 1, 2
+    """,
+    doc="melt four lineitem measures into (measure, val) long form and "
+        "profile each per returnflag — DataFrame.unpivot, the relational "
+        "reshape the profiling stages consume. Spark plans Expand (4 output "
+        "rows per input row, map-side, codegen'd) then ONE shuffle on the "
+        "tiny (flag, measure) key — no self-union multi-scan like the "
+        "oracle's UNION ALL spelling; the source is scanned once.",
+)
+def unpivot_measures(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    long_form = li.unpivot(
+        "l_returnflag",
+        ["l_quantity", "l_extendedprice", "l_discount", "l_tax"],
+        "measure", "val")
+    return (long_form.groupBy("l_returnflag", "measure")
+            .agg(F.count("*").alias("n"),
+                 dsum("val", 4).alias("sum_val"),
+                 F.min("val").alias("min_val"),
+                 F.max("val").alias("max_val")))
+
+
+# --------------------------------------------------------------------------
+# Distribution-ranking window battery (ntile / percent_rank / cume_dist)
+# --------------------------------------------------------------------------
+
+@register(
+    "window_ntile_battery",
+    oracle="""
+    SELECT event_id, event_type, value,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+    doc="distribution-ranking battery per event_type: ntile(4) quartile "
+        "binning, percent_rank, cume_dist — the quantile-bucketing shapes "
+        "a quality-scoring stage uses to turn raw scores into percentile "
+        "labels. Tie-broken on event_id so the total order (and therefore "
+        "ntile's row split) is engine-deterministic. All three functions "
+        "share ONE window = one shuffle + one sort on event_type.",
+)
+def window_ntile_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id", "event_type", "value",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"))

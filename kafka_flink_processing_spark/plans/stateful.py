@@ -486,3 +486,67 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
     run_available_now(enriched, name, f"{work}/ckpt")
     return spark.table(name)
+
+
+# --- streaming SESSION windows (complete-mode drain): F.session_window's
+# merge semantics (window = [first_ts, last_ts + gap); a tick exactly `gap`
+# after the previous one opens a NEW session because the interval is
+# half-open) pinned against the lag+cumsum islands formulation in SQL.
+@register(
+    "streaming_session_stats",
+    oracle=f"""
+    WITH prices AS (
+      SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+             value AS price_mwh
+      FROM events WHERE event_type IN ('view','click')
+    ), o AS (
+      SELECT hub, ts, price_mwh,
+             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
+                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
+                          >= 1800000000
+                  THEN 1 ELSE 0 END AS is_new
+      FROM prices WINDOW w AS (PARTITION BY hub ORDER BY ts)
+    ), s AS (
+      SELECT *, SUM(is_new) OVER (
+               PARTITION BY hub ORDER BY ts
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM o
+    )
+    SELECT hub,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_ticks,
+           {dsum_sql('price_mwh')} AS sum_price
+    FROM s GROUP BY hub, sid
+    """,
+    doc="30-min-gap session windows over the streaming price feed "
+        "(F.session_window in a Structured Streaming aggregation, drained "
+        "availableNow in complete mode) hash-matched against the batch "
+        "islands formulation — proves the streaming session-merge operator "
+        "computes exactly the lag+cumsum sessionization, including the "
+        "half-open boundary (gap-exactly ticks split). State per open "
+        "session is one partial aggregate; a watermark bounds retained "
+        "sessions in production append mode.",
+)
+def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+
+    _, prices = derive_market(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kfps_sess_")
+    src = f"{work}/src"
+    prices.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(prices.schema).parquet(src)
+    agg = (stream.groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                          "hub")
+           .agg(F.count("*").alias("n_ticks"),
+                dsum("price_mwh").alias("sum_price"))
+           .select("hub",
+                   F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   "n_ticks", "sum_price"))
+    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
+    return spark.table(name)
