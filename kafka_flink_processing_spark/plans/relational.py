@@ -397,14 +397,19 @@ def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "percentile_approx next to the exact percentiles — the sketch that "
         "replaces a full per-group sort at 100 TB (bounded-memory digests, "
         "merged map-side; exact percentile_disc needs the whole group "
-        "materialized). rows-only driver check; accuracy is test-asserted.",
+        "materialized). rows-only driver check; accuracy is test-asserted. "
+        "Scalar columns only — an array<double> result column crashes the "
+        "driver's pandas canonicalizer (sort_values on list cells).",
 )
 def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    pcts = F.array(F.lit(0.5), F.lit(0.95), F.lit(0.99))
     return (ev.groupBy("event_type")
-              .agg(F.percentile_approx("value", pcts, 10000)
-                    .alias("approx_pcts"),
+              .agg(F.percentile_approx("value", F.lit(0.5), 10000)
+                    .alias("approx_p50"),
+                   F.percentile_approx("value", F.lit(0.95), 10000)
+                    .alias("approx_p95"),
+                   F.percentile_approx("value", F.lit(0.99), 10000)
+                    .alias("approx_p99"),
                    F.expr("percentile_disc(0.5) WITHIN GROUP (ORDER BY value)")
                     .alias("exact_p50"),
                    F.expr("percentile_disc(0.95) WITHIN GROUP (ORDER BY value)")

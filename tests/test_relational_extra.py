@@ -53,6 +53,7 @@ def test_approx_quantiles_close_to_exact(spark):
     for r in rows:
         exact = [r.exact_p50, r.exact_p95, r.exact_p99]
         spread = max(exact) - min(exact) or 1.0
-        for approx, ex in zip(r.approx_pcts, exact):
+        approxes = [r.approx_p50, r.approx_p95, r.approx_p99]
+        for approx, ex in zip(approxes, exact):
             # value-space tolerance: 5% of the p50..p99 spread per group
             assert abs(approx - ex) <= 0.05 * spread, (r.event_type, approx, ex)
