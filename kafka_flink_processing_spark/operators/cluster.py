@@ -44,39 +44,42 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # runtime would), not the session default: a 32-way shuffle over a few
     # hundred edges is pure task overhead per round, while at billions of
     # edges the width grows back to the session setting. ~1M edge rows per
-    # reduce task keeps partitions executor-sized either way.
-    default_parts = spark.conf.get("spark.sql.shuffle.partitions")
-    loop_parts = max(1, min(int(default_parts), 1 + n_edges // 1_000_000))
+    # reduce task keeps partitions executor-sized either way. The width is
+    # applied with explicit repartition() on the loop's own plans — NOT by
+    # toggling spark.sql.shuffle.partitions, which is session-global and
+    # would silently narrow any query planned concurrently (other threads,
+    # streaming micro-batches). AQE's partition coalescing right-sizes the
+    # loop's remaining small shuffles (groupBy, left join) at runtime.
+    default_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    loop_parts = max(1, min(default_parts, 1 + n_edges // 1_000_000))
+    edges = edges.repartition(loop_parts, "dst").cache()
     old_total = None
-    spark.conf.set("spark.sql.shuffle.partitions", str(loop_parts))
-    try:
-        labels = nodes.select(F.col("doc_id"),
-                              F.col("doc_id").alias("canonical_id"))
-        for _ in range(max_iter):
-            neighbor_min = (edges.join(labels,
-                                       edges.dst == labels.doc_id)
-                            .groupBy("src")
-                            .agg(F.min("canonical_id").alias("nbr_min")))
-            new_labels = (labels.join(neighbor_min,
-                                      labels.doc_id == neighbor_min.src,
-                                      "left")
-                          .select("doc_id",
-                                  F.least("canonical_id",
-                                          F.coalesce("nbr_min",
-                                                     "canonical_id"))
-                                   .alias("canonical_id")))
-            new_labels = new_labels.cache()
-            # labels only ever DECREASE, so the label sum is strictly
-            # monotone — equality means a fixpoint. One cheap aggregate
-            # materializes the cache and tests convergence in a single
-            # action (no compare-join).
-            total = new_labels.agg(F.sum("canonical_id")).collect()[0][0]
-            labels = new_labels
-            if total == old_total:
-                break
-            old_total = total
-    finally:
-        spark.conf.set("spark.sql.shuffle.partitions", default_parts)
+    labels = nodes.select(F.col("doc_id"),
+                          F.col("doc_id").alias("canonical_id"))
+    for _ in range(max_iter):
+        labels_p = labels.repartition(loop_parts, "doc_id")
+        neighbor_min = (edges.join(labels_p,
+                                   edges.dst == labels_p.doc_id)
+                        .groupBy("src")
+                        .agg(F.min("canonical_id").alias("nbr_min")))
+        new_labels = (labels.join(neighbor_min,
+                                  labels.doc_id == neighbor_min.src,
+                                  "left")
+                      .select("doc_id",
+                              F.least("canonical_id",
+                                      F.coalesce("nbr_min",
+                                                 "canonical_id"))
+                               .alias("canonical_id")))
+        new_labels = new_labels.cache()
+        # labels only ever DECREASE, so the label sum is strictly
+        # monotone — equality means a fixpoint. One cheap aggregate
+        # materializes the cache and tests convergence in a single
+        # action (no compare-join).
+        total = new_labels.agg(F.sum("canonical_id")).collect()[0][0]
+        labels = new_labels
+        if total == old_total:
+            break
+        old_total = total
     # Deliberately unpersist NOTHING here. uncacheQuery (even non-cascading)
     # clears the materialized buffers of every cached plan built on top of
     # the dropped one, so unpersisting a superseded round — or `edges` before

@@ -84,25 +84,57 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 # persisting the shingle index as a table, which is what a 100 TB pipeline
 # does between dedup passes (the index is the expensive artifact; every
 # consumer after that is cheap). Inputs here are immutable parquet, so the
-# memo cannot go stale.
-_SHINGLE_CACHE: dict[tuple, DataFrame] = {}
+# memo cannot go stale. semanticHash is 32-bit, so a hit is confirmed with
+# sameSemantics against the stored source plan before reuse — a cross-plan
+# collision recomputes instead of returning another input's shingles.
+# Entries hold (source_df, derived_df); clear_dedup_caches() unpersists.
+_SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_SIG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+
+
+def clear_dedup_caches() -> None:
+    """Unpersist and drop both dedup memo tables (frees executor storage;
+    safe any time — consumers recompute lazily on next use)."""
+    for memo in (_SIG_CACHE, _SHINGLE_CACHE):
+        for _, derived in memo.values():
+            try:
+                derived.unpersist()
+            except Exception:
+                pass
+        memo.clear()
+
+
+def _memo_lookup(memo, docs: DataFrame, parts: tuple):
+    """(key, hit) for a memoized derivation of `docs`; collision-checked."""
+    try:
+        key = (docs.sparkSession, docs.semanticHash(), *parts)
+    except Exception:
+        return None, None
+    hit = memo.get(key)
+    if hit is not None:
+        source, derived = hit
+        try:
+            if docs.sameSemantics(source):
+                return key, derived
+        except Exception:
+            pass
+        return None, None  # 32-bit collision: recompute, don't evict or cache
+    return key, None
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
                   n: int) -> DataFrame:
     from kafka_flink_processing_spark.shipping import ensure_shipped
     ensure_shipped(docs.sparkSession)
-    try:
-        key = (docs.sparkSession, docs.semanticHash(), id_col, text_col, n)
-    except Exception:
-        key = None
-    if key is not None and key in _SHINGLE_CACHE:
-        return _SHINGLE_CACHE[key]
+    key, hit = _memo_lookup(_SHINGLE_CACHE, docs, (id_col, text_col, n))
+    if hit is not None:
+        return hit
     ds = docs.select(F.col(id_col).alias("doc_id"),
-                     _shingle_udf(n)(F.col(text_col)).alias("sh")).cache()
+                     _shingle_udf(n)(F.col(text_col)).alias("sh"))
     if key is not None:
+        ds = ds.cache()
         ds.count()  # prime once; every dedup family reuses the materialization
-        _SHINGLE_CACHE[key] = ds
+        _SHINGLE_CACHE[key] = (docs, ds)
     return ds
 
 
@@ -158,25 +190,19 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return sig.join(ds, "doc_id")
 
 
-# Signature memo, same rationale and keying as the shingle memo above: the
-# MinHash signature table is the second expensive dedup artifact (a 16-way
-# min-agg over the exploded shingle index), and both the pair query and the
-# clustering query start from it. Keyed by the immutable input plan, so it
-# cannot go stale.
-_SIG_CACHE: dict[tuple, DataFrame] = {}
-
-
+# Signature memo, same rationale, keying, and collision handling as the
+# shingle memo above: the MinHash signature table is the second expensive
+# dedup artifact (a 16-way min-agg over the exploded shingle index), and
+# both the pair query and the clustering query start from it.
 def _cached_signatures(docs: DataFrame, n: int, id_col: str,
                        text_col: str) -> DataFrame:
-    try:
-        key = (docs.sparkSession, docs.semanticHash(), id_col, text_col, n)
-    except Exception:
-        key = None
-    if key is not None and key in _SIG_CACHE:
-        return _SIG_CACHE[key]
-    sig = minhash_signatures(docs, n, id_col, text_col).cache()
+    key, hit = _memo_lookup(_SIG_CACHE, docs, (id_col, text_col, n))
+    if hit is not None:
+        return hit
+    sig = minhash_signatures(docs, n, id_col, text_col)
     if key is not None:
-        _SIG_CACHE[key] = sig
+        sig = sig.cache()
+        _SIG_CACHE[key] = (docs, sig)
     return sig
 
 

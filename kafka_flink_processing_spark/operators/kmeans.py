@@ -63,6 +63,9 @@ def kmeans_train(emb: DataFrame, k: int = 8, iters: int = 5,
     vecs = emb.select(F.col(id_col), F.col(vec_col).alias("v"))
     init = (emb.orderBy(id_col).limit(k)
             .select(vec_col).toPandas()[vec_col].tolist())
+    if not init:
+        raise ValueError("kmeans_train: embeddings input is empty")
+    # k may exceed the corpus: clamp rather than index out of bounds later
     cents = np.asarray(init, dtype=np.float64)
     d = cents.shape[1]
     for _ in range(iters):
@@ -90,16 +93,25 @@ def kmeans_summary(emb: DataFrame, k: int = 8, iters: int = 5,
                    id_col: str = "vec_id",
                    vec_col: str = "embedding") -> DataFrame:
     """Per-cluster training summary: (cell, n_points, inertia,
-    centroid_norm) — the k-row codebook health view."""
+    centroid_norm) — the k-row codebook health view. Every trained cell
+    appears, empty ones with n_points=0 (left join from the codebook side;
+    an inner join would silently drop them)."""
     cents, asg = kmeans_train(emb, k=k, iters=iters,
                               id_col=id_col, vec_col=vec_col)
+    # iterate the trained matrix, not range(k): kmeans_train clamps k to
+    # the corpus size, so cents may have fewer than k rows
     norms = {c: float(np.sqrt((cents[c] * cents[c]).sum()))
-             for c in range(k)}
+             for c in range(cents.shape[0])}
     spark = emb.sparkSession
     ndf = spark.createDataFrame(
-        [(c, norms[c]) for c in range(k)], "cell int, centroid_norm double")
-    return (asg.groupBy("cell")
-            .agg(F.count("*").alias("n_points"),
-                 F.sum("sqdist").alias("inertia"))
-            .join(F.broadcast(ndf), "cell")
+        [(c, norms[c]) for c in sorted(norms)], "cell int, centroid_norm double")
+    return (F.broadcast(ndf)
+            .join(asg.groupBy("cell")
+                     .agg(F.count("*").alias("n_points"),
+                          F.sum("sqdist").alias("inertia")),
+                  "cell", "left")
+            .select("cell",
+                    F.coalesce("n_points", F.lit(0)).alias("n_points"),
+                    F.coalesce("inertia", F.lit(0.0)).alias("inertia"),
+                    "centroid_norm")
             .orderBy("cell"))

@@ -118,20 +118,36 @@ def lsh_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
 
 
 # IVF coarse quantizer: K cells, probe the nprobe nearest cells per query.
-# Centroids here are the first IVF_K vectors by id — a deterministic stand-in
-# for the offline k-means training a real deployment runs; the index
-# structure, assignment plan, and probe path are identical either way.
+# The codebook comes from the k-means trainer (operators/kmeans.py::
+# kmeans_train): by default ivf_cosine_topk trains it on the corpus it is
+# indexing (a quantizer is an artifact OF its corpus — a codebook trained
+# on one draw recalls ~0.4 on another vs ~0.9 same-corpus); registered
+# queries instead pass the pinned per-corpus artifact from
+# functions/ivf_codebook.py (generated by tools/train_ivf_codebook.py) so
+# the DuckDB oracle can embed the identical 6dp literals.
 IVF_K = 16
 IVF_NPROBE = 4
+IVF_TRAIN_ITERS = 10
+
+
+def _codebook_df(spark, centroids) -> DataFrame:
+    """(cid, cv, cn) rows from a k x d centroid matrix."""
+    df = spark.createDataFrame(
+        [(i, [float(v) for v in c]) for i, c in enumerate(centroids)],
+        "cid int, cv array<double>")
+    return df.withColumn("cn", _norm(F.col("cv")))
 
 
 def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                     id_col: str = "vec_id",
-                    vec_col: str = "embedding") -> DataFrame:
+                    vec_col: str = "embedding",
+                    centroids=None) -> DataFrame:
     """ANN top-k with an IVF (inverted-file) index.
 
-    Build: the K-row centroid codebook (on a cluster: the offline k-means
-    output) broadcast-joins the corpus — N*K scored rows never shuffle;
+    Build: the K-row k-means codebook — trained on this corpus by
+    operators/kmeans.py::kmeans_train when `centroids` is None, or the
+    caller's pinned artifact (functions/ivf_codebook.py for the testdata
+    corpora) — broadcast-joins the corpus; N*K scored rows never shuffle;
     map-side max_by partial aggregation reduces them to one (vector, cell)
     row per vector before the single exchange on vec_id.
 
@@ -141,10 +157,12 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
     force; at 100 TB raise K so cells stay executor-sized and the probe
     join stays broadcast.
     """
+    if centroids is None:
+        from kafka_flink_processing_spark.operators.kmeans import kmeans_train
+        centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
+                                    id_col=id_col, vec_col=vec_col)
     base = with_unit_info(emb, vec_col)
-    cents = (base.filter(F.col(id_col) < IVF_K)
-                 .select(F.col(id_col).alias("cid"),
-                         F.col(vec_col).alias("cv"), F.col("nrm").alias("cn")))
+    cents = _codebook_df(emb.sparkSession, centroids)
     cos_to_cent = _dot(F.col(vec_col), F.col("cv")) / (F.col("nrm") * F.col("cn"))
     scored_cells = (base.crossJoin(F.broadcast(cents))
                     .select(F.col(id_col), F.col(vec_col), F.col("nrm"),

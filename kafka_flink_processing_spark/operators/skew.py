@@ -61,7 +61,18 @@ def salted_join(skewed: DataFrame, other: DataFrame,
     exploded to all n_salt sub-keys, so each skewed row still meets every
     matching other row exactly once — multiplicities are preserved and the
     result equals the unsalted join.
+
+    Only inner/left/left_semi are supported: those look at `other` rows
+    solely through matches, so the n_salt replicas are transparent. For
+    right/full/right-side-anti joins each UNMATCHED `other` row would be
+    emitted once per replica, silently diverging from the unsalted join —
+    salt the other side instead, or dedupe unmatched rows explicitly.
     """
+    if how not in ("inner", "left", "left_outer", "left_semi"):
+        raise ValueError(
+            f"salted_join: how={how!r} unsupported — replicating `other` "
+            "n_salt times only preserves multiplicities for "
+            "inner/left/left_semi joins")
     salt_col: Column = F.pmod(F.hash(F.col(tiebreak_col)), F.lit(n_salt))
     s = skewed.withColumn("__salt", salt_col)
     o = (other.withColumn(

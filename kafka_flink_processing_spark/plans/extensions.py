@@ -482,14 +482,27 @@ def similarity_lsh_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 from kafka_flink_processing_spark.operators.similarity import IVF_K, IVF_NPROBE  # noqa: E402
+from kafka_flink_processing_spark.functions.ivf_codebook import (  # noqa: E402
+    IVF_CENTROIDS,
+    codebook_for,
+)
+
+
+def _codebook_values_sql() -> str:
+    """The pinned k-means codebook as a VALUES list — the same 6dp literals
+    the Spark operator ships, so both engines assign identical cells."""
+    rows = ", ".join(
+        f"({cid}, {_plane_literal(list(cv))})"
+        for cid, cv in enumerate(IVF_CENTROIDS))
+    return (f"SELECT cid, cv, sqrt({_DOT.format(a='cv', b='cv')}) AS cn "
+            f"FROM (VALUES {rows}) AS t(cid, cv)")
 
 
 @register(
     "similarity_ivf_topk",
     oracle=f"""
     WITH {_COSINE_BASE_SQL},
-    cent AS (SELECT vec_id AS cid, embedding AS cv, nrm AS cn FROM n
-             WHERE vec_id < {IVF_K}),
+    cent AS ({_codebook_values_sql()}),
     asgj AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
                     {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
                       AS cos
@@ -517,16 +530,19 @@ from kafka_flink_processing_spark.operators.similarity import IVF_K, IVF_NPROBE 
     ) WHERE rank <= 10
     """,
     doc=f"ANN top-k via IVF coarse quantizer ({IVF_K} cells, nprobe="
-        f"{IVF_NPROBE}): deterministic codebook (first-{IVF_K} vectors "
-        "standing in for offline k-means), shuffle-free cell assignment, "
-        "probe-join + exact re-rank. Complements LSH: cost ~ nprobe/K of "
-        "brute force, recall asserted vs brute force in tests.",
+        f"{IVF_NPROBE}): codebook = per-corpus offline k-means output "
+        "(operators/kmeans.py, pinned as 6dp literals by "
+        "tools/train_ivf_codebook.py so the oracle embeds the identical "
+        "doubles), shuffle-free cell assignment, probe-join + exact "
+        "re-rank. Complements LSH: cost ~ nprobe/K of brute force, "
+        "recall asserted vs brute force in tests.",
     bench=True,
 )
 def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import ivf_cosine_topk
     emb = load_table(spark, "embeddings", sf_dir)
-    out = ivf_cosine_topk(emb, query_ids=range(5), k=10)
+    out = ivf_cosine_topk(emb, query_ids=range(5), k=10,
+                          centroids=codebook_for(sf_dir))
     return out.select("query_id", "cand_id", "cosine",
                       F.col("rank").cast("long").alias("rank"))
 
