@@ -138,10 +138,44 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
     return ds
 
 
+# Stop-shingle document-frequency cap, on by default: a shingle occurring in
+# more than NGRAM_MAX_DF documents is boilerplate (license headers, site
+# chrome, templates), carries no near-dup signal, and — critically for
+# scale — would contribute O(df^2) candidate rows to the inverted-index
+# self-join. One viral 3-gram at corpus scale otherwise produces a
+# quadratic blowup no executor sizing survives. 1000 keeps the worst
+# shingle's candidate block under ~500k rows while pruning nothing on
+# corpora without true boilerplate (testdata max df << 1000).
+NGRAM_MAX_DF = 1000
+
+
+def _jaccard_intersections(ds: DataFrame, prune_singletons: bool,
+                           max_df: int | None) -> DataFrame:
+    """(doc_a, doc_b, n_common) candidate intersections from the shingle
+    index, with the df-bounded inverted index (see NGRAM_MAX_DF)."""
+    inv = ds.select("doc_id", F.explode("sh").alias("sh"))
+    lo = 2 if prune_singletons else 1
+    hi = max_df if max_df is not None else None
+    if lo > 1 or hi is not None:
+        cond = F.col("df") >= lo
+        if hi is not None:
+            cond = cond & (F.col("df") <= hi)
+        kept = (inv.groupBy("sh").agg(F.count("*").alias("df"))
+                   .filter(cond).select("sh"))
+        inv = inv.join(kept, "sh")
+    a, b = inv.alias("a"), inv.alias("b")
+    return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .groupBy(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"))
+             .agg(F.count("*").alias("n_common")))
+
+
 def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                         id_col: str = "doc_id",
                         text_col: str = "text",
-                        prune_singletons: bool = False) -> DataFrame:
+                        prune_singletons: bool = False,
+                        max_df: int | None = NGRAM_MAX_DF) -> DataFrame:
     """All pairs with distinct-word-n-gram Jaccard >= threshold, via an
     inverted index join (each shared shingle contributes one pre-aggregated
     intersection count — no quadratic cross join).
@@ -155,20 +189,18 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     large win on heavy-tailed real corpora where most shingles are unique;
     OFF by default because on dense small-vocab corpora (like the testdata,
     mean df ~10) it prunes nothing and costs an extra shuffle.
+
+    max_df (ON by default, see NGRAM_MAX_DF) drops shingles with df above
+    the cap from the index: intersection counts then ignore boilerplate
+    shingles, so a pair's Jaccard can only decrease vs the uncapped form —
+    a deliberate refinement (boilerplate overlap is not near-duplication),
+    and the bound that keeps the self-join O(sum df^2 over kept shingles)
+    instead of quadratic in the hottest shingle. Pass max_df=None for the
+    exact uncapped semantics.
     """
     ds = _doc_shingles(docs, id_col, text_col, n)  # cached + primed by memo
     sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
-    inv = ds.select("doc_id", F.explode("sh").alias("sh"))
-    if prune_singletons:
-        shared = (inv.groupBy("sh").agg(F.count("*").alias("df"))
-                     .filter(F.col("df") >= 2).select("sh"))
-        inv = inv.join(shared, "sh")
-    a, b = inv.alias("a"), inv.alias("b")
-    inter = (a.join(b, (F.col("a.sh") == F.col("b.sh"))
-                    & (F.col("a.doc_id") < F.col("b.doc_id")))
-              .groupBy(F.col("a.doc_id").alias("doc_a"),
-                       F.col("b.doc_id").alias("doc_b"))
-              .agg(F.count("*").alias("n_common")))
+    inter = _jaccard_intersections(ds, prune_singletons, max_df)
     sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
     sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
     return (inter.join(sa, "doc_a").join(sb, "doc_b")

@@ -23,14 +23,21 @@ from __future__ import annotations
 
 import pandas as pd
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_processing_spark.operators.netting import (
     PRICE,
     TRADE,
+    _Acct,
+    apply_fill,
     replay,
 )
+
+# kind tag for slice-boundary marker/state rows: sorts BEFORE trades (0) and
+# prices (1) at the boundary timestamp, so entry state is applied ahead of
+# any event that falls exactly on a slice boundary.
+STATE = -1
 
 PNL_OUT_SCHEMA = ("ts timestamp, account string, hub string, "
                   "position_mw int, avg_price_mwh double, "
@@ -73,6 +80,158 @@ def pnl_positions(trades: DataFrame, prices: DataFrame,
         F.lit(PRICE).alias("kind"))
     unioned = t.unionByName(p)
     out = unioned.groupBy("hub").applyInPandas(_fold, PNL_OUT_SCHEMA)
+    if snapshot_only:
+        from kafka_flink_processing_spark.operators.windows import latest_per_key
+        out = latest_per_key(out, ["hub", "account"], ["ts", "position_mw"])
+    return out
+
+
+_STATE_SCHEMA = ("hub string, slice date, account string, st_pos long, "
+                 "st_avg double, st_realized double")
+
+
+def _boundary_states(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase A (one hub): fold ONLY the trades in total order; at each
+    slice-boundary marker emit the per-account state as of that instant.
+    Prices never enter here — position/avg/realized change only on trades,
+    so the sequential-per-hub pass touches the sparse stream."""
+    pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+    accounts: dict[str, tuple] = {}
+    out = []
+    for r in pdf.to_dict("records"):
+        if r["kind"] == STATE:  # marker: snapshot entry state for its slice
+            out.extend({"hub": r["hub"], "slice": r["slice"], "account": k,
+                        "st_pos": int(a[0]), "st_avg": a[1],
+                        "st_realized": a[2]} for k, a in accounts.items())
+        else:
+            a = accounts.get(r["account"], (0, 0.0, 0.0))
+            signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
+            accounts[r["account"]] = apply_fill(a[0], a[1], a[2],
+                                                signed, r["price_mwh"])
+    cols = ["hub", "slice", "account", "st_pos", "st_avg", "st_realized"]
+    return pd.DataFrame(out, columns=cols)
+
+
+def _fold_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Phase B (one (hub, slice)): seed a HubFold from the carried-in STATE
+    rows (they sort first), then replay the slice's events exactly as the
+    single-fold path does."""
+    from kafka_flink_processing_spark.operators.netting import HubFold
+    pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+    fold = HubFold()
+    out = []
+    for r in pdf.to_dict("records"):
+        if r["kind"] == STATE:
+            if isinstance(r["account"], str):
+                fold.accounts[r["account"]] = _Acct(
+                    int(r["st_pos"]), r["st_avg"], r["st_realized"])
+            elif not pd.isna(r["st_lastpx"]):
+                fold.last_price = r["st_lastpx"]
+        else:
+            out.extend(fold.process(r))
+    cols = ["ts", "account", "hub", "position_mw", "avg_price_mwh",
+            "last_price_mwh", "realized_pnl", "unrealized_pnl", "total_pnl"]
+    return pd.DataFrame(out, columns=cols) if out else \
+        pd.DataFrame(columns=cols)
+
+
+def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
+                         snapshot_only: bool = False) -> DataFrame:
+    """Time-sliced W2 replay: bit-identical to pnl_positions, but the fold
+    is sharded by (hub, day-slice) with carried-in state, so a hot hub no
+    longer serializes one task (fold parallelism = hubs x days instead of
+    hubs — the reference's keyBy bound).
+
+    Three-phase plan, one sequential pass only over the SPARSE stream:
+    A) per hub, fold trades + boundary markers in total order; emit each
+       account's (pos, avg, realized) at every slice boundary
+       (_boundary_states — position state changes only on trades);
+    B) the boundary last-price is relational: max_by(price, ts) per
+       (hub, slice), forward-filled across the slice grid with a window
+       over the tiny hubs x slices table;
+    C) per (hub, slice), seed a HubFold from the carried-in STATE rows and
+       replay that slice's trades+prices — the expensive part (the price ->
+       every-account fan-out output) now parallelizes across slices.
+
+    State crosses the Arrow boundary as float64 round-trips (exact), so the
+    per-record arithmetic path is identical to the single fold's —
+    tests/test_pnl.py asserts bitwise output equality.
+    """
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(trades.sparkSession)
+    day = lambda c: F.to_date(c)  # noqa: E731  — slice granularity
+    t = trades.select(
+        F.col("ts"), F.col("hub"), F.col("account"), F.col("side"),
+        F.col("mw").cast("long"), F.col("price_mwh"),
+        F.col("trade_id").cast("long"), F.lit(TRADE).alias("kind"),
+        day(F.col("ts")).alias("slice"))
+    p = prices.select(
+        F.col("ts"), F.col("hub"),
+        F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("mw"),
+        F.col("price_mwh"),
+        F.lit(0).cast("long").alias("trade_id"),
+        F.lit(PRICE).alias("kind"),
+        day(F.col("ts")).alias("slice"))
+    unioned = t.unionByName(p)
+
+    # the (hub, slice) grid: one marker/state anchor per fold shard
+    grid = unioned.select("hub", "slice").distinct().cache()
+    slice_ts = F.col("slice").cast("timestamp")
+
+    # phase A input: trades + boundary markers, grouped per hub
+    markers = grid.select(
+        slice_ts.alias("ts"), F.col("hub"),
+        F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("mw"),
+        F.lit(None).cast("double").alias("price_mwh"),
+        F.lit(0).cast("long").alias("trade_id"),
+        F.lit(STATE).alias("kind"), F.col("slice"))
+    states = (t.unionByName(markers).groupBy("hub")
+               .applyInPandas(_boundary_states, _STATE_SCHEMA))
+
+    # phase B: entry last-price per (hub, slice) — relational, no fold
+    w_ff = (Window.partitionBy("hub").orderBy("slice")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    last_px = (p.groupBy("hub", "slice")
+                .agg(F.max_by("price_mwh", "ts").alias("slice_last_px")))
+    entry_px = (grid.join(last_px, ["hub", "slice"], "left")
+                    .select("hub", "slice",
+                            F.last("slice_last_px", ignorenulls=True)
+                             .over(w_ff).alias("st_lastpx"))
+                    .filter(F.col("st_lastpx").isNotNull()))
+
+    # phase C input: events + state rows, grouped per (hub, slice)
+    ev = unioned.withColumn("st_pos", F.lit(None).cast("long")) \
+                .withColumn("st_avg", F.lit(None).cast("double")) \
+                .withColumn("st_realized", F.lit(None).cast("double")) \
+                .withColumn("st_lastpx", F.lit(None).cast("double"))
+    st_acct = states.select(
+        F.col("slice").cast("timestamp").alias("ts"), "hub", "account",
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("mw"),
+        F.lit(None).cast("double").alias("price_mwh"),
+        F.lit(0).cast("long").alias("trade_id"),
+        F.lit(STATE).alias("kind"), "slice",
+        "st_pos", "st_avg", "st_realized",
+        F.lit(None).cast("double").alias("st_lastpx"))
+    st_px = entry_px.select(
+        F.col("slice").cast("timestamp").alias("ts"), "hub",
+        F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("string").alias("side"),
+        F.lit(None).cast("long").alias("mw"),
+        F.lit(None).cast("double").alias("price_mwh"),
+        F.lit(0).cast("long").alias("trade_id"),
+        F.lit(STATE).alias("kind"), "slice",
+        F.lit(None).cast("long").alias("st_pos"),
+        F.lit(None).cast("double").alias("st_avg"),
+        F.lit(None).cast("double").alias("st_realized"),
+        F.col("st_lastpx"))
+    out = (ev.unionByName(st_acct).unionByName(st_px)
+             .groupBy("hub", "slice")
+             .applyInPandas(_fold_slice, PNL_OUT_SCHEMA))
     if snapshot_only:
         from kafka_flink_processing_spark.operators.windows import latest_per_key
         out = latest_per_key(out, ["hub", "account"], ["ts", "position_mw"])

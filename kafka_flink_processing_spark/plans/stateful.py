@@ -177,6 +177,25 @@ def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "pnl_positions_sliced",
+    oracle=None,
+    doc="W2/W3 replay sharded by (hub, day) with carried-in boundary state "
+        "— bit-identical output to pnl_positions_fold (asserted in "
+        "tests/test_pnl.py) but fold parallelism = hubs x days instead of "
+        "hubs, so a hot hub no longer serializes one task at 100 TB. The "
+        "sequential pass per hub touches only the sparse trade stream; the "
+        "fan-out-heavy emission parallelizes across slices "
+        "(operators/pnl.py::pnl_positions_sliced). Costs ~3 extra small "
+        "shuffles, so the single-fold form stays the benched entry at "
+        "local scale.",
+)
+def pnl_positions_sliced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_sliced
+    trades, prices = derive_market(spark, sf_dir)
+    return pnl_positions_sliced(trades, prices)
+
+
+@register(
     "pnl_exposure",
     oracle=None,
     doc="P4 exposure projection over the fold output (pnl01, notional_usd — "

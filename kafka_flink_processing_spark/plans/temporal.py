@@ -422,21 +422,36 @@ def time_rollup_multigrain(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ROWS frames (SURVEY.md §2.6). Frame key = floor(epoch seconds) on "
         "BOTH engines so frame membership is bit-identical; the windowed sum "
         "is long-scaled (functions/exact.py) because a variable-size frame "
-        "cannot use the lag-chain oracle trick. One shuffle on event_type; "
-        "ties on the same second are peers in both engines, so the result "
-        "is order-deterministic. Scale note: a per-key global sort; at "
-        "100 TB re-key to (event_type, day) with a 5-min boundary carry to "
-        "bound partition size.",
+        "cannot use the lag-chain oracle trick. Partitioned by (event_type, "
+        "day) — NOT bare event_type, which at 100 TB makes one sort "
+        "partition hold corpus/|event_type| rows: each day's last 300 "
+        "seconds are duplicated into the next day's partition as "
+        "frame-feeder rows (output-suppressed), so every trailing frame is "
+        "complete and the result is bit-identical to the single-partition "
+        "form while partitions stay day-sized. Ties on the same second are "
+        "peers in both engines, so the result is order-deterministic.",
 )
 def time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = (load_table(spark, "events", sf_dir)
-          .withColumn("ts_sec", F.col("ts").cast("long")))
-    w = (Window.partitionBy("event_type").orderBy("ts_sec")
+          .withColumn("ts_sec", F.col("ts").cast("long"))
+          .withColumn("day", F.to_date("ts")))
+    # boundary carry: rows in a day's trailing 300 s feed the next day's
+    # first frames; emitted once (carry copies are filtered post-window)
+    next_day_start = F.unix_timestamp(
+        F.date_add(F.col("day"), 1).cast("timestamp"))
+    main = ev.withColumn("is_carry", F.lit(False))
+    carry = (ev.filter(F.col("ts_sec") >= next_day_start - 300)
+               .withColumn("day", F.date_add(F.col("day"), 1))
+               .withColumn("is_carry", F.lit(True)))
+    u = main.unionByName(carry)
+    w = (Window.partitionBy("event_type", "day").orderBy("ts_sec")
          .rangeBetween(-300, 0))
     scaled = F.round(F.col("value") * 10000).cast("long")
     n = F.count("value").over(w)
-    return ev.select(
-        "event_id", "event_type", "ts", "value",
-        n.cast("long").alias("n_5min"),
-        ((F.sum(scaled).over(w).cast("double") / 10000.0) / n)
-        .alias("avg_5min"))
+    return (u.select(
+                "event_id", "event_type", "ts", "value", "is_carry",
+                n.cast("long").alias("n_5min"),
+                ((F.sum(scaled).over(w).cast("double") / 10000.0) / n)
+                .alias("avg_5min"))
+             .filter(~F.col("is_carry"))
+             .drop("is_carry"))

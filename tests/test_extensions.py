@@ -238,3 +238,52 @@ def test_contamination_screen_ground_truth(docs):
     rows = {r.doc_id: r.n_shared_grams for r in got.collect()}
     assert rows == expect
     assert all(r.n_shared_grams <= r.n_grams for r in got.collect())
+
+
+def test_ngram_max_df_bounds_hot_shingle_candidates(spark):
+    """A boilerplate sentence shared by many docs must NOT explode the
+    inverted-index self-join: with the df cap the hot shingles leave the
+    index entirely, so candidate intersections stay bounded, while pairs
+    that are near-dups through RARE shingles still surface."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        _doc_shingles,
+        _jaccard_intersections,
+    )
+    boiler = "all rights reserved by the example corporation of somewhere"
+    rows = [(i, f"{boiler} unique{i}a unique{i}b unique{i}c unique{i}d")
+            for i in range(40)]
+    # one true near-dup pair sharing rare content, no boilerplate
+    rows += [(100, "rare alpha beta gamma delta epsilon zeta eta theta"),
+             (101, "rare alpha beta gamma delta epsilon zeta eta iota")]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    ds = _doc_shingles(docs, "doc_id", "text", 3)
+
+    uncapped = _jaccard_intersections(ds, False, None).count()
+    capped = _jaccard_intersections(ds, False, 10).count()
+    # 40 docs x 7 shared boilerplate shingles -> C(40,2)=780 hot pairs
+    assert uncapped >= 780
+    assert capped < 40  # hot shingles gone; only rare-shingle pairs remain
+
+    out = ngram_jaccard_pairs(docs, n=3, threshold=0.5, max_df=10).collect()
+    assert {(r.doc_a, r.doc_b) for r in out} == {(100, 101)}
+
+
+def test_lsh_cosine_pairs_exact_vs_bruteforce(emb):
+    """The LSH-candidate pair miner must recover EXACTLY the brute-force
+    pair set at the registered threshold (recall 1.0 on this corpus — the
+    driver's brute-force oracle depends on it), and its plan must contain
+    no all-pairs join (no cartesian/broadcast-nested-loop node)."""
+    from kafka_flink_processing_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+    lsh = lsh_cosine_pairs(emb, threshold=0.45)
+    plan = lsh._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    exact = {(r.vec_a, r.vec_b): r.cosine
+             for r in cosine_pairs(emb, threshold=0.45).collect()}
+    got = {(r.vec_a, r.vec_b): r.cosine for r in lsh.collect()}
+    assert set(got) == set(exact)
+    for k in exact:
+        assert got[k] == exact[k]  # identical fold => bit-equal cosine

@@ -180,3 +180,68 @@ def test_spark_fold_equals_spec_on_events_derivation(spark):
     want = {tuple(sorted(r.items())) for r in want_rows}
     assert len(spark_rows) == len(want_rows)
     assert got == want
+
+
+def test_sliced_fold_bitwise_equals_single_fold(spark):
+    """The (hub, day-slice) sharded fold with carried-in state must produce
+    EXACTLY the single-fold output — same rows, bit-equal floats (state
+    crosses the Arrow boundary as float64 round-trips, so the arithmetic
+    path per record is identical). The derivation spans 30 days, so this
+    genuinely exercises ~30 boundary carries per hub."""
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_sliced
+    from kafka_flink_processing_spark.plans.stateful import derive_market
+    trades, prices = derive_market(spark, "/root/testdata/sf0.001")
+    single = pnl_positions(trades, prices).collect()
+    sliced = pnl_positions_sliced(trades, prices).collect()
+    assert len(single) == len(sliced)
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert {key(r) for r in single} == {key(r) for r in sliced}
+
+
+def test_sliced_fold_boundary_fixture():
+    """Hand fixture crossing a midnight boundary: position opened on day 1,
+    price ticks on day 2 must emit fan-out rows for the carried account at
+    the carried avg/realized, with last_price carried from day 1."""
+    import pandas as pd
+    from kafka_flink_processing_spark.operators.pnl import (
+        STATE,
+        _boundary_states,
+        _fold_slice,
+    )
+    d1 = dt.datetime(2024, 1, 1, 23, 50)
+    d2 = dt.datetime(2024, 1, 2, 0, 0)
+    # phase A: one trade on day 1, markers for both days
+    pa = pd.DataFrame([
+        dict(ts=d1, hub="H", account="A", side="BUY", mw=10.0,
+             price_mwh=40.0, trade_id=1, kind=TRADE,
+             slice=dt.date(2024, 1, 1)),
+        dict(ts=dt.datetime(2024, 1, 1), hub="H", account=None, side=None,
+             mw=None, price_mwh=None, trade_id=0, kind=STATE,
+             slice=dt.date(2024, 1, 1)),
+        dict(ts=d2, hub="H", account=None, side=None, mw=None,
+             price_mwh=None, trade_id=0, kind=STATE,
+             slice=dt.date(2024, 1, 2)),
+    ])
+    states = _boundary_states(pa).to_dict("records")
+    assert states == [dict(hub="H", slice=dt.date(2024, 1, 2), account="A",
+                           st_pos=10, st_avg=40.0, st_realized=0.0)]
+    # phase C: day-2 shard = carried state + a price tick
+    pc = pd.DataFrame([
+        dict(ts=d2, hub="H", account="A", side=None, mw=None, price_mwh=None,
+             trade_id=0, kind=STATE, slice=dt.date(2024, 1, 2),
+             st_pos=10, st_avg=40.0, st_realized=0.0, st_lastpx=None),
+        dict(ts=d2, hub="H", account=None, side=None, mw=None,
+             price_mwh=None, trade_id=0, kind=STATE,
+             slice=dt.date(2024, 1, 2), st_pos=None, st_avg=None,
+             st_realized=None, st_lastpx=41.0),
+        dict(ts=dt.datetime(2024, 1, 2, 0, 5), hub="H", account=None,
+             side=None, mw=None, price_mwh=45.0, trade_id=0, kind=PRICE,
+             slice=dt.date(2024, 1, 2), st_pos=None, st_avg=None,
+             st_realized=None, st_lastpx=None),
+    ])
+    out = _fold_slice(pc).to_dict("records")
+    assert len(out) == 1
+    r = out[0]
+    assert (r["account"], r["position_mw"], r["avg_price_mwh"],
+            r["last_price_mwh"], r["unrealized_pnl"]) == ("A", 10, 40.0,
+                                                          45.0, 50.0)
