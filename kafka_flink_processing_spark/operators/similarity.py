@@ -138,6 +138,31 @@ def _codebook_df(spark, centroids) -> DataFrame:
     return df.withColumn("cn", _norm(F.col("cv")))
 
 
+def _scored_cells(base: DataFrame, cents: DataFrame, id_col: str,
+                  vec_col: str) -> DataFrame:
+    """Every (vector, centroid) cosine: broadcast K-row codebook against the
+    partitioned corpus — N*K scored rows, never shuffled."""
+    cos_to_cent = _dot(F.col(vec_col), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    return (base.crossJoin(F.broadcast(cents))
+                .select(F.col(id_col), F.col(vec_col), F.col("nrm"),
+                        F.col("cid"), cos_to_cent.alias("ccos")))
+
+
+def _argmax_cell(scored_cells: DataFrame, id_col: str,
+                 vec_col: str) -> DataFrame:
+    """Nearest-cell assignment (id, vec, nrm, cell) — argmax by (cosine,
+    then smallest cid). Struct ordering is lexicographic, so
+    max_by(cid, struct(ccos, -cid)) picks exactly the oracle's
+    ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates map-side,
+    so the one exchange carries ~N rows, not N*K."""
+    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
+    return (scored_cells
+            .groupBy(id_col)
+            .agg(F.max_by("cid", tie).cast("long").alias("cell"),
+                 F.first(vec_col).alias(vec_col),
+                 F.first("nrm").alias("nrm")))
+
+
 def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
@@ -163,19 +188,8 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                                     id_col=id_col, vec_col=vec_col)
     base = with_unit_info(emb, vec_col)
     cents = _codebook_df(emb.sparkSession, centroids)
-    cos_to_cent = _dot(F.col(vec_col), F.col("cv")) / (F.col("nrm") * F.col("cn"))
-    scored_cells = (base.crossJoin(F.broadcast(cents))
-                    .select(F.col(id_col), F.col(vec_col), F.col("nrm"),
-                            F.col("cid"), cos_to_cent.alias("ccos")))
-    # argmax by (cosine, then smallest cid) — struct ordering is
-    # lexicographic, so max(struct(ccos, -cid)) picks exactly the oracle's
-    # ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates map-side.
-    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
-    asg = (scored_cells
-           .groupBy(id_col)
-           .agg(F.max_by("cid", tie).cast("long").alias("cell"),
-                F.first(vec_col).alias(vec_col),
-                F.first("nrm").alias("nrm")))
+    scored_cells = _scored_cells(base, cents, id_col, vec_col)
+    asg = _argmax_cell(scored_cells, id_col, vec_col)
 
     wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
     probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
@@ -261,3 +275,54 @@ def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.45,
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold))
+
+
+# SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
+# clustering the embedding space and pruning near-identical vectors WITHIN
+# each cluster — the pairwise cosine never crosses cluster boundaries, which
+# is what makes it tractable at corpus scale.
+SEMDEDUP_THRESHOLD = 0.45  # the testdata's planted near-dup regime (same
+#                            threshold as lsh_cosine_pairs)
+
+
+def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
+             centroids=None, id_col: str = "vec_id",
+             vec_col: str = "embedding") -> DataFrame:
+    """Semantic dedup: one (id, cell, keep) row per vector.
+
+    A vector is dropped iff some SAME-CELL vector with a smaller id sits at
+    cosine >= threshold — the deterministic keep-lowest-id variant of
+    SemDeDup's per-cluster pruning (the paper keeps one random member per
+    e-ball; lowest-id is the engine-portable refinement). Cross-cell
+    near-dups are deliberately out of scope — that approximation is the
+    algorithm's entire scale story.
+
+    Scale shape: cell assignment is the IVF quantizer's (broadcast codebook,
+    map-side argmax, one ~N-row exchange); the pairwise stage joins on
+    `cell` only, so cost is sum(m_c^2) over cell sizes m_c — at 100 TB you
+    raise K with the corpus (cells stay executor-sized) exactly as for
+    similarity_ivf_topk, and the pair join parallelizes per cell. Dropping
+    is a size-(#dups) distinct + left join back onto the assignment.
+    """
+    if centroids is None:
+        from kafka_flink_processing_spark.operators.kmeans import kmeans_train
+        centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
+                                    id_col=id_col, vec_col=vec_col)
+    base = with_unit_info(emb, vec_col)
+    cents = _codebook_df(emb.sparkSession, centroids)
+    asg = _argmax_cell(_scored_cells(base, cents, id_col, vec_col),
+                       id_col, vec_col)
+    a = asg.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
+                   F.col("nrm").alias("na"), "cell")
+    b = asg.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
+                   F.col("nrm").alias("nb"), "cell")
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    dups = (a.join(b, "cell")
+             .filter(F.col("vec_a") < F.col("vec_b"))
+             .select(F.col("vec_b").alias(id_col), cos.alias("cosine"))
+             .filter(F.col("cosine") >= threshold)
+             .select(id_col).distinct()
+             .withColumn("_dup", F.lit(True)))
+    return (asg.join(dups, id_col, "left")
+               .select(F.col(id_col), F.col("cell"),
+                       F.coalesce(~F.col("_dup"), F.lit(True)).alias("keep")))

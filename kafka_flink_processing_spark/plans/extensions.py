@@ -555,6 +555,46 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dedup_semantic",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS ({_codebook_values_sql()}),
+    asgj AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, nrm, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1),
+    dups AS (SELECT DISTINCT b.vec_id
+             FROM asg a JOIN asg b
+               ON a.cell = b.cell AND a.vec_id < b.vec_id
+             WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
+                     / (a.nrm * b.nrm) >= 0.45)
+    SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
+    FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
+    """,
+    doc="SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic near-dup "
+        "pruning WITHIN coarse-quantizer cells — drop any vector with a "
+        "smaller-id same-cell neighbor at cosine >= 0.45 (keep-lowest-id "
+        "refinement of the paper's per-cluster e-ball pruning; cross-cell "
+        "dups deliberately out of scope — that approximation IS the scale "
+        "story). Cell assignment = the pinned IVF codebook (broadcast, "
+        "map-side argmax); pairwise cosine joins on `cell` only, cost "
+        "sum(m_c^2) — raise K with corpus size so cells stay "
+        "executor-sized. operators/similarity.py::semdedup.",
+)
+def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import semdedup
+    emb = load_table(spark, "embeddings", sf_dir)
+    # same pinned-codebook contract as similarity_ivf_topk: the static
+    # oracle embeds the one artifact, live per-corpus training is the
+    # operator default (centroids=None)
+    return semdedup(emb, threshold=0.45, centroids=IVF_CENTROIDS)
+
+
+@register(
     "embedding_cosine_pairs",
     oracle=f"""
     WITH {_COSINE_BASE_SQL}
@@ -1341,3 +1381,51 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("has_pii"),
         F.md5("clean").alias("clean_md5"),
         F.length("clean").cast("long").alias("clean_len"))
+
+
+# ---------------------------------------------------------------------------
+# Sequence packing — training-shard assembly by token budget
+# ---------------------------------------------------------------------------
+
+from kafka_flink_processing_spark.operators.packing import (  # noqa: E402
+    DEFAULT_BUDGET,
+    pack_summary,
+)
+
+
+@register(
+    "sequence_packing",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, doc_id, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_tokens
+      FROM toks
+    )
+    SELECT source, prefix_tokens // {DEFAULT_BUDGET} AS seq_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
+           MIN(doc_id) AS first_doc_id,
+           MAX(doc_id) AS last_doc_id,
+           (CAST(SUM(n_tokens) AS BIGINT) * 1000) // {DEFAULT_BUDGET}
+             AS fill_1000
+    FROM packed GROUP BY 1, 2
+    """,
+    doc="contiguous sequence packing: cut each source's doc_id-ordered "
+        "stream into ~2048-token training packs via an exclusive token "
+        "prefix-sum (seq_id = prefix div budget; docs never split, overflow "
+        "bounded by one doc). One window shuffle on the shard key, integer "
+        "arithmetic only; parallelism = #shards — re-key to (source, "
+        "date-bucket) for giant sources, same lever as the day-keyed RANGE "
+        "window in plans/temporal.py. operators/packing.py.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return pack_summary(docs.select("source", "doc_id", "text"))

@@ -419,6 +419,56 @@ def approx_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exact_quantiles_value",
+    oracle="""
+    WITH r AS (
+      SELECT event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY event_type
+                                ORDER BY value, event_id) AS rn,
+             COUNT(*) OVER (PARTITION BY event_type) AS n
+      FROM events
+    )
+    SELECT event_type,
+           MIN(CASE WHEN rn = CAST(CEIL(0.50 * n) AS BIGINT)
+                    THEN value END) AS p50,
+           MIN(CASE WHEN rn = CAST(CEIL(0.95 * n) AS BIGINT)
+                    THEN value END) AS p95,
+           MIN(CASE WHEN rn = CAST(CEIL(0.99 * n) AS BIGINT)
+                    THEN value END) AS p99,
+           CAST(MAX(n) AS BIGINT) AS n_rows
+    FROM r GROUP BY event_type
+    """,
+    doc="exact rank-based p50/p95/p99 of value per event_type "
+        "(percentile_disc semantics: the value at rank ceil(p*n) — "
+        "deterministic and engine-portable where interpolating quantile "
+        "implementations drift). The oracle-gated counterpart of "
+        "approx_quantiles_value: one window shuffle on the group key, "
+        "rank filter, tiny final agg. At 100 TB the approx variant is the "
+        "production path (bounded-memory digests, map-side merge); this "
+        "exact form is the certification/backstop path and the per-group "
+        "sort it needs is the documented cost.",
+)
+def exact_quantiles_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    wn = Window.partitionBy("event_type")
+    ranked = (ev.select("event_type", "value", "event_id")
+                .withColumn("rn", F.row_number().over(w))
+                .withColumn("n", F.count("*").over(wn)))
+
+    def at(p: float) -> F.Column:
+        return F.min(F.when(F.col("rn")
+                            == F.ceil(F.lit(p) * F.col("n")),
+                            F.col("value")))
+
+    return (ranked.groupBy("event_type")
+                  .agg(at(0.50).alias("p50"),
+                       at(0.95).alias("p95"),
+                       at(0.99).alias("p99"),
+                       F.max("n").cast("long").alias("n_rows")))
+
+
+@register(
     "not_in_null_aware",
     oracle="""
     SELECT c_custkey, c_name, c_acctbal

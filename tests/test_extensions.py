@@ -287,3 +287,85 @@ def test_lsh_cosine_pairs_exact_vs_bruteforce(emb):
     assert set(got) == set(exact)
     for k in exact:
         assert got[k] == exact[k]  # identical fold => bit-equal cosine
+
+
+# ---------------------------------------------------------------------------
+# sequence packing
+# ---------------------------------------------------------------------------
+
+def test_pack_sequences_invariants(spark):
+    """Contiguous-packing invariants per shard: pack ids start at 0 and are
+    dense, every pack has >= 1 doc, each pack's token total overflows the
+    budget by at most its final document, and doc order is preserved
+    (doc_id ranges of consecutive packs never interleave)."""
+    from kafka_flink_processing_spark.operators.packing import (
+        pack_sequences,
+        pack_summary,
+    )
+    budget = 512  # small budget => many packs on the tiny corpus
+    docs = load_table(spark, "documents", SF).select(
+        "source", "doc_id", "text")
+    rows = pack_sequences(docs, budget).orderBy("source", "doc_id").collect()
+    assert rows
+
+    by_shard: dict[str, list] = {}
+    for r in rows:
+        by_shard.setdefault(r.source, []).append(r)
+    for src, docs_in in by_shard.items():
+        # exclusive prefix sum replays exactly
+        run = 0
+        for r in docs_in:
+            assert r.prefix_tokens == run, (src, r.doc_id)
+            assert r.seq_id == run // budget
+            run += r.n_tokens
+        seqs = [r.seq_id for r in docs_in]
+        assert seqs[0] == 0 and seqs == sorted(seqs)
+        assert set(seqs) == set(range(max(seqs) + 1))  # dense ids
+
+    summary = pack_summary(docs, budget).collect()
+    tok = {(r.source, r.doc_id): r.n_tokens for r in rows}
+    last = {(r.source, r.seq_id): r.doc_id for r in rows}
+    for s in summary:
+        assert s.n_docs >= 1
+        # overflow bound: total - last doc's tokens < budget
+        last_tok = tok[(s.source, last[(s.source, s.seq_id)])]
+        assert s.seq_tokens - last_tok < budget
+
+
+def test_pack_sequences_rejects_bad_budget(spark):
+    from kafka_flink_processing_spark.operators.packing import pack_sequences
+    docs = load_table(spark, "documents", SF)
+    with pytest.raises(ValueError):
+        pack_sequences(docs, 0)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup
+# ---------------------------------------------------------------------------
+
+def test_semdedup_drop_set_matches_bruteforce_within_cells(spark):
+    """Every dropped vector must have a smaller-id same-cell neighbor at
+    cosine >= t (verified against the brute-force pair list), and at a
+    threshold above the corpus max cosine nothing is dropped."""
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        cosine_pairs,
+        semdedup,
+    )
+    emb = load_table(spark, "embeddings", SF)
+    t = 0.40
+    out = semdedup(emb, threshold=t, centroids=IVF_CENTROIDS).collect()
+    assert len(out) == emb.count()
+    cell = {r.vec_id: r.cell for r in out}
+    dropped = {r.vec_id for r in out if not r.keep}
+    assert dropped  # sf0.001 has pairs above 0.40
+
+    pairs = cosine_pairs(emb, threshold=t).collect()
+    expect = {p.vec_b for p in pairs if cell[p.vec_a] == cell[p.vec_b]}
+    # keep-lowest-id over within-cell pairs is exactly the drop rule
+    assert dropped == expect
+
+    all_kept = semdedup(emb, threshold=0.99, centroids=IVF_CENTROIDS)
+    assert all_kept.filter(~F.col("keep")).count() == 0

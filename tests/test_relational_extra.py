@@ -57,3 +57,25 @@ def test_approx_quantiles_close_to_exact(spark):
         for approx, ex in zip(approxes, exact):
             # value-space tolerance: 5% of the p50..p99 spread per group
             assert abs(approx - ex) <= 0.05 * spread, (r.event_type, approx, ex)
+
+
+def test_exact_quantiles_match_numpy_rank_selection(spark):
+    """p50/p95/p99 must equal the value at rank ceil(p*n) under
+    (value, event_id) ordering — re-derived independently in pandas."""
+    import math
+
+    from kafka_flink_processing_spark.plans.relational import (
+        exact_quantiles_value,
+    )
+    rows = {r.event_type: r for r in exact_quantiles_value(spark, SF).collect()}
+    assert rows
+
+    pdf = (spark.read.parquet(f"{SF}/events.parquet")
+                .select("event_type", "value", "event_id").toPandas())
+    for et, grp in pdf.groupby("event_type"):
+        vals = grp.sort_values(["value", "event_id"]).value.to_numpy()
+        n = len(vals)
+        r = rows[et]
+        assert r.n_rows == n
+        for p, got in [(0.50, r.p50), (0.95, r.p95), (0.99, r.p99)]:
+            assert got == vals[math.ceil(p * n) - 1], (et, p, got)
