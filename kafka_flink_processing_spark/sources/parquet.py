@@ -23,7 +23,10 @@ DEFAULT_SF_DIR = "/root/testdata/sf0.001"
 # TimestampType cannot hold. We read them as raw nanos
 # (spark.sql.legacy.parquet.nanosAsLong) and floor to µs — byte-identical to
 # how DuckDB (the correctness oracle) converts the same files on read
-# (verified: floor, not round).
+# (verified: floor, not round). Testdata generations vary: some rounds write
+# NANOS (→ LongType under the legacy flag), some write µs with
+# isAdjustedToUTC=false (→ TimestampNTZType). Both are normalized to plain
+# TimestampType here so every downstream plan sees one timestamp type.
 _NANOS_TS_COLS = {"events": ("ts",)}
 
 # Compute-dense tables: tiny on disk (snappy text / packed vectors compress
@@ -47,6 +50,12 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
             # integral `div` keeps full 64-bit precision (a float `/` would
             # round 1.7e18-scale nanos); values are post-epoch so div==floor
             df = df.withColumn(col, F.timestamp_micros(F.expr(f"`{col}` div 1000")))
+    # µs-precision naive timestamps (TIMESTAMP_NTZ): reinterpret the wall
+    # clock as UTC (session tz is pinned to UTC in session.py, so the cast
+    # is value-preserving and matches DuckDB's naive read of the same file)
+    for field in df.schema.fields:
+        if isinstance(field.dataType, T.TimestampNTZType):
+            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
     if name in _COMPUTE_DENSE_TABLES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df
