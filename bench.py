@@ -51,7 +51,14 @@ def main() -> None:
     def _noop(s: pd.Series) -> pd.Series:
         return s
 
-    force(spark.range(0, 32 * 1024, 1, 32).select(_noop("id")))
+    warm = spark.range(0, 32 * 1024, 1, 32)
+    force(warm.select(_noop("id")))
+    # applyInPandas / mapInPandas run in their own worker pool (different
+    # eval type than scalar pandas_udf) — warm those too so the fold-family
+    # queries measure the operator, not the one-time Python fork.
+    force(warm.groupBy((F.col("id") % 32).alias("g"))
+              .applyInPandas(lambda pdf: pdf, schema="id long, g long"))
+    force(warm.mapInPandas(lambda it: it, schema="id long"))
 
     # best-of-2 per query: this box shares cores with the build driver, so a
     # single pass can catch a 5-10x contention spike on one query (observed

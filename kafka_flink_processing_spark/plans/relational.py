@@ -713,10 +713,10 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            ABS(value - 100.0) AS abs_dev,
            GREATEST(value, 100.0) AS hi,
            LEAST(value, 100.0) AS lo,
-           FLOOR(value) AS flr,
-           CEILING(value) AS cl,
+           CAST(FLOOR(value) AS BIGINT) AS flr,
+           CAST(CEILING(value) AS BIGINT) AS cl,
            SQRT(value) AS sq,
-           SIGN(value - 100.0) AS sgn,
+           CAST(SIGN(value - 100.0) AS DOUBLE) AS sgn,
            CAST(TRUNC(value) AS BIGINT) AS value_int,
            YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,
            HOUR(ts) AS h, MINUTE(ts) AS mi, SECOND(ts) AS s,
@@ -730,8 +730,10 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="scalar battery: round/clamp (producer.py:47 P7), date parts, "
         "string fns, conditional null handling — all JVM built-ins inside "
-        "whole-stage codegen. Transcendentals (exp/ln/pow) are excluded "
-        "from the oracle set: libm vs java.lang.Math differ by ~1 ulp.",
+        "whole-stage codegen. Oracle casts align DuckDB dtypes with Spark: "
+        "DuckDB SIGN()->int8 vs Spark signum->double; DuckDB FLOOR/CEILING"
+        "->double vs Spark->long. Values are bitwise identical either way; "
+        "the driver hashes raw frames, so dtypes must match too.",
 )
 def scalar_battery(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)

@@ -257,7 +257,7 @@ def running_position(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type,
            COUNT(*) AS n,
            COUNT(k) AS n_with_k,
-           SUM(k) AS sum_k,
+           CAST(SUM(k) AS BIGINT) AS sum_k,
            MIN(k) AS min_k,
            MAX(k) AS max_k,
            CAST(SUM(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
@@ -422,8 +422,10 @@ def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT e.event_type, b.p05, b.p95, b.n_rows,
            {dsum_sql('LEAST(GREATEST(e.value, b.p05), b.p95)')}
              AS winsorized_sum,
-           SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS n_clipped_low,
-           SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS n_clipped_high
+           CAST(SUM(CASE WHEN e.value < b.p05 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_low,
+           CAST(SUM(CASE WHEN e.value > b.p95 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clipped_high
     FROM events e JOIN bounds b USING (event_type)
     GROUP BY 1, 2, 3, 4
     """,

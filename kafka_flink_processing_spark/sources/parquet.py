@@ -44,6 +44,10 @@ _COMPUTE_DENSE_TABLES = {"documents", "embeddings"}
 def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> DataFrame:
     sf_dir = sf_dir or DEFAULT_SF_DIR
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # The NTZ->Timestamp normalization below is only value-preserving under
+    # UTC; session.py pins it, but load_table accepts any session — pin here
+    # too so a foreign session can't silently shift wall-clock values.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     for col in _NANOS_TS_COLS.get(name, ()):
         if col in df.columns and isinstance(df.schema[col].dataType, T.LongType):
@@ -55,7 +59,8 @@ def load_table(spark: SparkSession, name: str, sf_dir: str | None = None) -> Dat
     # is value-preserving and matches DuckDB's naive read of the same file)
     for field in df.schema.fields:
         if isinstance(field.dataType, T.TimestampNTZType):
-            df = df.withColumn(field.name, F.col(field.name).cast(T.TimestampType()))
+            df = df.withColumn(field.name,
+                               F.col(f"`{field.name}`").cast(T.TimestampType()))
     if name in _COMPUTE_DENSE_TABLES:
         df = df.repartition(spark.sparkContext.defaultParallelism)
     return df

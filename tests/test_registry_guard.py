@@ -1,0 +1,67 @@
+"""Guard against silently un-verifying queries (the r2 failure mode).
+
+The driver's correctness harness oracle-checks only the FIRST
+``registry.DRIVER_WINDOW`` queries in ``queries()`` order each round. In
+round 2, adding queries early in registration order pushed
+``dedup_minhash_lsh``/``dedup_clusters`` (driver-green in r1) out of the
+window — a regression in them would have shipped invisibly. These tests
+make that failure mode a test failure instead.
+"""
+
+from __future__ import annotations
+
+import json
+from pathlib import Path
+
+from kafka_flink_processing_spark.plans import registry
+
+REPO = Path(__file__).resolve().parent.parent
+
+
+def _committed_rows() -> set[str]:
+    """Query names with ANY driver row (green or rows-only) in a committed
+    CORRECTNESS_r*.json."""
+    names: set[str] = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        names |= set(json.loads(p.read_text()))
+    return names
+
+
+def test_priority_exactly_fills_driver_window():
+    # Every _PRIORITY name must exist (a typo would silently shrink the
+    # window) and the list must be exactly the window size so the choice of
+    # what gets driver signal stays explicit.
+    registry._ensure_loaded()
+    unknown = [n for n in registry._PRIORITY if n not in registry.QUERIES]
+    assert not unknown, f"_PRIORITY names not registered: {unknown}"
+    assert len(registry._PRIORITY) == len(set(registry._PRIORITY))
+    assert len(registry._PRIORITY) == registry.DRIVER_WINDOW
+
+
+def test_every_query_has_driver_signal():
+    # window this round ∪ rows recorded in committed CORRECTNESS files
+    # must cover every registered query; a new query must either enter the
+    # priority window or wait until rotation gives it one.
+    ordered = list(registry.queries())
+    window = set(ordered[:registry.DRIVER_WINDOW])
+    covered = window | _committed_rows()
+    uncovered = [n for n in ordered if n not in covered]
+    assert not uncovered, (
+        f"queries with no driver correctness signal (not in this round's "
+        f"first-{registry.DRIVER_WINDOW} window and no committed row): "
+        f"{uncovered}")
+
+
+def test_window_prefers_unproven_queries():
+    # Queries that have never had a GREEN (hash or rows-only) driver row
+    # must sit inside the window — they are the ones needing proof.
+    green: set[str] = set()
+    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+        for name, row in json.loads(p.read_text()).items():
+            if row.get("hash_match") is True or row.get("err") == "no_oracle":
+                green.add(name)
+    ordered = list(registry.queries())
+    window = set(ordered[:registry.DRIVER_WINDOW])
+    never_proven = [n for n in ordered if n not in green]
+    outside = [n for n in never_proven if n not in window]
+    assert not outside, f"never-proven queries outside driver window: {outside}"

@@ -62,6 +62,20 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
         return False
     if not ok:
         return False
+    # The driver hashes the RAW frames, so a dtype mismatch (e.g. DuckDB
+    # SIGN()->int8 vs Spark signum->double, or HUGEINT->float64 vs long)
+    # hash-fails there even when values are bitwise identical. Replicate
+    # that sensitivity: fail on numeric-kind mismatch (int vs float).
+    for c in s_cols:
+        sk = spark_pdf[c].dtype.kind
+        dk = duck_pdf[c].dtype.kind
+        if {sk, dk} <= {"i", "u", "f"} and (sk in "iu") != (dk in "iu"):
+            print(f"  DTYPE KIND MISMATCH col={c}: spark={spark_pdf[c].dtype} "
+                  f"duck={duck_pdf[c].dtype} (driver hash would differ — "
+                  f"CAST the oracle column to Spark's type)")
+            ok = False
+    if not ok:
+        return False
     s, d = normalize(spark_pdf), normalize(duck_pdf)
     for c in s.columns:
         sv, dv = s[c], d[c]
