@@ -57,7 +57,7 @@ def main() -> None:
     # eval type than scalar pandas_udf) — warm those too so the fold-family
     # queries measure the operator, not the one-time Python fork.
     force(warm.groupBy((F.col("id") % 32).alias("g"))
-              .applyInPandas(lambda pdf: pdf, schema="id long, g long"))
+              .applyInPandas(lambda pdf: pdf, schema="id long"))
     force(warm.mapInPandas(lambda it: it, schema="id long"))
 
     # best-of-2 per query: this box shares cores with the build driver, so a

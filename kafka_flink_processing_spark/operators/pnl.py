@@ -91,23 +91,28 @@ _STATE_SCHEMA = ("hub string, slice date, account string, st_pos long, "
 
 
 def _boundary_states(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase A (one hub): fold ONLY the trades in total order; at each
-    slice-boundary marker emit the per-account state as of that instant.
-    Prices never enter here — position/avg/realized change only on trades,
-    so the sequential-per-hub pass touches the sparse stream."""
+    """Phase A (one (hub, account)): fold ONLY this account's trades in
+    total order; at each slice-boundary marker emit the state as of that
+    instant (only once the account has traded — an account unseen at a
+    boundary carries no state, matching the single fold's lazy dict).
+    Prices never enter here — position/avg/realized change only on trades.
+    Keyed by (hub, account), NOT hub: account states are independent (the
+    only hub-global state, last_price, is derived relationally in phase B),
+    so the sequential pass parallelizes across accounts too instead of
+    serializing each hub's full trade stream through one task."""
     pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
-    accounts: dict[str, tuple] = {}
+    state = None
     out = []
     for r in pdf.to_dict("records"):
         if r["kind"] == STATE:  # marker: snapshot entry state for its slice
-            out.extend({"hub": r["hub"], "slice": r["slice"], "account": k,
-                        "st_pos": int(a[0]), "st_avg": a[1],
-                        "st_realized": a[2]} for k, a in accounts.items())
+            if state is not None:
+                out.append({"hub": r["hub"], "slice": r["slice"],
+                            "account": r["account"], "st_pos": int(state[0]),
+                            "st_avg": state[1], "st_realized": state[2]})
         else:
-            a = accounts.get(r["account"], (0, 0.0, 0.0))
+            a = state if state is not None else (0, 0.0, 0.0)
             signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
-            accounts[r["account"]] = apply_fill(a[0], a[1], a[2],
-                                                signed, r["price_mwh"])
+            state = apply_fill(a[0], a[1], a[2], signed, r["price_mwh"])
     cols = ["hub", "slice", "account", "st_pos", "st_avg", "st_realized"]
     return pd.DataFrame(out, columns=cols)
 
@@ -143,9 +148,11 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
     hubs — the reference's keyBy bound).
 
     Three-phase plan, one sequential pass only over the SPARSE stream:
-    A) per hub, fold trades + boundary markers in total order; emit each
-       account's (pos, avg, realized) at every slice boundary
-       (_boundary_states — position state changes only on trades);
+    A) per (hub, account), fold that account's trades + boundary markers in
+       total order; emit its (pos, avg, realized) at every slice boundary
+       (_boundary_states — position state changes only on trades, and
+       account states are independent, so this pass is parallel in
+       hubs x accounts);
     B) the boundary last-price is relational: max_by(price, ts) per
        (hub, slice), forward-filled across the slice grid with a window
        over the tiny hubs x slices table;
@@ -176,20 +183,27 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
         day(F.col("ts")).alias("slice"))
     unioned = t.unionByName(p)
 
-    # the (hub, slice) grid: one marker/state anchor per fold shard
+    # the (hub, slice) grid: one marker/state anchor per fold shard.
+    # Primed eagerly: three plan branches (markers, entry_px, phase-C union)
+    # read it inside one job and would race the cold cache otherwise — the
+    # same pathology the dedup signature memo hit in BENCH_r02.
     grid = unioned.select("hub", "slice").distinct().cache()
+    grid.count()
     slice_ts = F.col("slice").cast("timestamp")
 
-    # phase A input: trades + boundary markers, grouped per hub
-    markers = grid.select(
-        slice_ts.alias("ts"), F.col("hub"),
-        F.lit(None).cast("string").alias("account"),
+    # phase A input: trades + per-account boundary markers, grouped per
+    # (hub, account) — the account grid is tiny (it is phase A's own output
+    # key space), and per-account keying makes the sequential trade pass
+    # embarrassingly parallel instead of one task per hub.
+    accounts = t.select("hub", "account").distinct()
+    markers = grid.join(accounts, "hub").select(
+        slice_ts.alias("ts"), F.col("hub"), F.col("account"),
         F.lit(None).cast("string").alias("side"),
         F.lit(None).cast("long").alias("mw"),
         F.lit(None).cast("double").alias("price_mwh"),
         F.lit(0).cast("long").alias("trade_id"),
         F.lit(STATE).alias("kind"), F.col("slice"))
-    states = (t.unionByName(markers).groupBy("hub")
+    states = (t.unionByName(markers).groupBy("hub", "account")
                .applyInPandas(_boundary_states, _STATE_SCHEMA))
 
     # phase B: entry last-price per (hub, slice) — relational, no fold

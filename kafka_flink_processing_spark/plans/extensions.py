@@ -1409,7 +1409,10 @@ from kafka_flink_processing_spark.operators.packing import (  # noqa: E402
                0) AS prefix_tokens
       FROM toks
     )
-    SELECT source, prefix_tokens // {DEFAULT_BUDGET} AS seq_id,
+    SELECT source,
+           -- window-SUM is HUGEINT in DuckDB; cast so seq_id comes back
+           -- int64 like Spark's (the driver hashes raw dtypes)
+           CAST(prefix_tokens // {DEFAULT_BUDGET} AS BIGINT) AS seq_id,
            COUNT(*) AS n_docs,
            CAST(SUM(n_tokens) AS BIGINT) AS seq_tokens,
            MIN(doc_id) AS first_doc_id,

@@ -210,15 +210,17 @@ def test_sliced_fold_boundary_fixture():
     )
     d1 = dt.datetime(2024, 1, 1, 23, 50)
     d2 = dt.datetime(2024, 1, 2, 0, 0)
-    # phase A: one trade on day 1, markers for both days
+    # phase A (one (hub, account) group): one trade on day 1, this
+    # account's markers for both days — the day-1 marker precedes the trade
+    # so no state is emitted for it (account not yet seen)
     pa = pd.DataFrame([
         dict(ts=d1, hub="H", account="A", side="BUY", mw=10.0,
              price_mwh=40.0, trade_id=1, kind=TRADE,
              slice=dt.date(2024, 1, 1)),
-        dict(ts=dt.datetime(2024, 1, 1), hub="H", account=None, side=None,
+        dict(ts=dt.datetime(2024, 1, 1), hub="H", account="A", side=None,
              mw=None, price_mwh=None, trade_id=0, kind=STATE,
              slice=dt.date(2024, 1, 1)),
-        dict(ts=d2, hub="H", account=None, side=None, mw=None,
+        dict(ts=d2, hub="H", account="A", side=None, mw=None,
              price_mwh=None, trade_id=0, kind=STATE,
              slice=dt.date(2024, 1, 2)),
     ])
