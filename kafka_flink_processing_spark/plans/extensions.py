@@ -1432,3 +1432,128 @@ from kafka_flink_processing_spark.operators.packing import (  # noqa: E402
 def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     return pack_summary(docs.select("source", "doc_id", "text"))
+
+
+# ---------------------------------------------------------------------------
+# Dedup / index diagnostics (round 3)
+# ---------------------------------------------------------------------------
+
+@register(
+    "dup_span_stats",
+    oracle=f"""
+    {_SHINGLES3},
+    sizes AS (SELECT doc_id, CAST(len(sh) AS BIGINT) AS n_grams FROM ds),
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    dup_sh AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= 2),
+    hits AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dup_grams
+             FROM ex JOIN dup_sh USING (sh) GROUP BY doc_id)
+    SELECT s.doc_id, s.n_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) AS BIGINT) AS n_dup_grams,
+           CAST(COALESCE(h.n_dup_grams, 0) AS DOUBLE)
+             / GREATEST(s.n_grams, 1) AS dup_fraction
+    FROM sizes s LEFT JOIN hits h ON s.doc_id = h.doc_id
+    """,
+    doc="duplicated-span statistics: per document, the count and fraction "
+        "of its distinct word 3-grams that also occur in at least one "
+        "other document — the n-gram-granular form of the exact-substring "
+        "dedup signal (Lee et al. 2022, 'Deduplicating Training Data "
+        "Makes Language Models Better'), used to rank documents for "
+        "span-level dedup. Shares the memoized shingle index with every "
+        "dedup family; the only exchanges are the shingle-df groupBy and "
+        "the per-doc hit count — both map-side-combined, no pair join at "
+        "all, so this is strictly cheaper than any pair-mining pass at "
+        "100 TB.",
+)
+def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import _doc_shingles
+    docs = load_table(spark, "documents", sf_dir)
+    ds = _doc_shingles(docs, "doc_id", "text", 3)
+    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+    # shingle arrays are distinct per doc, so COUNT(*) per shingle == df
+    dup_sh = (ex.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") >= 2).select("sh"))
+    hits = (ex.join(dup_sh, "sh").groupBy("doc_id")
+              .agg(F.count("*").cast("long").alias("n_dup_grams")))
+    sizes = ds.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
+    n_dup = F.coalesce("n_dup_grams", F.lit(0).cast("long"))
+    return (sizes.join(hits, "doc_id", "left")
+            .select("doc_id", "n_grams",
+                    n_dup.alias("n_dup_grams"),
+                    (n_dup.cast("double")
+                     / F.greatest("n_grams", F.lit(1).cast("long")))
+                    .alias("dup_fraction")))
+
+
+@register(
+    "embedding_quality_stats",
+    oracle=f"""
+    SELECT vec_id,
+           CAST(len(embedding) AS BIGINT) AS dim,
+           sqrt({_DOT.format(a='embedding', b='embedding')}) AS l2_norm,
+           CAST(list_min(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                AS DOUBLE) AS min_c,
+           CAST(list_max(list_transform(embedding, x -> CAST(x AS DOUBLE)))
+                AS DOUBLE) AS max_c,
+           CAST(len(list_filter(embedding, x -> x != 0)) AS BIGINT)
+             AS n_nonzero,
+           {_DOT.format(a='embedding', b='embedding')} = 0.0 AS is_degenerate
+    FROM embeddings
+    """,
+    doc="embedding quality screen before ANN indexing: per-vector L2 norm "
+        "(same sequential double fold as operators/similarity.py::_norm, "
+        "so both engines agree bitwise), component min/max, non-zero "
+        "count, and a degenerate flag (zero vector => cosine undefined; "
+        "these rows must be quarantined before any similarity pass). "
+        "Pure map-side — zero shuffles at any scale.",
+)
+def embedding_quality_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import _dot
+    emb = load_table(spark, "embeddings", sf_dir)
+    x = F.col("embedding")
+    sumsq = _dot(x, x)
+    return emb.select(
+        "vec_id",
+        F.size(x).cast("long").alias("dim"),
+        F.sqrt(sumsq).alias("l2_norm"),
+        F.array_min(x).cast("double").alias("min_c"),
+        F.array_max(x).cast("double").alias("max_c"),
+        F.size(F.filter(x, lambda v: v != 0)).cast("long").alias("n_nonzero"),
+        (sumsq == 0.0).alias("is_degenerate"))
+
+
+@register(
+    "lsh_band_stats",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    buckets AS (SELECT band, key, CAST(COUNT(*) AS BIGINT) AS sz
+                FROM bands GROUP BY band, key)
+    SELECT CAST(band AS BIGINT) AS band,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets,
+           CAST(MAX(sz) AS BIGINT) AS max_bucket,
+           CAST(SUM((sz * (sz - 1)) // 2) AS BIGINT) AS n_candidate_pairs
+    FROM buckets GROUP BY band
+    """,
+    doc="LSH index health metrics, per band: bucket count, largest bucket, "
+        "and the candidate-pair volume sum(C(sz,2)) the band contributes "
+        "to dedup_minhash_lsh. This is THE operational guard at 100 TB: a "
+        "viral bucket shows up here as max_bucket before it shows up as a "
+        "straggler task in the pair join (the same O(df^2) hazard the "
+        "stop-shingle cap bounds for ngram_jaccard). Reads the memoized "
+        "signature table; one groupBy(band, key) + one 8-row rollup.",
+)
+def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        _cached_signatures,
+        _lsh_bands,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    bands = _lsh_bands(_cached_signatures(docs, 3, "doc_id", "text"))
+    buckets = (bands.groupBy("band", "key")
+                    .agg(F.count("*").cast("long").alias("sz")))
+    return (buckets.groupBy(F.col("band").cast("long").alias("band"))
+            .agg(F.count("*").cast("long").alias("n_buckets"),
+                 F.max("sz").cast("long").alias("max_bucket"),
+                 F.sum(F.expr("sz * (sz - 1) div 2")).cast("long")
+                  .alias("n_candidate_pairs")))

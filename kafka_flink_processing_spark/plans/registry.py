@@ -51,6 +51,10 @@ def register(name: str, oracle: str | None, doc: str = "",
 DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
+    # -- new this round (never driver-checked by definition) --
+    "dup_span_stats",
+    "embedding_quality_stats",
+    "lsh_band_stats",
     # -- never driver-checked: dedup / similarity flagships --
     "dedup_minhash_lsh",          # green r1; flagship — keep in window
     "dedup_clusters",             # green r1; flagship — keep in window
@@ -104,9 +108,8 @@ _PRIORITY: list[str] = [
     "asof_join_events",           # as-of join
     "sql_q3_shipping_priority",   # textual SQL entry
     "forecast_sma",               # W1 rolling SMA
-    "streaming_forecast_sma",     # streaming parity
-    "running_position",           # P5 signed-qty fold
-    "topk_recent",                # sort / top-k
+    # (streaming_forecast_sma / running_position / topk_recent rotated out:
+    # green in r1 AND r2, their slots fund the three new round-3 operators)
 ]
 
 
