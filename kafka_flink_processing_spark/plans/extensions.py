@@ -829,10 +829,30 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_decode_features",
-    oracle=None,   # mapInPandas decode stage; rows-only (stubbed codec)
+    # The stub decode is deterministic byte arithmetic over the UTF-8
+    # payload, so DuckDB CAN replicate it exactly while the text is ASCII
+    # (verified for all testdata SFs; a real codec would be rows-only).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS codes
+      FROM documents
+    )
+    SELECT doc_id,
+           'application/octet-stream' AS mime,
+           n AS n_bytes,
+           CAST(16 + n % 64 AS INTEGER) AS width,
+           CAST(16 + (n // 64) % 64 AS INTEGER) AS height,
+           CAST(list_sum(codes) AS DOUBLE) / n AS mean_byte,
+           CAST(len(list_distinct(codes)) // 32 AS INTEGER) AS entropy_bucket
+    FROM b
+    """,
     doc="binary payload -> typed features via Arrow-batched mapInPandas "
         "(decode stubbed with deterministic byte-stats; real codecs absent "
-        "in this container — functions/multimodal.py).",
+        "in this container — functions/multimodal.py). The stub is pure "
+        "byte arithmetic, so the oracle reproduces it in SQL — the driver "
+        "hash-checks this stage end-to-end despite the stubbed codec.",
 )
 def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.multimodal import (
@@ -845,10 +865,34 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_resize",
-    oracle=None,   # stubbed resample; batch shape + determinism test-pinned
+    # Stub resample = keep every k-th byte; k derives from the fake dims.
+    # Deterministic over ASCII text => SQL-replicable (see decode note).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n,
+             CAST(16 + length(text) % 64 AS INTEGER) AS src_w,
+             CAST(16 + (length(text) // 64) % 64 AS INTEGER) AS src_h
+      FROM documents
+    ), s AS (
+      SELECT *, LEAST(64.0 / src_w, 64.0 / src_h) AS scale FROM b
+    ), k AS (
+      SELECT *, CASE WHEN scale < 1
+                     THEN GREATEST(1, CAST(trunc(1.0 / scale) AS BIGINT))
+                     ELSE 1 END AS step
+      FROM s
+    )
+    SELECT doc_id, CAST(64 AS INTEGER) AS target_w,
+           CAST(64 AS INTEGER) AS target_h, src_w, src_h, scale,
+           md5(array_to_string(
+             list_transform(range(1, n + 1, step),
+                            p -> substring(text, CAST(p AS INTEGER), 1)),
+             '')) AS thumb_hash
+    FROM k
+    """,
     doc="binary payload -> thumbnail features via Arrow-batched mapInPandas "
         "(1 row -> 1 row resize stage; stubbed byte-resample, real codec "
-        "slot documented in functions/multimodal.py).",
+        "slot documented in functions/multimodal.py). Stub is every-k-th-"
+        "byte selection + md5 — exactly reproduced by the SQL oracle.",
 )
 def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.multimodal import (
@@ -861,10 +905,30 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "multimodal_frame_sample",
-    oracle=None,   # stubbed demux; fan-out row count asserted in tests
+    # Stub demux = 256-byte chunks, every 4th sampled. Deterministic over
+    # ASCII text => SQL-replicable (see decode note).
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, text, CAST(length(text) AS BIGINT) AS n
+      FROM documents
+    ), idx AS (
+      SELECT doc_id, text,
+             unnest(range(0, GREATEST(1, (n + 255) // 256), 4)) AS i
+      FROM b
+    )
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           i * 256 AS frame_offset,
+           CAST(length(substring(text, CAST(i * 256 + 1 AS BIGINT), 256))
+                AS BIGINT) AS frame_bytes,
+           md5(substring(text, CAST(i * 256 + 1 AS BIGINT), 256))
+             AS frame_hash
+    FROM idx
+    """,
     doc="video-style frame sampling via mapInPandas (1 row -> N rows "
         "fan-out: every 4th fixed-size chunk emits offset+hash; the real "
-        "stage swaps the chunker for a demuxer/decoder).",
+        "stage swaps the chunker for a demuxer/decoder). Stub chunking is "
+        "byte slicing + md5 — exactly reproduced by the SQL oracle.",
 )
 def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.multimodal import (
