@@ -1621,3 +1621,51 @@ def lsh_band_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("sz").cast("long").alias("max_bucket"),
                  F.sum(F.expr("sz * (sz - 1) div 2")).cast("long")
                   .alias("n_candidate_pairs")))
+
+
+@register(
+    "mix_temperature_sample",
+    oracle=f"""
+    WITH c AS (SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang),
+    t AS (SELECT lang, n_lang,
+                 CAST(n_lang AS DOUBLE) / (SELECT SUM(n_lang) FROM c) AS share
+          FROM c),
+    r AS (SELECT lang,
+                 (SELECT MIN(sqrt(share)) FROM t) / sqrt(share) AS rate
+          FROM t)
+    SELECT d.doc_id, d.lang,
+           CAST(FLOOR(r.rate * 1000000) AS BIGINT) AS rate_ppm
+    FROM documents d JOIN r USING (lang)
+    WHERE {_H60.format(x="'mix:' || CAST(d.doc_id AS VARCHAR)")} % 1000000
+          < FLOOR(r.rate * 1000000)
+    """,
+    doc="temperature-scaled language mixing (alpha=0.5, the multilingual-"
+        "training sampling rule: sample language l at rate proportional to "
+        "share^(alpha-1), so dominant languages are downsampled toward the "
+        "temperature-flattened mix and the rarest language keeps 100%). "
+        "Deterministic salted-hash thresholding, same idiom as "
+        "train_test_split — reproducible on any cluster size, partition "
+        "count, or retry, with no rand(). alpha=0.5 is spelled sqrt() so "
+        "both engines use the correctly-rounded IEEE primitive (pow() may "
+        "differ by an ulp between libm builds). The per-language rate table "
+        "is #languages rows: its whole-table window and the broadcast back "
+        "onto the scan are free at any corpus scale; the only real "
+        "exchange is the initial per-language count, which map-side-"
+        "combines.",
+)
+def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    w = Window.partitionBy()  # counts table is #languages rows — tiny
+    counts = docs.groupBy("lang").agg(F.count("*").alias("n_lang"))
+    share = F.col("n_lang").cast("double") / F.sum("n_lang").over(w)
+    scaled = counts.withColumn("w_t", F.sqrt(share))
+    rates = scaled.select(
+        "lang", (F.min("w_t").over(w) / F.col("w_t")).alias("rate"))
+    thresh = F.floor(F.col("rate") * 1000000)
+    keep = (md5_hash60(F.concat(F.lit("mix:"),
+                                F.col("doc_id").cast("string")))
+            % 1000000) < thresh
+    return (docs.join(F.broadcast(rates), "lang")
+            .filter(keep)
+            .select("doc_id", "lang", thresh.cast("long").alias("rate_ppm")))

@@ -55,6 +55,7 @@ _PRIORITY: list[str] = [
     "dup_span_stats",
     "embedding_quality_stats",
     "lsh_band_stats",
+    "mix_temperature_sample",
     # -- never driver-checked: dedup / similarity flagships --
     "dedup_minhash_lsh",          # green r1; flagship — keep in window
     "dedup_clusters",             # green r1; flagship — keep in window
@@ -105,11 +106,11 @@ _PRIORITY: list[str] = [
     "join_revenue_by_nation",     # join
     "groupby_agg_q1",             # aggregation
     "window_rank_lag",            # window functions
-    "asof_join_events",           # as-of join
     "sql_q3_shipping_priority",   # textual SQL entry
     "forecast_sma",               # W1 rolling SMA
-    # (streaming_forecast_sma / running_position / topk_recent rotated out:
-    # green in r1 AND r2, their slots fund the three new round-3 operators)
+    # (asof_join_events / streaming_forecast_sma / running_position /
+    # topk_recent rotated out: green in r1 AND r2, their slots fund the
+    # four new round-3 operators)
 ]
 
 

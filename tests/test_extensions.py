@@ -423,3 +423,26 @@ def test_lsh_band_stats_pair_volume_consistent(docs, spark):
                              & (F.col("a.doc_id") < F.col("b.doc_id")))
                       .select("a.doc_id", "b.doc_id").distinct().count())
     assert total_cand >= distinct_pairs > 0
+
+
+def test_mix_temperature_sample_flattens_distribution(spark):
+    """Dominant language is downsampled, rarest kept ~100%, and the rates
+    follow share^(alpha-1) with alpha=0.5."""
+    import math
+    from kafka_flink_processing_spark.plans.extensions import (
+        mix_temperature_sample,
+    )
+    out = mix_temperature_sample(spark, SF)
+    docs = load_table(spark, "documents", SF)
+    before = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rates = {r.lang: r.rate_ppm for r in
+             out.select("lang", "rate_ppm").distinct().collect()}
+    total = sum(before.values())
+    p_min = min(before.values()) / total
+    for lang, n in before.items():
+        expect = math.floor(
+            math.sqrt(p_min) / math.sqrt(n / total) * 1_000_000)
+        assert rates[lang] == expect
+    rarest = min(before, key=before.get)
+    assert rates[rarest] == 1_000_000  # rarest language keeps everything

