@@ -103,14 +103,20 @@ def lsh_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
         F.col("key").alias("qkey"))
     c = bands.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("cv"),
                      F.col("nrm").alias("cn"), F.col("band"), F.col("key"))
-    cand = (F.broadcast(q)
-            .join(c, (F.col("qband") == F.col("band"))
-                  & (F.col("qkey") == F.col("key"))
-                  & (F.col("query_id") != F.col("cand_id")))
-            .select("query_id", "qv", "qn", "cand_id", "cv", "cn")
-            .distinct())
+    matched = (F.broadcast(q)
+               .join(c, (F.col("qband") == F.col("band"))
+                     & (F.col("qkey") == F.col("key"))
+                     & (F.col("query_id") != F.col("cand_id"))))
+    # A pair can match in several bands (OR-amplification), so dedup is
+    # required — but score FIRST, then dedup on (query_id, cand_id): the
+    # shuffle then carries three scalars per row instead of two embedding
+    # arrays, and the groupBy partial-aggregates map-side (the duplicate
+    # band matches collapse before the exchange). Duplicates score
+    # identically, so first() is deterministic.
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    scored = cand.select("query_id", "cand_id", cos.alias("cosine"))
+    scored = (matched.select("query_id", "cand_id", cos.alias("cosine"))
+              .groupBy("query_id", "cand_id")
+              .agg(F.first("cosine").alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("cand_id"))
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -199,13 +205,16 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                       F.col(vec_col).alias("qv"), F.col("nrm").alias("qn"),
                       F.col("cid").cast("long").alias("cell")))
 
+    # No distinct needed: every corpus vector is argmax-assigned to exactly
+    # ONE cell and a query's probe list holds distinct cells, so each
+    # (query, candidate) pair joins at most once — a dedup here would be an
+    # array-keyed shuffle over the whole candidate set for nothing.
     cand = (F.broadcast(probes)
             .join(asg, "cell")
             .filter(F.col("query_id") != F.col(id_col))
             .select("query_id", "qv", "qn",
                     F.col(id_col).alias("cand_id"),
-                    F.col(vec_col).alias("cv"), F.col("nrm").alias("cn"))
-            .distinct())
+                    F.col(vec_col).alias("cv"), F.col("nrm").alias("cn")))
     cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     scored = cand.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -269,12 +278,17 @@ def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.45,
     b = bands.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
                      F.col("nrm").alias("nb"), "band", "key")
     cand = (a.join(b, ["band", "key"])
-             .filter(F.col("vec_a") < F.col("vec_b"))
-             .select("vec_a", "va", "na", "vec_b", "vb", "nb")
-             .distinct())
+             .filter(F.col("vec_a") < F.col("vec_b")))
+    # Score and threshold BEFORE the dedup: the multi-band duplicates then
+    # collapse in a groupBy over two long keys carrying one double (partial
+    # aggregation map-side), instead of a distinct whose key is two whole
+    # embedding arrays. Duplicate band matches score identically, so
+    # first() is deterministic.
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
     return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
-                .filter(F.col("cosine") >= threshold))
+                .filter(F.col("cosine") >= threshold)
+                .groupBy("vec_a", "vec_b")
+                .agg(F.first("cosine").alias("cosine")))
 
 
 # SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic deduplication by
