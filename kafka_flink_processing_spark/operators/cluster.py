@@ -55,21 +55,20 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     edges = edges.repartition(loop_parts, "dst").cache()
     old_total = None
     labels = nodes.select(F.col("doc_id"),
-                          F.col("doc_id").alias("canonical_id"))
+                          F.col("doc_id").alias("canonical_id")) \
+                  .repartition(loop_parts, "doc_id")
     for _ in range(max_iter):
-        labels_p = labels.repartition(loop_parts, "doc_id")
-        neighbor_min = (edges.join(labels_p,
-                                   edges.dst == labels_p.doc_id)
-                        .groupBy("src")
-                        .agg(F.min("canonical_id").alias("nbr_min")))
-        new_labels = (labels.join(neighbor_min,
-                                  labels.doc_id == neighbor_min.src,
-                                  "left")
-                      .select("doc_id",
-                              F.least("canonical_id",
-                                      F.coalesce("nbr_min",
-                                                 "canonical_id"))
-                               .alias("canonical_id")))
+        # new label = min over {own label} ∪ {labels of in-neighbors},
+        # expressed as union + one groupBy: a single exchange per round
+        # (the aggregation), versus the groupBy + per-round broadcast +
+        # left-join form — which also stops scaling once the neighbor-min
+        # table is corpus-sized and can no longer broadcast. Nodes without
+        # neighbors keep their label via the self-contribution row.
+        nbr = (edges.join(labels, edges.dst == labels.doc_id)
+               .select(F.col("src").alias("doc_id"), "canonical_id"))
+        new_labels = (labels.unionByName(nbr)
+                      .groupBy("doc_id")
+                      .agg(F.min("canonical_id").alias("canonical_id")))
         new_labels = new_labels.cache()
         # labels only ever DECREASE, so the label sum is strictly
         # monotone — equality means a fixpoint. One cheap aggregate
