@@ -1669,3 +1669,55 @@ def mix_temperature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (docs.join(F.broadcast(rates), "lang")
             .filter(keep)
             .select("doc_id", "lang", thresh.cast("long").alias("rate_ppm")))
+
+
+@register(
+    "split_leakage_audit",
+    oracle=f"""
+    {_MINHASH_PAIRS_CTES.format(sig=_minhash_sig_sql().strip().lstrip(),
+                                bands=_minhash_bands_sql())},
+    jac AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh))
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM pairs JOIN ds sa ON doc_a = sa.doc_id JOIN ds sb ON doc_b = sb.doc_id),
+    s AS (
+      SELECT doc_id,
+             CASE WHEN {_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 95 THEN 'train'
+                  WHEN {_H60.format(x="'split:' || CAST(doc_id AS VARCHAR)")}
+                       % 100 < 99 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents)
+    SELECT j.doc_a, j.doc_b, j.jaccard,
+           a.split AS split_a, b.split AS split_b,
+           a.split != b.split AS leaks
+    FROM jac j JOIN s a ON j.doc_a = a.doc_id JOIN s b ON j.doc_b = b.doc_id
+    """,
+    doc="train/heldout leakage audit at the NEAR-dup level: every MinHash-"
+        "LSH near-duplicate pair annotated with both members' "
+        "train_test_split assignments and a leaks flag (splits assign by "
+        "doc_id hash, so near-copies of one document land in different "
+        "splits and contaminate evaluation — the failure exact-dedup alone "
+        "does not catch). Composes the persisted LSH pair mining with the "
+        "split rule: the pair set is the artifact dedup already built, the "
+        "split columns are map-side hashes, and the audit adds only two "
+        "broadcast-sized joins onto the (tiny) pair list. Filter "
+        "leaks=true and union with the exact-hash variant for the "
+        "ship-blocking gate at 100 TB.",
+)
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    bucket = (md5_hash60(F.concat(F.lit("split:"),
+                                  F.col("doc_id").cast("string"))) % 100)
+    split = (F.when(bucket < 95, "train")
+              .when(bucket < 99, "val").otherwise("test"))
+    s = docs.select("doc_id", split.alias("split"))
+    sa = s.select(F.col("doc_id").alias("doc_a"), F.col("split").alias("split_a"))
+    sb = s.select(F.col("doc_id").alias("doc_b"), F.col("split").alias("split_b"))
+    return (pairs.join(sa, "doc_a").join(sb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard", "split_a", "split_b",
+                    (F.col("split_a") != F.col("split_b")).alias("leaks")))

@@ -56,6 +56,7 @@ _PRIORITY: list[str] = [
     "embedding_quality_stats",
     "lsh_band_stats",
     "mix_temperature_sample",
+    "split_leakage_audit",
     # -- never driver-checked: dedup / similarity flagships --
     "dedup_minhash_lsh",          # green r1; flagship — keep in window
     "dedup_clusters",             # green r1; flagship — keep in window
@@ -107,10 +108,10 @@ _PRIORITY: list[str] = [
     "groupby_agg_q1",             # aggregation
     "window_rank_lag",            # window functions
     "sql_q3_shipping_priority",   # textual SQL entry
-    "forecast_sma",               # W1 rolling SMA
-    # (asof_join_events / streaming_forecast_sma / running_position /
-    # topk_recent rotated out: green in r1 AND r2, their slots fund the
-    # four new round-3 operators)
+    # (asof_join_events / forecast_sma / streaming_forecast_sma /
+    # running_position / topk_recent rotated out: each green in r1 AND r2
+    # — forecast_sma additionally re-verified every round by the driver's
+    # entry() smoke — their slots fund the five new round-3 operators)
 ]
 
 

@@ -446,3 +446,21 @@ def test_mix_temperature_sample_flattens_distribution(spark):
         assert rates[lang] == expect
     rarest = min(before, key=before.get)
     assert rates[rarest] == 1_000_000  # rarest language keeps everything
+
+
+def test_split_leakage_audit_flags_cross_split_pairs(spark):
+    """Every emitted pair is a true near-dup pair, and leaks is exactly
+    split_a != split_b under the committed split rule."""
+    from kafka_flink_processing_spark.plans.extensions import (
+        split_leakage_audit,
+        train_test_split,
+    )
+    out = split_leakage_audit(spark, SF).collect()
+    splits = {r.doc_id: r.split
+              for r in train_test_split(spark, SF).collect()}
+    assert out, "testdata plants near-dup pairs; audit must emit them"
+    for r in out:
+        assert r.split_a == splits[r.doc_a]
+        assert r.split_b == splits[r.doc_b]
+        assert r.leaks == (r.split_a != r.split_b)
+        assert r.jaccard >= 0.6
