@@ -844,7 +844,8 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
            n AS n_bytes,
            CAST(16 + n % 64 AS INTEGER) AS width,
            CAST(16 + (n // 64) % 64 AS INTEGER) AS height,
-           CAST(list_sum(codes) AS DOUBLE) / n AS mean_byte,
+           CASE WHEN n = 0 THEN 0.0
+                ELSE CAST(list_sum(codes) AS DOUBLE) / n END AS mean_byte,
            CAST(len(list_distinct(codes)) // 32 AS INTEGER) AS entropy_bucket
     FROM b
     """,

@@ -83,7 +83,7 @@ _PRIORITY: list[str] = [
     "sequence_packing",
     "jsonl_roundtrip",
     "csv_roundtrip",
-    # -- never driver-checked: multimodal (metadata oracled; rest rows-only) --
+    # -- never driver-checked: multimodal (all oracle-gated as of r3) --
     "multimodal_metadata",
     "multimodal_decode_features",
     "multimodal_resize",

@@ -63,13 +63,16 @@ def compare(name: str, spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> bool:
     if not ok:
         return False
     # The driver hashes the RAW frames, so a dtype mismatch (e.g. DuckDB
-    # SIGN()->int8 vs Spark signum->double, or HUGEINT->float64 vs long)
-    # hash-fails there even when values are bitwise identical. Replicate
-    # that sensitivity: fail on numeric-kind mismatch (int vs float).
+    # SIGN()->int8 vs Spark signum->double, HUGEINT->float64 vs long, or an
+    # uncast UBIGINT->uint64 vs long) hash-fails there even when values are
+    # bitwise identical. Replicate that sensitivity: fail on any numeric
+    # KIND mismatch (signed int vs unsigned int vs float); width/resolution
+    # differences (int32 vs int64, ns vs us) are driver-normalized —
+    # verified empirically against r1/r2 green rows.
     for c in s_cols:
         sk = spark_pdf[c].dtype.kind
         dk = duck_pdf[c].dtype.kind
-        if {sk, dk} <= {"i", "u", "f"} and (sk in "iu") != (dk in "iu"):
+        if {sk, dk} <= {"i", "u", "f"} and sk != dk:
             print(f"  DTYPE KIND MISMATCH col={c}: spark={spark_pdf[c].dtype} "
                   f"duck={duck_pdf[c].dtype} (driver hash would differ — "
                   f"CAST the oracle column to Spark's type)")
