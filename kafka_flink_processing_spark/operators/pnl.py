@@ -259,3 +259,132 @@ def price_exposure(pnl: DataFrame) -> DataFrame:
         "ts", "account", "hub", "position_mw", "last_price_mwh",
         F.col("position_mw").cast("double").alias("pnl01"),
         (F.col("position_mw") * F.col("last_price_mwh")).alias("notional_usd"))
+
+
+_TRADE_STATE_SCHEMA = ("ts timestamp, trade_id long, hub string, "
+                       "account string, st_pos long, st_avg double, "
+                       "st_realized double, trade_px double")
+
+
+def _trade_states(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One (hub, account) group: fold ONLY this account's trades in total
+    order, emitting the post-fill state after EVERY trade (the sparse
+    artifact both emission passes of pnl_positions_hybrid attach
+    relationally)."""
+    pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+    state = (0, 0.0, 0.0)
+    out = []
+    for r in pdf.to_dict("records"):
+        signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
+        state = apply_fill(state[0], state[1], state[2],
+                           signed, r["price_mwh"])
+        out.append({"ts": r["ts"], "trade_id": r["trade_id"],
+                    "hub": r["hub"], "account": r["account"],
+                    "st_pos": int(state[0]), "st_avg": state[1],
+                    "st_realized": state[2], "trade_px": r["price_mwh"]})
+    cols = ["ts", "trade_id", "hub", "account", "st_pos", "st_avg",
+            "st_realized", "trade_px"]
+    return pd.DataFrame(out, columns=cols)
+
+
+def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
+    """W2 replay with Python restricted to the SPARSE stream: bit-identical
+    output to pnl_positions (asserted in tests/test_pnl.py), but the only
+    Arrow stage is the per-(hub, account) trade fold — the price-tick
+    fan-out (the superlinear ticks x accounts output that dominates cost)
+    is pure JVM window algebra inside whole-stage codegen.
+
+    Decomposition:
+    - Python fold (_trade_states): path-dependent netting over trades only
+      — position/avg/realized change ONLY on trades, so this is the entire
+      non-SQL-expressible core; parallelism = hubs x accounts.
+    - Trade emission rows: the fold's own state rows + the hub's last tick
+      price via one per-hub ordered window over the tagged union (ticks
+      sort AFTER trades at equal ts — kind 0 < 1 — which yields exactly
+      the fold's strict 'ticks seen before the trade' semantics); cold
+      start falls back to the trade's own price (reference :130).
+    - Tick emission rows: fan ticks out to the hub's (tiny, distinct)
+      account list, then attach each account's state as-of the tick with
+      one per-(hub, account) ordered window (trades at equal ts sort
+      BEFORE the tick, so same-ts trades are visible — the fold's
+      semantics); accounts with no state yet emit nothing.
+
+    Scale: every dense structure (tick stream, fan-out output) stays
+    JVM-side; shuffles are hub (pass 1), (hub, account) (fold + pass 2) —
+    all linear in data volume. The pass-1 per-hub window is the same
+    hot-hub lever as everywhere else in the engine: re-key it to
+    (hub, day) with a carried boundary price (the exact entry_px
+    construction in pnl_positions_sliced) when one hub's tick stream
+    outgrows a task.
+    """
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(trades.sparkSession)
+    t = trades.select(
+        F.col("ts"), F.col("hub"), F.col("account"), F.col("side"),
+        F.col("mw").cast("long"), F.col("price_mwh"),
+        F.col("trade_id").cast("long"), F.lit(TRADE).alias("kind"))
+    states = (t.groupBy("hub", "account")
+               .applyInPandas(_trade_states, _TRADE_STATE_SCHEMA))
+
+    # ---- pass 1: trade emission (last tick price strictly before trade)
+    st_tagged = states.select(
+        "ts", "trade_id", "hub", "account", "st_pos", "st_avg",
+        "st_realized", "trade_px",
+        F.lit(None).cast("double").alias("tick_px"),
+        F.lit(TRADE).alias("kind"))
+    px_tagged = prices.select(
+        "ts", F.lit(0).cast("long").alias("trade_id"), "hub",
+        F.lit(None).cast("string").alias("account"),
+        F.lit(None).cast("long").alias("st_pos"),
+        F.lit(None).cast("double").alias("st_avg"),
+        F.lit(None).cast("double").alias("st_realized"),
+        F.lit(None).cast("double").alias("trade_px"),
+        F.col("price_mwh").alias("tick_px"),
+        F.lit(PRICE).alias("kind"))
+    w1 = (Window.partitionBy("hub").orderBy("ts", "kind", "trade_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    u1 = (st_tagged.unionByName(px_tagged)
+          .withColumn("last_px", F.last("tick_px", ignorenulls=True).over(w1)))
+    last1 = F.coalesce("last_px", "trade_px")
+    unreal1 = F.col("st_pos") * (last1 - F.col("st_avg"))
+    trade_rows = (u1.filter(F.col("kind") == TRADE)
+                  .select("ts", "account", "hub",
+                          F.col("st_pos").cast("int").alias("position_mw"),
+                          F.col("st_avg").alias("avg_price_mwh"),
+                          last1.alias("last_price_mwh"),
+                          F.col("st_realized").alias("realized_pnl"),
+                          unreal1.alias("unrealized_pnl"),
+                          (F.col("st_realized") + unreal1).alias("total_pnl")))
+
+    # ---- pass 2: tick fan-out (state as-of tick, same-ts trades visible)
+    accounts = t.select("hub", "account").distinct()
+    probes = (prices.join(accounts, "hub")
+              .select("ts", F.lit(0).cast("long").alias("trade_id"),
+                      "hub", "account",
+                      F.lit(None).cast("long").alias("st_pos"),
+                      F.lit(None).cast("double").alias("st_avg"),
+                      F.lit(None).cast("double").alias("st_realized"),
+                      F.col("price_mwh").alias("tick_px"),
+                      F.lit(PRICE).alias("kind")))
+    st2 = states.select("ts", "trade_id", "hub", "account", "st_pos",
+                        "st_avg", "st_realized",
+                        F.lit(None).cast("double").alias("tick_px"),
+                        F.lit(TRADE).alias("kind"))
+    w2 = (Window.partitionBy("hub", "account")
+          .orderBy("ts", "kind", "trade_id")
+          .rowsBetween(Window.unboundedPreceding, 0))
+    u2 = (st2.unionByName(probes)
+          .withColumn("pos_c", F.last("st_pos", ignorenulls=True).over(w2))
+          .withColumn("avg_c", F.last("st_avg", ignorenulls=True).over(w2))
+          .withColumn("rlz_c", F.last("st_realized", ignorenulls=True).over(w2)))
+    unreal2 = F.col("pos_c") * (F.col("tick_px") - F.col("avg_c"))
+    tick_rows = (u2.filter((F.col("kind") == PRICE)
+                           & F.col("pos_c").isNotNull())
+                 .select("ts", "account", "hub",
+                         F.col("pos_c").cast("int").alias("position_mw"),
+                         F.col("avg_c").alias("avg_price_mwh"),
+                         F.col("tick_px").alias("last_price_mwh"),
+                         F.col("rlz_c").alias("realized_pnl"),
+                         unreal2.alias("unrealized_pnl"),
+                         (F.col("rlz_c") + unreal2).alias("total_pnl")))
+    return trade_rows.unionByName(tick_rows)

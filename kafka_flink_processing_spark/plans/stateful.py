@@ -185,19 +185,37 @@ def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
         "hubs, so a hot hub no longer serializes one task at 100 TB. The "
         "sequential pass runs per (hub, account) and touches only the "
         "sparse trade stream; the fan-out-heavy emission parallelizes "
-        "across slices (operators/pnl.py::pnl_positions_sliced). Benched "
-        "alongside the single fold. Local constant, measured: the sliced "
-        "plan chains TWO Arrow stages (boundary states -> slice folds), "
-        "each ~1s of fixed stage latency at sf0.1, so it runs ~2.5x the "
-        "single fold here; that fixed cost amortizes with data volume "
-        "while the single fold's per-hub serialization does not — the "
-        "crossover is the point of the design.",
-    bench=True,
+        "across slices (operators/pnl.py::pnl_positions_sliced). "
+        "SUPERSEDED as the benched scale path by pnl_positions_hybrid "
+        "(r3), which keeps the dense emission JVM-side entirely; retained "
+        "registered for driver-row continuity and as the all-Python "
+        "sharding alternative.",
 )
 def pnl_positions_sliced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.pnl import pnl_positions_sliced
     trades, prices = derive_market(spark, sf_dir)
     return pnl_positions_sliced(trades, prices)
+
+
+@register(
+    "pnl_positions_hybrid",
+    oracle=None,
+    doc="W2 replay, the 100 TB scale path: Python restricted to the SPARSE "
+        "stream (per-(hub, account) trade fold), while the dense price-tick "
+        "fan-out — the superlinear ticks x accounts output that dominates "
+        "cost — is pure JVM window algebra in whole-stage codegen "
+        "(operators/pnl.py::pnl_positions_hybrid). Bit-identical to "
+        "pnl_positions_fold (asserted in tests/test_pnl.py at two SFs). "
+        "Measured ~1.5x the single fold at sf0.1 (one extra Arrow stage + "
+        "two window passes) vs 2.5x for the all-Python sliced form; at "
+        "scale it wins outright: no dense row ever crosses the Python "
+        "boundary.",
+    bench=True,
+)
+def pnl_positions_hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
+    trades, prices = derive_market(spark, sf_dir)
+    return pnl_positions_hybrid(trades, prices)
 
 
 @register(

@@ -247,3 +247,21 @@ def test_sliced_fold_boundary_fixture():
     assert (r["account"], r["position_mw"], r["avg_price_mwh"],
             r["last_price_mwh"], r["unrealized_pnl"]) == ("A", 10, 40.0,
                                                           45.0, 50.0)
+
+
+def test_hybrid_fold_bitwise_equals_single_fold(spark):
+    """The hybrid decomposition (Python over sparse trades only + JVM
+    window-algebra emission) must produce EXACTLY the single-fold output —
+    same rows, bit-equal floats. This is the strongest check on the two
+    as-of attachments: the per-hub last-price window must see ticks
+    strictly before each trade (equal-ts ticks excluded), and the
+    per-(hub, account) state window must see same-ts trades (included) —
+    one row differing in last_price or state breaks set equality."""
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
+    from kafka_flink_processing_spark.plans.stateful import derive_market
+    trades, prices = derive_market(spark, "/root/testdata/sf0.001")
+    single = pnl_positions(trades, prices).collect()
+    hybrid = pnl_positions_hybrid(trades, prices).collect()
+    assert len(single) == len(hybrid)
+    key = lambda r: tuple(sorted(r.asDict().items()))  # noqa: E731
+    assert {key(r) for r in single} == {key(r) for r in hybrid}

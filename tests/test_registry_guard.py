@@ -44,11 +44,12 @@ def test_every_query_has_driver_signal():
     # priority window or wait until rotation gives it one.
     ordered = list(registry.queries())
     window = set(ordered[:registry.DRIVER_WINDOW])
-    covered = window | _committed_rows()
+    covered = window | _committed_rows() | set(registry.DEFERRED_VERIFICATION)
     uncovered = [n for n in ordered if n not in covered]
     assert not uncovered, (
         f"queries with no driver correctness signal (not in this round's "
-        f"first-{registry.DRIVER_WINDOW} window and no committed row): "
+        f"first-{registry.DRIVER_WINDOW} window, no committed row, and not "
+        f"explicitly deferred in registry.DEFERRED_VERIFICATION): "
         f"{uncovered}")
 
 
@@ -63,5 +64,18 @@ def test_window_prefers_unproven_queries():
     ordered = list(registry.queries())
     window = set(ordered[:registry.DRIVER_WINDOW])
     never_proven = [n for n in ordered if n not in green]
-    outside = [n for n in never_proven if n not in window]
+    outside = [n for n in never_proven
+               if n not in window and n not in registry.DEFERRED_VERIFICATION]
     assert not outside, f"never-proven queries outside driver window: {outside}"
+
+
+def test_deferrals_are_current():
+    # A deferral must reference a REGISTERED query that is actually outside
+    # the window (a stale entry would mask a future silent demotion).
+    registry._ensure_loaded()
+    ordered = list(registry.queries())
+    window = set(ordered[:registry.DRIVER_WINDOW])
+    for name, reason in registry.DEFERRED_VERIFICATION.items():
+        assert name in registry.QUERIES, f"deferred unknown query {name}"
+        assert name not in window, f"deferred query {name} is IN the window"
+        assert len(reason) > 40, f"deferral for {name} needs a real reason"
