@@ -221,23 +221,31 @@ def pnl_positions_hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "pnl_exposure",
     oracle=None,
-    doc="P4 exposure projection over the fold output (pnl01, notional_usd — "
-        "PnlAndExposureJob.java:65-69).",
+    doc="P4 exposure projection over the replay output (pnl01, notional_usd "
+        "— PnlAndExposureJob.java:65-69); built on the hybrid scale path "
+        "(bit-identical to the fold), so the projection fuses into its "
+        "JVM emission pass.",
 )
 def pnl_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
     trades, prices = derive_market(spark, sf_dir)
-    return price_exposure(pnl_positions(trades, prices))
+    return price_exposure(pnl_positions_hybrid(trades, prices))
 
 
 @register(
     "pnl_snapshot",
     oracle=None,
     doc="latest PnL per (account, hub) — the reference's read-side DISTINCT "
-        "ON over positions_pnl (README.md:92), snapshot-scale output.",
+        "ON over positions_pnl (README.md:92), snapshot-scale output; built "
+        "on the hybrid scale path (bit-identical rows), WindowGroupLimit "
+        "prunes the fan-out before the final exchange.",
 )
 def pnl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
+    from kafka_flink_processing_spark.operators.windows import latest_per_key
     trades, prices = derive_market(spark, sf_dir)
-    return pnl_positions(trades, prices, snapshot_only=True)
+    return latest_per_key(pnl_positions_hybrid(trades, prices),
+                          ["hub", "account"], ["ts", "position_mw"])
 
 
 # --- the SQL-expressible slice of the fold: running signed position.
