@@ -464,3 +464,34 @@ def test_split_leakage_audit_flags_cross_split_pairs(spark):
         assert r.split_b == splits[r.doc_b]
         assert r.leaks == (r.split_a != r.split_b)
         assert r.jaccard >= 0.6
+
+
+def test_mix_temperature_rates_monotone(spark):
+    """Property over the real corpus: a language with larger share must get
+    an equal-or-smaller sampling rate (share^(alpha-1) is decreasing), and
+    all rates lie in (0, 1e6]."""
+    from kafka_flink_processing_spark.plans.extensions import (
+        mix_temperature_sample,
+    )
+    docs = load_table(spark, "documents", SF)
+    shares = {r.lang: r.n for r in
+              docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    rates = {r.lang: r.rate_ppm for r in
+             mix_temperature_sample(spark, SF)
+             .select("lang", "rate_ppm").distinct().collect()}
+    langs = sorted(shares, key=shares.get)
+    for small, big in zip(langs, langs[1:]):
+        if shares[small] < shares[big]:
+            assert rates[small] >= rates[big], (small, big, rates)
+    assert all(0 < r <= 1_000_000 for r in rates.values())
+
+
+def test_dup_span_fraction_bounds(spark):
+    """dup_fraction ∈ [0, 1] and n_dup_grams <= n_grams for every doc on
+    the real corpus (the fraction is a ratio of a subset count)."""
+    from kafka_flink_processing_spark.plans.extensions import dup_span_stats
+    rows = dup_span_stats(spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_dup_grams <= r.n_grams
+        assert 0.0 <= r.dup_fraction <= 1.0
