@@ -1722,3 +1722,101 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (pairs.join(sa, "doc_a").join(sb, "doc_b")
             .select("doc_a", "doc_b", "jaccard", "split_a", "split_b",
                     (F.col("split_a") != F.col("split_b")).alias("leaks")))
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, text,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
+               AS n_tokens,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    ),
+    canon AS (
+      SELECT text_hash, MIN(doc_id) AS canonical_id
+      FROM scored GROUP BY text_hash
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_input,
+           CAST(SUM(CASE WHEN n_tokens >= 5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_token_floor,
+           CAST(SUM(CASE WHEN n_tokens >= 5 AND quality >= 0.3
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_quality_floor,
+           CAST(SUM(CASE WHEN n_tokens >= 5 AND quality >= 0.3
+                          AND doc_id = canonical_id
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_curated
+    FROM scored JOIN canon USING (text_hash)
+    """,
+    doc="curation observability: survivor counts through each stage of "
+        "curation_pipeline (input -> token floor -> +quality floor -> "
+        "+exact-dedup canonical), in ONE pass — conditional aggregates "
+        "over the same scored scan, no per-stage re-filtering jobs. The "
+        "funnel is what a 100 TB curation run logs per shard to catch a "
+        "filter suddenly eating the corpus; thresholds are the pipeline's "
+        "own (>=5 tokens, quality >=0.3).",
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        F.md5(normalize_text(t)).alias("text_hash"),
+        token_count(t).alias("n_tokens"),
+        quality_score(t).alias("quality"))
+    canon = (scored.groupBy("text_hash")
+             .agg(F.min("doc_id").alias("canonical_id")))
+    j = scored.join(canon, "text_hash")
+    tok = F.col("n_tokens") >= 5
+    qual = tok & (F.col("quality") >= 0.3)
+    cur = qual & (F.col("doc_id") == F.col("canonical_id"))
+    one = F.lit(1)
+    return j.agg(
+        F.count("*").cast("long").alias("n_input"),
+        F.sum(F.when(tok, one).otherwise(0)).cast("long")
+         .alias("n_token_floor"),
+        F.sum(F.when(qual, one).otherwise(0)).cast("long")
+         .alias("n_quality_floor"),
+        F.sum(F.when(cur, one).otherwise(0)).cast("long").alias("n_curated"))
+
+
+@register(
+    "dedup_fuzzy_corpus",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES.replace('WITH ', '', 1).format(
+        sig=_minhash_sig_sql().strip().lstrip(),
+        bands=_minhash_bands_sql())}
+    ,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    canon AS (SELECT a AS doc_id, MIN(b) AS canonical_id FROM reach GROUP BY a)
+    SELECT d.doc_id, d.lang, d.source
+    FROM documents d JOIN canon c
+      ON d.doc_id = c.doc_id AND d.doc_id = c.canonical_id
+    """,
+    doc="the fuzzy-deduped corpus itself: keep exactly one canonical "
+        "document (min id) per MinHash-LSH near-dup component — the "
+        "APPLY step over dedup_clusters' transitive closure, i.e. what a "
+        "curation run actually writes out after near-dup mining. One "
+        "semi-join of the corpus against the (tiny, #docs-sized) label "
+        "table; all mining cost is the shared cached pair/cluster "
+        "artifacts. Oracle = the same recursive-CTE closure filtered to "
+        "self-canonical rows.",
+)
+def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.cluster import (
+        connected_components,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    labels = connected_components(pairs, docs.select("doc_id"))
+    keep = (labels.filter(F.col("doc_id") == F.col("canonical_id"))
+                  .select("doc_id"))
+    return docs.join(keep, "doc_id").select("doc_id", "lang", "source")

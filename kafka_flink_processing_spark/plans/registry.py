@@ -126,6 +126,14 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "output equality vs pnl_positions_fold at two SFs "
         "(tests/test_pnl.py); window full with never-checked oracle-backed "
         "queries — rotate into the r4 window.",
+    "curation_funnel":
+        "r3 addition; window full this round — local oracle replica green "
+        "(tools/oracle_check.py at sf0.01, driver-identical dtype-kind "
+        "sensitivity) + full-sweep canary; rotate into the r4 window.",
+    "dedup_fuzzy_corpus":
+        "r3 addition; window full this round — local oracle replica green "
+        "(recursive-CTE closure oracle, same fragments as the driver-green "
+        "dedup_clusters) + full-sweep canary; rotate into the r4 window.",
 }
 
 
