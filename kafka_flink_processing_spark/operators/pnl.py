@@ -310,12 +310,13 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
       semantics); accounts with no state yet emit nothing.
 
     Scale: every dense structure (tick stream, fan-out output) stays
-    JVM-side; shuffles are hub (pass 1), (hub, account) (fold + pass 2) —
-    all linear in data volume. The pass-1 per-hub window is the same
-    hot-hub lever as everywhere else in the engine: re-key it to
-    (hub, day) with a carried boundary price (the exact entry_px
-    construction in pnl_positions_sliced) when one hub's tick stream
-    outgrows a task.
+    JVM-side; shuffles are (hub, day) (pass 1), (hub, account) (fold +
+    pass 2) — all linear in data volume, and no per-hub serialization
+    anywhere: pass 1 is day-keyed with the cross-day price carry computed
+    relationally (per-day closing tick, forward-filled over the tiny
+    hub x day grid — the entry_px construction shared with
+    pnl_positions_sliced). Re-key pass 2 to (hub, account, epoch) the
+    same way if a single account's tick fan-out ever outgrows a task.
     """
     from kafka_flink_processing_spark.shipping import ensure_shipped
     ensure_shipped(trades.sparkSession)
@@ -326,12 +327,18 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
     states = (t.groupBy("hub", "account")
                .applyInPandas(_trade_states, _TRADE_STATE_SCHEMA))
 
-    # ---- pass 1: trade emission (last tick price strictly before trade)
+    # ---- pass 1: trade emission (last tick price strictly before trade).
+    # Day-keyed, not per-hub: the within-day window runs per (hub, day) —
+    # parallelism hubs x days, no hot-hub serialization — and the
+    # cross-day carry is relational (per-day closing tick price,
+    # forward-filled over the tiny hub x day grid; the same entry_px
+    # construction as pnl_positions_sliced phase B).
+    day = F.to_date("ts").alias("day")
     st_tagged = states.select(
         "ts", "trade_id", "hub", "account", "st_pos", "st_avg",
         "st_realized", "trade_px",
         F.lit(None).cast("double").alias("tick_px"),
-        F.lit(TRADE).alias("kind"))
+        F.lit(TRADE).alias("kind"), day)
     px_tagged = prices.select(
         "ts", F.lit(0).cast("long").alias("trade_id"), "hub",
         F.lit(None).cast("string").alias("account"),
@@ -340,12 +347,24 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.lit(None).cast("double").alias("st_realized"),
         F.lit(None).cast("double").alias("trade_px"),
         F.col("price_mwh").alias("tick_px"),
-        F.lit(PRICE).alias("kind"))
-    w1 = (Window.partitionBy("hub").orderBy("ts", "kind", "trade_id")
+        F.lit(PRICE).alias("kind"), day)
+    u0 = st_tagged.unionByName(px_tagged)
+    # per-(hub, day) closing tick price, forward-filled one day forward+
+    # across the grid (EXCLUDING the current day => strictly-before carry)
+    grid = u0.select("hub", "day").distinct()
+    day_close = (prices.groupBy("hub", F.to_date("ts").alias("day"))
+                 .agg(F.max_by("price_mwh", "ts").alias("day_close_px")))
+    w_ff = (Window.partitionBy("hub").orderBy("day")
+            .rowsBetween(Window.unboundedPreceding, -1))
+    entry = (grid.join(day_close, ["hub", "day"], "left")
+             .select("hub", "day",
+                     F.last("day_close_px", ignorenulls=True).over(w_ff)
+                      .alias("entry_px")))
+    w1 = (Window.partitionBy("hub", "day").orderBy("ts", "kind", "trade_id")
           .rowsBetween(Window.unboundedPreceding, 0))
-    u1 = (st_tagged.unionByName(px_tagged)
-          .withColumn("last_px", F.last("tick_px", ignorenulls=True).over(w1)))
-    last1 = F.coalesce("last_px", "trade_px")
+    u1 = (u0.withColumn("day_px", F.last("tick_px", ignorenulls=True).over(w1))
+          .join(F.broadcast(entry), ["hub", "day"]))
+    last1 = F.coalesce("day_px", "entry_px", "trade_px")
     unreal1 = F.col("st_pos") * (last1 - F.col("st_avg"))
     trade_rows = (u1.filter(F.col("kind") == TRADE)
                   .select("ts", "account", "hub",
