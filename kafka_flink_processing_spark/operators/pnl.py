@@ -140,6 +140,26 @@ def _fold_slice(pdf: pd.DataFrame) -> pd.DataFrame:
         pd.DataFrame(columns=cols)
 
 
+def _carried_entry_price(grid: DataFrame, prices: DataFrame,
+                         day_col: str) -> DataFrame:
+    """Per-(hub, day) strictly-before price carry: each day's closing tick
+    price (max_by over tick ts), forward-filled across the hub's day grid
+    EXCLUDING the current day. Shared by the sliced fold's phase B and the
+    hybrid replay's pass 1 — both must encode identical carry semantics to
+    stay bit-equal to the single fold, so the construction lives once.
+
+    grid: (hub, <day_col>) rows; prices: (ts, hub, price_mwh). Returns
+    (hub, <day_col>, entry_px) with entry_px null before the first tick."""
+    day_close = (prices.groupBy("hub", F.to_date("ts").alias(day_col))
+                 .agg(F.max_by("price_mwh", "ts").alias("day_close_px")))
+    w_ff = (Window.partitionBy("hub").orderBy(day_col)
+            .rowsBetween(Window.unboundedPreceding, -1))
+    return (grid.join(day_close, ["hub", day_col], "left")
+            .select("hub", day_col,
+                    F.last("day_close_px", ignorenulls=True).over(w_ff)
+                     .alias("entry_px")))
+
+
 def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
                          snapshot_only: bool = False) -> DataFrame:
     """Time-sliced W2 replay: bit-identical to pnl_positions, but the fold
@@ -207,15 +227,10 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
                .applyInPandas(_boundary_states, _STATE_SCHEMA))
 
     # phase B: entry last-price per (hub, slice) — relational, no fold
-    w_ff = (Window.partitionBy("hub").orderBy("slice")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    last_px = (p.groupBy("hub", "slice")
-                .agg(F.max_by("price_mwh", "ts").alias("slice_last_px")))
-    entry_px = (grid.join(last_px, ["hub", "slice"], "left")
-                    .select("hub", "slice",
-                            F.last("slice_last_px", ignorenulls=True)
-                             .over(w_ff).alias("st_lastpx"))
-                    .filter(F.col("st_lastpx").isNotNull()))
+    entry_px = (_carried_entry_price(grid, p.select("ts", "hub", "price_mwh"),
+                                     "slice")
+                .withColumnRenamed("entry_px", "st_lastpx")
+                .filter(F.col("st_lastpx").isNotNull()))
 
     # phase C input: events + state rows, grouped per (hub, slice)
     ev = unioned.withColumn("st_pos", F.lit(None).cast("long")) \
@@ -325,7 +340,12 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.col("mw").cast("long"), F.col("price_mwh"),
         F.col("trade_id").cast("long"), F.lit(TRADE).alias("kind"))
     states = (t.groupBy("hub", "account")
-               .applyInPandas(_trade_states, _TRADE_STATE_SCHEMA))
+               .applyInPandas(_trade_states, _TRADE_STATE_SCHEMA)).cache()
+    # Eager prime: both emission passes read the state table inside one
+    # job and would otherwise race the cold cache and run the Arrow fold
+    # twice (the BENCH_r02 signature-cache pathology). With the prime the
+    # sparse Python fold executes exactly once per run — the design goal.
+    states.count()
 
     # ---- pass 1: trade emission (last tick price strictly before trade).
     # Day-keyed, not per-hub: the within-day window runs per (hub, day) —
@@ -349,17 +369,13 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.col("price_mwh").alias("tick_px"),
         F.lit(PRICE).alias("kind"), day)
     u0 = st_tagged.unionByName(px_tagged)
-    # per-(hub, day) closing tick price, forward-filled one day forward+
-    # across the grid (EXCLUDING the current day => strictly-before carry)
-    grid = u0.select("hub", "day").distinct()
-    day_close = (prices.groupBy("hub", F.to_date("ts").alias("day"))
-                 .agg(F.max_by("price_mwh", "ts").alias("day_close_px")))
-    w_ff = (Window.partitionBy("hub").orderBy("day")
-            .rowsBetween(Window.unboundedPreceding, -1))
-    entry = (grid.join(day_close, ["hub", "day"], "left")
-             .select("hub", "day",
-                     F.last("day_close_px", ignorenulls=True).over(w_ff)
-                      .alias("entry_px")))
+    # day grid from the RAW inputs (not u0): the states subtree must not be
+    # recomputed just to enumerate days — trades carry exactly the states'
+    # timestamps, so the day set is identical
+    grid = (t.select("hub", F.to_date("ts").alias("day"))
+            .unionByName(prices.select("hub", F.to_date("ts").alias("day")))
+            .distinct())
+    entry = _carried_entry_price(grid, prices, "day")
     w1 = (Window.partitionBy("hub", "day").orderBy("ts", "kind", "trade_id")
           .rowsBetween(Window.unboundedPreceding, 0))
     u1 = (u0.withColumn("day_px", F.last("tick_px", ignorenulls=True).over(w1))

@@ -85,3 +85,35 @@ def test_bucketed_join_matches_unbucketed(spark, bucketed_tables):
                 .groupBy("o_orderpriority")
                 .agg(F.count("*").alias("n")).collect())}
     assert got == expected
+
+
+def test_bucketed_join_rowset_matches_unbucketed(spark, bucketed_tables):
+    """Full row-set integrity, not just aggregate counts: the bucketed
+    write must preserve every (l_orderkey, l_linenumber, o_orderstatus)
+    join row exactly."""
+    o_name, l_name = bucketed_tables
+    orders = load_table(spark, "orders", SF)
+    lineitem = load_table(spark, "lineitem", SF)
+    cols = ["l_orderkey", "l_linenumber", "o_orderstatus"]
+    expected = sorted(tuple(r) for r in
+                      lineitem.join(orders, F.col("l_orderkey")
+                                    == F.col("o_orderkey"))
+                      .select(*cols).collect())
+    with _no_broadcast(spark):
+        got = sorted(tuple(r) for r in
+                     spark.table(l_name)
+                     .join(spark.table(o_name),
+                           F.col("l_orderkey") == F.col("o_orderkey"))
+                     .select(*cols).collect())
+    assert got == expected
+
+
+def test_bucketed_aggregation_also_shuffle_free(spark, bucketed_tables):
+    """groupBy on the bucket key reads pre-partitioned data — no Exchange
+    at all in the plan."""
+    _, l_name = bucketed_tables
+    agg = (spark.table(l_name).groupBy("l_orderkey")
+           .agg(F.count("*").alias("n")))
+    plan = agg._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange" not in plan, plan

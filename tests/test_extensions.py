@@ -476,13 +476,19 @@ def test_mix_temperature_rates_monotone(spark):
     docs = load_table(spark, "documents", SF)
     shares = {r.lang: r.n for r in
               docs.groupBy("lang").agg(F.count("*").alias("n")).collect()}
-    rates = {r.lang: r.rate_ppm for r in
-             mix_temperature_sample(spark, SF)
-             .select("lang", "rate_ppm").distinct().collect()}
+    rate_rows = (mix_temperature_sample(spark, SF)
+                 .select("lang", "rate_ppm").distinct().collect())
+    # exactly ONE rate per surviving language (two rates for one lang would
+    # be a rate-join bug that a dict comprehension silently masks)
+    assert len(rate_rows) == len({r.lang for r in rate_rows})
+    rates = {r.lang: r.rate_ppm for r in rate_rows}
     langs = sorted(shares, key=shares.get)
     for small, big in zip(langs, langs[1:]):
-        if shares[small] < shares[big]:
+        if shares[small] < shares[big] and small in rates and big in rates:
             assert rates[small] >= rates[big], (small, big, rates)
+    # rarest language samples at 100% so it can never be hash-excluded;
+    # report (not KeyError) if any other language lost every doc
+    assert min(shares, key=shares.get) in rates
     assert all(0 < r <= 1_000_000 for r in rates.values())
 
 

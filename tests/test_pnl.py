@@ -249,17 +249,25 @@ def test_sliced_fold_boundary_fixture():
                                                           45.0, 50.0)
 
 
-def test_hybrid_fold_bitwise_equals_single_fold(spark):
+import pytest
+
+
+@pytest.mark.parametrize("sf_dir", ["/root/testdata/sf0.001",
+                                    "/root/testdata/sf0.01"])
+def test_hybrid_fold_bitwise_equals_single_fold(spark, sf_dir):
     """The hybrid decomposition (Python over sparse trades only + JVM
     window-algebra emission) must produce EXACTLY the single-fold output —
-    same rows, bit-equal floats. This is the strongest check on the two
-    as-of attachments: the per-hub last-price window must see ticks
-    strictly before each trade (equal-ts ticks excluded), and the
-    per-(hub, account) state window must see same-ts trades (included) —
-    one row differing in last_price or state breaks set equality."""
+    same rows, bit-equal floats — at BOTH test SFs (sf0.01 spans enough
+    days that the day-keyed last-price carry is genuinely exercised).
+    This is the strongest check on the two as-of attachments: the
+    day-keyed last-price pass must see ticks strictly before each trade
+    (equal-ts ticks excluded, cross-day carry via the shared entry-price
+    helper), and the per-(hub, account) state window must see same-ts
+    trades (included) — one row differing in last_price or state breaks
+    set equality."""
     from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
     from kafka_flink_processing_spark.plans.stateful import derive_market
-    trades, prices = derive_market(spark, "/root/testdata/sf0.001")
+    trades, prices = derive_market(spark, sf_dir)
     single = pnl_positions(trades, prices).collect()
     hybrid = pnl_positions_hybrid(trades, prices).collect()
     assert len(single) == len(hybrid)
