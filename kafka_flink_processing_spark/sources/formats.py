@@ -48,3 +48,34 @@ def read_csv(spark: SparkSession, path: str,
             .option("header", "false")
             .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSSXXX")
             .csv(path))
+
+
+def write_corpus(df: DataFrame, path: str,
+                 partition_cols: tuple[str, ...] = (),
+                 target_rows_per_file: int | None = None,
+                 fmt: str = "parquet") -> None:
+    """Write a curated corpus the way a 100 TB pipeline ships one:
+
+    - `partition_cols` (e.g. ("lang", "source")) become directory
+      partitions, so downstream reads get partition PRUNING for free —
+      a lang='en' scan never opens other languages' files.
+    - `target_rows_per_file` caps file size via maxRecordsPerFile: Spark
+      splits oversized task outputs WITHOUT an extra shuffle (a
+      repartition-to-size would add one). Too-large files hurt read
+      parallelism; too-small files melt the namenode — this is the knob.
+    - rows are routed to their partition directory by a hash shuffle on
+      the partition columns first (repartition on partition_cols), so
+      each (lang, source) cell is written by few tasks instead of every
+      task appending a sliver-file to every cell — the small-files
+      explosion that kills object stores at scale.
+    """
+    out = df
+    if partition_cols:
+        from pyspark.sql import functions as F
+        out = out.repartition(*[F.col(c) for c in partition_cols])
+    w = out.write.mode("overwrite")
+    if target_rows_per_file:
+        w = w.option("maxRecordsPerFile", target_rows_per_file)
+    if partition_cols:
+        w = w.partitionBy(*partition_cols)
+    getattr(w, "parquet" if fmt == "parquet" else fmt)(path)
