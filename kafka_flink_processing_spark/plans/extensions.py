@@ -1820,3 +1820,39 @@ def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     keep = (labels.filter(F.col("doc_id") == F.col("canonical_id"))
                   .select("doc_id"))
     return docs.join(keep, "doc_id").select("doc_id", "lang", "source")
+
+
+@register(
+    "corpus_partitioned_roundtrip",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM({_H60.format(x='text')} % 1000000007) AS BIGINT)
+             AS content_hash_sum,
+           CAST(SUM(length(text)) AS BIGINT) AS total_chars
+    FROM documents GROUP BY lang
+    """,
+    doc="output-writer round-trip: the corpus written via write_corpus "
+        "(lang directory partitions + maxRecordsPerFile cap) and read "
+        "back must carry the exact content — per-lang doc counts, a "
+        "md5-derived content-hash sum, and total chars all match the "
+        "source table. Proves the write path (partition routing, file "
+        "splitting, parquet encode/decode) is lossless, the same way the "
+        "jsonl/csv round-trips prove the text connectors.",
+)
+def corpus_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    from kafka_flink_processing_spark.sources.formats import write_corpus
+    docs = load_table(spark, "documents", sf_dir).select(
+        "doc_id", "lang", "source", "text")
+    work = tempfile.mkdtemp(prefix="kfps_corpus_")
+    write_corpus(docs, work, partition_cols=("lang",),
+                 target_rows_per_file=1000)
+    back = spark.read.parquet(work)
+    return (back.groupBy("lang")
+            .agg(F.count("*").cast("long").alias("n_docs"),
+                 F.sum(md5_hash60(F.col("text")) % 1000000007).cast("long")
+                  .alias("content_hash_sum"),
+                 F.sum(F.length("text")).cast("long").alias("total_chars")))

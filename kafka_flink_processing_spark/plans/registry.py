@@ -134,6 +134,10 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "r3 addition; window full this round — local oracle replica green "
         "(recursive-CTE closure oracle, same fragments as the driver-green "
         "dedup_clusters) + full-sweep canary; rotate into the r4 window.",
+    "corpus_partitioned_roundtrip":
+        "r3 addition; window full this round — local oracle replica green "
+        "(per-lang content-hash sums vs the source table) + lossless-write "
+        "test in tests/test_formats.py; rotate into the r4 window.",
 }
 
 
