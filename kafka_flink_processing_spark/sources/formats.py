@@ -53,7 +53,8 @@ def read_csv(spark: SparkSession, path: str,
 def write_corpus(df: DataFrame, path: str,
                  partition_cols: tuple[str, ...] = (),
                  target_rows_per_file: int | None = None,
-                 fmt: str = "parquet") -> None:
+                 fmt: str = "parquet",
+                 writers_per_partition: int = 8) -> None:
     """Write a curated corpus the way a 100 TB pipeline ships one:
 
     - `partition_cols` (e.g. ("lang", "source")) become directory
@@ -63,16 +64,21 @@ def write_corpus(df: DataFrame, path: str,
       splits oversized task outputs WITHOUT an extra shuffle (a
       repartition-to-size would add one). Too-large files hurt read
       parallelism; too-small files melt the namenode — this is the knob.
-    - rows are routed to their partition directory by a hash shuffle on
-      the partition columns first (repartition on partition_cols), so
-      each (lang, source) cell is written by few tasks instead of every
-      task appending a sliver-file to every cell — the small-files
-      explosion that kills object stores at scale.
+    - rows are routed by a hash shuffle on (partition_cols, sub-bucket):
+      without the shuffle, every task appends a sliver-file to every cell
+      (the small-files explosion that kills object stores); with the
+      partition columns ALONE, one task writes each whole cell and a
+      dominant cell (lang='en' is half the corpus) serializes the write.
+      The deterministic sub-bucket — a row hash mod
+      `writers_per_partition` — spreads each cell over up to that many
+      writers, bounding files per cell while keeping hot cells parallel.
     """
     out = df
     if partition_cols:
         from pyspark.sql import functions as F
-        out = out.repartition(*[F.col(c) for c in partition_cols])
+        bucket = F.abs(F.hash(*[F.col(c) for c in df.columns])) \
+            % writers_per_partition
+        out = out.repartition(*[F.col(c) for c in partition_cols], bucket)
     w = out.write.mode("overwrite")
     if target_rows_per_file:
         w = w.option("maxRecordsPerFile", target_rows_per_file)
