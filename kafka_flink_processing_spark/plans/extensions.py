@@ -596,20 +596,34 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "embedding_cosine_pairs",
+    # The oracle reproduces the banded-LSH algorithm itself (same fixed
+    # hyperplane literals, same 8x2-bit banding), NOT the brute-force
+    # ideal: OR-amplification misses ~1.2% of pairs at exactly t=0.45 by
+    # design, and at sf0.1 that materializes (141 of 144 brute-force
+    # pairs). Verifying the deterministic algorithm makes the compare
+    # exact at ANY sf — the same policy as dedup_minhash_lsh — while the
+    # recall-vs-brute-force property stays asserted in
+    # tests/test_extensions.py.
     oracle=f"""
-    WITH {_COSINE_BASE_SQL}
-    SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
-           {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
-             AS cosine
-    FROM n a JOIN n b ON a.vec_id < b.vec_id
-    WHERE {_DOT.format(a='a.embedding', b='b.embedding')} / (a.nrm * b.nrm)
-            >= 0.45
+    WITH {_COSINE_BASE_SQL},
+    {_lsh_sig_sql()},
+    bands AS ({_lsh_bands_rows_sql()}),
+    cand AS (
+      SELECT DISTINCT a.vec_id AS vec_a, a.embedding AS va, a.nrm AS na,
+             b.vec_id AS vec_b, b.embedding AS vb, b.nrm AS nb
+      FROM bands a JOIN bands b
+        ON a.band = b.band AND a.key = b.key AND a.vec_id < b.vec_id)
+    SELECT vec_a, vec_b,
+           {_DOT.format(a='va', b='vb')} / (na * nb) AS cosine
+    FROM cand
+    WHERE {_DOT.format(a='va', b='vb')} / (na * nb) >= 0.45
     """,
     doc="embedding-cosine near-dup pairs via banded-LSH candidates + exact "
-        "re-scoring (no all-pairs join in the plan; candidate completeness "
-        "~98.7% per pair at t=0.45 and 1.0 measured on the testdata, so "
-        "the brute-force oracle is the stronger ground-truth check; "
-        "cosine_pairs keeps the quadratic baseline test-side).",
+        "re-scoring (no all-pairs join in the plan). Oracle = the same "
+        "deterministic banding in SQL, exact at any sf; recall vs the "
+        "brute-force baseline (~98.8% per pair at t=0.45, 1.0 on sf0.001) "
+        "is asserted test-side where the quadratic baseline is affordable "
+        "(cosine_pairs).",
 )
 def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
