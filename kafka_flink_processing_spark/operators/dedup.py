@@ -124,9 +124,14 @@ def _memo_lookup(memo, docs: DataFrame, parts: tuple):
 
 
 def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
-                  n: int) -> DataFrame:
+                  n: int, memo: bool = True) -> DataFrame:
     from kafka_flink_processing_spark.shipping import ensure_shipped
     ensure_shipped(docs.sparkSession)
+    if not memo:
+        # streaming micro-batches pass memo=False: each epoch is a new
+        # plan, so memoizing would grow one cache entry per epoch forever
+        return docs.select(F.col(id_col).alias("doc_id"),
+                           _shingle_udf(n)(F.col(text_col)).alias("sh"))
     key, hit = _memo_lookup(_SHINGLE_CACHE, docs, (id_col, text_col, n))
     if hit is not None:
         return hit
@@ -233,9 +238,9 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
 
 
 def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text") -> DataFrame:
+                       text_col: str = "text", memo: bool = True) -> DataFrame:
     """One row per doc with mh0..mh{k-1} minhash values + the shingle set."""
-    ds = _doc_shingles(docs, id_col, text_col, n)
+    ds = _doc_shingles(docs, id_col, text_col, n, memo=memo)
     exploded = ds.select("doc_id", F.explode("sh").alias("sh"))
     x = md5_hash60(F.col("sh")) % MINHASH_P
     aggs = [F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")

@@ -65,3 +65,73 @@ def pnl_job(trades: DataFrame, prices: DataFrame, out_dir: str,
                .option("checkpointLocation",
                        os.path.join(checkpoint_root, "pnl"))
                .start())
+
+
+def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
+                          out_dir: str, checkpoint_root: str,
+                          n: int = 3, threshold: float = 0.6,
+                          available_now: bool = False):
+    """Streaming near-dup ingest guard: each arriving document micro-batch
+    probes the STANDING corpus's MinHash-LSH index; matches land in
+    `out_dir/dups` (doc_id, dup_of, jaccard) and clean documents append to
+    `out_dir/accepted` — the streaming form of the batch
+    `dedup_incremental_minhash` query, with identical per-pair semantics
+    (same banding, same exact-Jaccard verification).
+
+    Scale shape: the corpus signature/band tables are built ONCE (cached
+    via the dedup memo — at 100 TB this is the persisted LSH index a daily
+    pipeline maintains); per batch only the increment is shingled
+    (memo=False — epoch plans must not accumulate cache entries), and
+    candidates are O(batch x dup rate), never corpus x corpus.
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_processing_spark.operators.dedup import (
+        _cached_signatures,
+        _lsh_bands,
+        minhash_signatures,
+    )
+
+    corpus_sig = _cached_signatures(corpus, n, "doc_id", "text")
+    corpus_bands = _lsh_bands(corpus_sig)
+    sh_c = corpus_sig.select(F.col("doc_id").alias("dup_of"),
+                             F.col("sh").alias("sh_c"))
+
+    def screen(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        sig_b = minhash_signatures(batch, n, memo=False)
+        sig_b = sig_b.persist()
+        bands_b = _lsh_bands(sig_b)
+        cand = (bands_b.alias("b")
+                .join(corpus_bands.alias("c"),
+                      (F.col("b.band") == F.col("c.band"))
+                      & (F.col("b.key") == F.col("c.key")))
+                .select(F.col("b.doc_id").alias("doc_id"),
+                        F.col("c.doc_id").alias("dup_of"))
+                .distinct())
+        sh_b = sig_b.select("doc_id", F.col("sh").alias("sh_b"))
+        joined = cand.join(sh_b, "doc_id").join(sh_c, "dup_of")
+        inter = F.size(F.array_intersect("sh_b", "sh_c"))
+        jac = inter / (F.size("sh_b") + F.size("sh_c") - inter)
+        dups = (joined.withColumn("jaccard", jac)
+                .filter(F.col("jaccard") >= threshold)
+                .select("doc_id", "dup_of", "jaccard"))
+        dups = dups.persist()
+        dups.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, "dups", f"epoch={epoch}"))
+        accepted = batch.join(dups.select("doc_id").distinct(),
+                              "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, "accepted", f"epoch={epoch}"))
+        dups.unpersist()
+        sig_b.unpersist()
+
+    w = (docs_stream.writeStream.foreachBatch(screen)
+         .option("checkpointLocation",
+                 _os.path.join(checkpoint_root, "incremental_dedup")))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -137,3 +137,40 @@ def test_pnl_job_writes_both_tables(spark, market, tmp_path):
     sample = joined.limit(5).collect()
     for r in sample:
         assert r.notional_usd is not None
+
+
+def test_incremental_dedup_job_matches_batch_operator(spark):
+    """Streaming ingest guard parity: the foreachBatch incremental dedup
+    (micro-batches probing the standing corpus LSH index) must emit exactly
+    the batch operator's (doc_id, dup_of, jaccard) rows for the same
+    corpus/increment split, across MULTIPLE micro-batches; accepted docs =
+    increment minus flagged ids."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        incremental_minhash_dups,
+    )
+    from kafka_flink_processing_spark.sources.parquet import load_table
+    from kafka_flink_processing_spark.streaming.jobs import (
+        incremental_dedup_job,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    corpus = docs.filter(F.col("doc_id") < 400)
+    increment = docs.filter(F.col("doc_id") >= 400)
+
+    want = _rowset(incremental_minhash_dups(
+        docs, batch_cond=F.col("doc_id") >= 400).collect())
+
+    with tempfile.TemporaryDirectory(prefix="kfps_incdedup_") as td:
+        stream = _stream_from(spark, increment, td, n_files=2,
+                              order_col="doc_id")
+        q = incremental_dedup_job(stream, corpus, f"{td}/out", f"{td}/ckpt",
+                                  available_now=True)
+        q.awaitTermination()
+        dups = spark.read.parquet(f"{td}/out/dups/epoch=*")
+        accepted = spark.read.parquet(f"{td}/out/accepted/epoch=*")
+        got = _rowset(dups.select("doc_id", "dup_of", "jaccard").collect())
+        assert got == want
+        flagged = {r.doc_id for r in dups.select("doc_id").collect()}
+        inc_ids = {r.doc_id for r in increment.select("doc_id").collect()}
+        acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+        assert acc_ids == inc_ids - flagged
