@@ -237,16 +237,48 @@ def ngram_jaccard_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
                  .select("doc_a", "doc_b", "jaccard"))
 
 
-def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
-                       text_col: str = "text", memo: bool = True) -> DataFrame:
-    """One row per doc with mh0..mh{k-1} minhash values + the shingle set."""
-    ds = _doc_shingles(docs, id_col, text_col, n, memo=memo)
+def signatures_from_shingles(ds: DataFrame) -> DataFrame:
+    """(doc_id, mh0..mh{k-1}, sh) from a (doc_id, sh) shingle table. The
+    table feeds BOTH the min-agg branch and the final join; callers on the
+    non-memoized path (streaming micro-batches) must persist `ds` first or
+    the shingle UDF evaluates twice."""
     exploded = ds.select("doc_id", F.explode("sh").alias("sh"))
     x = md5_hash60(F.col("sh")) % MINHASH_P
     aggs = [F.min((F.lit(a) * x + F.lit(b)) % MINHASH_P).alias(f"mh{i}")
             for i, (a, b) in enumerate(MINHASH_COEFFS)]
     sig = exploded.groupBy("doc_id").agg(*aggs)
     return sig.join(ds, "doc_id")
+
+
+def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
+                       text_col: str = "text", memo: bool = True) -> DataFrame:
+    """One row per doc with mh0..mh{k-1} minhash values + the shingle set."""
+    ds = _doc_shingles(docs, id_col, text_col, n, memo=memo)
+    return signatures_from_shingles(ds)
+
+
+def verified_jaccard_pairs(cand: DataFrame, sig_left: DataFrame,
+                           sig_right: DataFrame, left_col: str,
+                           right_col: str, threshold: float) -> DataFrame:
+    """Exact-Jaccard verification of LSH candidates — THE one copy of the
+    per-pair semantics (array_intersect over distinct shingle sets,
+    |A∩B| / (|A|+|B|-|A∩B|) >= threshold), shared by minhash_lsh_pairs,
+    incremental_minhash_dups, and the streaming incremental dedup job so
+    the three paths cannot silently diverge.
+
+    cand: (left_col, right_col) candidate id pairs; sig_left/sig_right:
+    signature tables whose doc_id matches the respective column. Returns
+    (left_col, right_col, jaccard)."""
+    sh_l = sig_left.select(F.col("doc_id").alias(left_col),
+                           F.col("sh").alias("__sh_l"))
+    sh_r = sig_right.select(F.col("doc_id").alias(right_col),
+                            F.col("sh").alias("__sh_r"))
+    joined = cand.join(sh_l, left_col).join(sh_r, right_col)
+    inter = F.size(F.array_intersect("__sh_l", "__sh_r"))
+    jac = inter / (F.size("__sh_l") + F.size("__sh_r") - inter)
+    return (joined.withColumn("jaccard", jac)
+                  .filter(F.col("jaccard") >= threshold)
+                  .select(left_col, right_col, "jaccard"))
 
 
 # Signature memo, same rationale, keying, and collision handling as the
@@ -303,14 +335,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
              .select(F.col("a.doc_id").alias("doc_a"),
                      F.col("b.doc_id").alias("doc_b"))
              .distinct())
-    sh_a = sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))
-    sh_b = sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))
-    joined = cand.join(sh_a, "doc_a").join(sh_b, "doc_b")
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
-    return (joined.withColumn("jaccard", jac)
-                  .filter(F.col("jaccard") >= threshold)
-                  .select("doc_a", "doc_b", "jaccard"))
+    return verified_jaccard_pairs(cand, sig, sig, "doc_a", "doc_b", threshold)
 
 
 def simhash(docs: DataFrame, id_col: str = "doc_id",
@@ -393,14 +418,8 @@ def incremental_minhash_dups(docs: DataFrame, batch_cond,
              .select(F.col("b.doc_id").alias("doc_id"),
                      F.col("c.doc_id").alias("dup_of"))
              .distinct())
-    sh_b = sig.select(F.col("doc_id"), F.col("sh").alias("sh_b"))
-    sh_c = sig.select(F.col("doc_id").alias("dup_of"), F.col("sh").alias("sh_c"))
-    joined = cand.join(sh_b, "doc_id").join(sh_c, "dup_of")
-    inter = F.size(F.array_intersect("sh_b", "sh_c"))
-    jac = inter / (F.size("sh_b") + F.size("sh_c") - inter)
-    return (joined.withColumn("jaccard", jac)
-                  .filter(F.col("jaccard") >= threshold)
-                  .select("doc_id", "dup_of", "jaccard"))
+    return verified_jaccard_pairs(cand, sig, sig, "doc_id", "dup_of",
+                                  threshold)
 
 
 def contamination_screen(docs: DataFrame, eval_cond, n: int = 4,

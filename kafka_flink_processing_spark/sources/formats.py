@@ -84,4 +84,4 @@ def write_corpus(df: DataFrame, path: str,
         w = w.option("maxRecordsPerFile", target_rows_per_file)
     if partition_cols:
         w = w.partitionBy(*partition_cols)
-    getattr(w, "parquet" if fmt == "parquet" else fmt)(path)
+    getattr(w, fmt)(path)

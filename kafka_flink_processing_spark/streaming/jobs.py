@@ -72,11 +72,16 @@ def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
                           n: int = 3, threshold: float = 0.6,
                           available_now: bool = False):
     """Streaming near-dup ingest guard: each arriving document micro-batch
-    probes the STANDING corpus's MinHash-LSH index; matches land in
-    `out_dir/dups` (doc_id, dup_of, jaccard) and clean documents append to
-    `out_dir/accepted` — the streaming form of the batch
-    `dedup_incremental_minhash` query, with identical per-pair semantics
-    (same banding, same exact-Jaccard verification).
+    is screened (a) against the STANDING corpus's MinHash-LSH index — the
+    batch `dedup_incremental_minhash` semantics — and (b) against ITSELF,
+    so near-copies arriving together don't both slip past the corpus
+    probe. Matches land in `out_dir/dups` (doc_id, dup_of, jaccard),
+    clean documents in `out_dir/accepted`; per-pair semantics are the one
+    shared implementation (operators/dedup.py::verified_jaccard_pairs).
+    Novelty ACROSS epochs is governed by the corpus snapshot: fold
+    `accepted` back into the corpus between runs at your refresh cadence
+    (daily in the reference pipeline shape) — the index is deliberately
+    immutable within a run.
 
     Scale shape: the corpus signature/band tables are built ONCE (cached
     via the dedup memo — at 100 TB this is the persisted LSH index a daily
@@ -90,36 +95,52 @@ def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
 
     from kafka_flink_processing_spark.operators.dedup import (
         _cached_signatures,
+        _doc_shingles,
         _lsh_bands,
-        minhash_signatures,
+        signatures_from_shingles,
+        verified_jaccard_pairs,
     )
 
     corpus_sig = _cached_signatures(corpus, n, "doc_id", "text")
     corpus_bands = _lsh_bands(corpus_sig)
-    sh_c = corpus_sig.select(F.col("doc_id").alias("dup_of"),
-                             F.col("sh").alias("sh_c"))
 
     def screen(batch: DataFrame, epoch: int) -> None:
         if batch.isEmpty():
             return
-        sig_b = minhash_signatures(batch, n, memo=False)
-        sig_b = sig_b.persist()
+        # persist the batch shingles explicitly: the non-memoized path has
+        # no cache, and the shingle table feeds the min-agg branch, the
+        # signature join, and both verification sides — unpersisted, the
+        # string-heavy shingle UDF would run once per consumer
+        ds_b = _doc_shingles(batch, "doc_id", "text", n, memo=False).persist()
+        sig_b = signatures_from_shingles(ds_b)
         bands_b = _lsh_bands(sig_b)
-        cand = (bands_b.alias("b")
-                .join(corpus_bands.alias("c"),
-                      (F.col("b.band") == F.col("c.band"))
-                      & (F.col("b.key") == F.col("c.key")))
-                .select(F.col("b.doc_id").alias("doc_id"),
-                        F.col("c.doc_id").alias("dup_of"))
-                .distinct())
-        sh_b = sig_b.select("doc_id", F.col("sh").alias("sh_b"))
-        joined = cand.join(sh_b, "doc_id").join(sh_c, "dup_of")
-        inter = F.size(F.array_intersect("sh_b", "sh_c"))
-        jac = inter / (F.size("sh_b") + F.size("sh_c") - inter)
-        dups = (joined.withColumn("jaccard", jac)
-                .filter(F.col("jaccard") >= threshold)
-                .select("doc_id", "dup_of", "jaccard"))
-        dups = dups.persist()
+        # batch vs standing corpus (the incremental_minhash_dups semantics)
+        cross_cand = (bands_b.alias("b")
+                      .join(corpus_bands.alias("c"),
+                            (F.col("b.band") == F.col("c.band"))
+                            & (F.col("b.key") == F.col("c.key")))
+                      .select(F.col("b.doc_id").alias("doc_id"),
+                              F.col("c.doc_id").alias("dup_of"))
+                      .distinct())
+        cross = verified_jaccard_pairs(cross_cand, sig_b, corpus_sig,
+                                       "doc_id", "dup_of", threshold)
+        # batch vs ITSELF: two near-identical docs arriving in one
+        # micro-batch must not both slip past the corpus probe — the later
+        # id is flagged as a dup of the earlier (canonical-min-id rule,
+        # same as the dedup_clusters convention). Cross-EPOCH novelty still
+        # requires folding accepted docs back into the corpus snapshot
+        # between runs — that refresh cadence is the caller's policy knob.
+        within_cand = (bands_b.alias("x")
+                       .join(bands_b.alias("y"),
+                             (F.col("x.band") == F.col("y.band"))
+                             & (F.col("x.key") == F.col("y.key"))
+                             & (F.col("x.doc_id") > F.col("y.doc_id")))
+                       .select(F.col("x.doc_id").alias("doc_id"),
+                               F.col("y.doc_id").alias("dup_of"))
+                       .distinct())
+        within = verified_jaccard_pairs(within_cand, sig_b, sig_b,
+                                        "doc_id", "dup_of", threshold)
+        dups = cross.unionByName(within).persist()
         dups.write.mode("overwrite").parquet(
             _os.path.join(out_dir, "dups", f"epoch={epoch}"))
         accepted = batch.join(dups.select("doc_id").distinct(),
@@ -127,7 +148,7 @@ def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
         accepted.write.mode("overwrite").parquet(
             _os.path.join(out_dir, "accepted", f"epoch={epoch}"))
         dups.unpersist()
-        sig_b.unpersist()
+        ds_b.unpersist()
 
     w = (docs_stream.writeStream.foreachBatch(screen)
          .option("checkpointLocation",

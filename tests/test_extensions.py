@@ -501,3 +501,24 @@ def test_dup_span_fraction_bounds(spark):
     for r in rows:
         assert 0 <= r.n_dup_grams <= r.n_grams
         assert 0.0 <= r.dup_fraction <= 1.0
+
+
+def test_lsh_cosine_pairs_recall_at_sf001(spark):
+    """Independent recall gate at sf0.01: since embedding_cosine_pairs'
+    driver oracle now reproduces the LSH banding (exact algorithm parity,
+    deliberately blind to design-level recall), recall vs the quadratic
+    brute force must be asserted test-side at a corpus size where the miss
+    rate is non-trivial. Design predicts ~98.8% per pair at t=0.45."""
+    from kafka_flink_processing_spark.operators.similarity import (
+        cosine_pairs,
+        lsh_cosine_pairs,
+    )
+    emb = load_table(spark, "embeddings", "/root/testdata/sf0.01")
+    exact = {(r.vec_a, r.vec_b) for r in
+             cosine_pairs(emb, threshold=0.45).collect()}
+    got = {(r.vec_a, r.vec_b) for r in
+           lsh_cosine_pairs(emb, threshold=0.45).collect()}
+    assert got <= exact          # every emitted pair is a true pair
+    assert exact, "testdata plants near-dup embedding pairs"
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.9, f"LSH recall collapsed: {recall:.3f}"

@@ -140,13 +140,13 @@ def test_pnl_job_writes_both_tables(spark, market, tmp_path):
 
 
 def test_incremental_dedup_job_matches_batch_operator(spark):
-    """Streaming ingest guard parity: the foreachBatch incremental dedup
-    (micro-batches probing the standing corpus LSH index) must emit exactly
-    the batch operator's (doc_id, dup_of, jaccard) rows for the same
-    corpus/increment split, across MULTIPLE micro-batches; accepted docs =
-    increment minus flagged ids."""
+    """Streaming ingest guard parity across MULTIPLE micro-batches: the
+    emitted rows must equal (batch operator's cross dups) ∪ (within-epoch
+    self-screen pairs), with per-pair values identical to the batch
+    implementations; accepted docs = increment minus flagged ids."""
     from kafka_flink_processing_spark.operators.dedup import (
         incremental_minhash_dups,
+        minhash_lsh_pairs,
     )
     from kafka_flink_processing_spark.sources.parquet import load_table
     from kafka_flink_processing_spark.streaming.jobs import (
@@ -157,7 +157,7 @@ def test_incremental_dedup_job_matches_batch_operator(spark):
     corpus = docs.filter(F.col("doc_id") < 400)
     increment = docs.filter(F.col("doc_id") >= 400)
 
-    want = _rowset(incremental_minhash_dups(
+    want_cross = _rowset(incremental_minhash_dups(
         docs, batch_cond=F.col("doc_id") >= 400).collect())
 
     with tempfile.TemporaryDirectory(prefix="kfps_incdedup_") as td:
@@ -166,10 +166,33 @@ def test_incremental_dedup_job_matches_batch_operator(spark):
         q = incremental_dedup_job(stream, corpus, f"{td}/out", f"{td}/ckpt",
                                   available_now=True)
         q.awaitTermination()
-        dups = spark.read.parquet(f"{td}/out/dups/epoch=*")
-        accepted = spark.read.parquet(f"{td}/out/accepted/epoch=*")
+        dups = spark.read.option("basePath", f"{td}/out/dups") \
+            .parquet(f"{td}/out/dups/epoch=*")
+        accepted = spark.read.option("basePath", f"{td}/out/accepted") \
+            .parquet(f"{td}/out/accepted/epoch=*")
+
+        # within-epoch expectation: epoch membership is pure file
+        # partitioning (dups.doc_id ∪ accepted.doc_id per epoch), so the
+        # expected self-screen pairs are the batch pair-miner's output on
+        # each epoch's member set, flagged (larger id, smaller id)
+        members = (dups.select("epoch", "doc_id")
+                   .unionByName(accepted.select("epoch", "doc_id"))
+                   .distinct().collect())
+        by_epoch: dict[int, set] = {}
+        for r in members:
+            by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+        assert len(by_epoch) == 2  # genuinely multi-batch
+        want_within = set()
+        for ids in by_epoch.values():
+            part = docs.filter(F.col("doc_id").isin(list(ids)))
+            for r in minhash_lsh_pairs(part).collect():
+                want_within.add(tuple(sorted(dict(
+                    doc_id=max(r.doc_a, r.doc_b),
+                    dup_of=min(r.doc_a, r.doc_b),
+                    jaccard=r.jaccard).items())))
+
         got = _rowset(dups.select("doc_id", "dup_of", "jaccard").collect())
-        assert got == want
+        assert got == want_cross | want_within
         flagged = {r.doc_id for r in dups.select("doc_id").collect()}
         inc_ids = {r.doc_id for r in increment.select("doc_id").collect()}
         acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
