@@ -1864,7 +1864,9 @@ def corpus_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     work = tempfile.mkdtemp(prefix="kfps_corpus_")
     write_corpus(docs, work, partition_cols=("lang",),
                  target_rows_per_file=1000)
-    back = spark.read.parquet(work)
+    # explicit schema on read-back: never infer (5.2 rule), and an EMPTY
+    # corpus write produces no partition dirs — inference would throw
+    back = spark.read.schema(docs.schema).parquet(work)
     return (back.groupBy("lang")
             .agg(F.count("*").cast("long").alias("n_docs"),
                  F.sum(md5_hash60(F.col("text")) % 1000000007).cast("long")
