@@ -422,6 +422,93 @@ def incremental_minhash_dups(docs: DataFrame, batch_cond,
                                   threshold)
 
 
+# Bloom decontamination parameters. m = 2^20 bits packs into 16384 longs
+# (128 KiB) — broadcastable at any corpus size; k = 3 double-hashed probes.
+# At 100 TB the raw eval-gram string set can reach GBs (too big for the
+# broadcast the exact screen relies on) while the bitmap stays FIXED-size:
+# size m to the EVAL-gram count, never the corpus (m ~ 10-20 bits/gram
+# keeps the false-positive rate <1% at k=3; 2^20 covers ~100k eval grams
+# — an undersized bitmap saturates and flags everything, observed at 2^17
+# against the sf0.1 eval slice).
+BLOOM_M_BITS = 1 << 20
+BLOOM_K = 3
+
+
+def _bloom_positions(h, m_bits: int, k: int):
+    """k double-hashed bit positions for a 60-bit gram hash. h1 reads the
+    low log2(m) hash bits, the stride reads the NEXT log2(m) bits (disjoint
+    — no h1/h2 correlation) and is forced odd so it is coprime with the
+    power-of-two m_bits: the k positions are pairwise distinct for
+    k < m_bits. Integer-only — DuckDB reproduces it exactly
+    (plans/extensions.py::decontaminate_bloom)."""
+    log2m = m_bits.bit_length() - 1
+    h1 = h % m_bits
+    h2 = (F.shiftright(h, log2m) % m_bits).bitwiseOR(F.lit(1))
+    return [(h1 + F.lit(j) * h2) % m_bits for j in range(k)]
+
+
+def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
+                               m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K,
+                               id_col: str = "doc_id",
+                               text_col: str = "text") -> DataFrame:
+    """Decontamination screen via a Bloom bitmap of the eval n-grams — the
+    scale path when the eval-gram set outgrows a raw-string broadcast.
+
+    Same contract as contamination_screen but with bounded memory: eval
+    grams are folded into an m_bits Bloom bitmap packed as (word_idx,
+    bits) longs — at most m_bits/64 rows regardless of eval size — which
+    broadcasts onto the training-gram scan. A gram is flagged iff all k
+    probe bits are set: a SUPERSET of the exact screen's shared grams (no
+    false negatives; false-positive rate ~(1-e^{-kN/m})^k). Flagged docs
+    feed the same quarantine/review step, so bloom false positives cost
+    review time, never silent contamination.
+
+    Returns (doc_id, n_flagged_grams, n_grams, flag_ratio) for training
+    docs with at least one bloom-positive gram. Deterministic (md5-derived
+    double hashing, no seeds), so the DuckDB oracle models the bitmap as
+    the equivalent distinct-position set and matches exactly.
+
+    Plan shape at 100 TB: one tiny aggregation builds the bitmap (explode
+    eval grams -> k positions -> bit_or per word); the corpus side is
+    screened with a broadcast hash join on word_idx (map-side, no corpus
+    shuffle); the only corpus-keyed exchanges are the per-gram and per-doc
+    hit counts, both map-side partially aggregated."""
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+    eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
+    tagged = ex.join(eval_ids, "doc_id")
+    pos = tagged.select(
+        "doc_id", "sh", "ev",
+        F.explode(F.array(*_bloom_positions(
+            md5_hash60(F.col("sh")), m_bits, k))).alias("p"))
+    # variable-distance shift needs the SQL form (F.shiftleft only takes a
+    # literal count); 1L << 63 wraps to the sign bit in Java semantics,
+    # which bit_or / & handle bitwise — sign never leaks into the output
+    word_idx = F.shiftright(F.col("p"), 6)
+    mask = F.expr("shiftleft(cast(1 as bigint), cast(p & 63 as int))")
+    bloom = (pos.filter(F.col("ev"))
+             .select(word_idx.alias("word_idx"), mask.alias("mask"))
+             .groupBy("word_idx")
+             .agg(F.bit_or("mask").alias("bits")))
+    probe = (pos.filter(~F.col("ev"))
+             .withColumn("word_idx", word_idx)
+             .withColumn("mask", mask)
+             .join(F.broadcast(bloom), "word_idx", "left"))
+    hit = (F.col("bits").isNotNull()
+           & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).cast("int")
+    flagged = (probe.groupBy("doc_id", "sh")
+               .agg(F.sum(hit).alias("n_hits"))
+               .filter(F.col("n_hits") == k)
+               .groupBy("doc_id")
+               .agg(F.count("*").alias("n_flagged_grams")))
+    sizes = (ds.join(eval_ids, "doc_id").filter(~F.col("ev"))
+             .select("doc_id", F.size("sh").cast("long").alias("n_grams")))
+    return (flagged.join(sizes, "doc_id")
+            .select("doc_id", "n_flagged_grams", "n_grams",
+                    (F.col("n_flagged_grams").cast("double")
+                     / F.col("n_grams")).alias("flag_ratio")))
+
+
 def contamination_screen(docs: DataFrame, eval_cond, n: int = 4,
                          id_col: str = "doc_id",
                          text_col: str = "text") -> DataFrame:

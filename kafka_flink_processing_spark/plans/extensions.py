@@ -35,6 +35,8 @@ from kafka_flink_processing_spark.functions.text import (
     word_count,
 )
 from kafka_flink_processing_spark.operators.dedup import (
+    BLOOM_K,
+    BLOOM_M_BITS,
     NGRAM_MAX_DF,
     exact_dedup,
     minhash_lsh_pairs,
@@ -1210,6 +1212,94 @@ def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = load_table(spark, "documents", sf_dir)
     return contamination_screen(docs, F.col("doc_id") % 13 == 0, n=4)
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    {_SHINGLES4},
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    hx AS (SELECT doc_id, sh, {_H60.format(x='sh')} AS h FROM ex),
+    px AS (SELECT doc_id, sh,
+                  ((h % {BLOOM_M_BITS})
+                   + j * (((h >> {BLOOM_M_BITS.bit_length() - 1})
+                           % {BLOOM_M_BITS}) | 1))
+                    % {BLOOM_M_BITS} AS p
+           FROM hx CROSS JOIN (SELECT unnest({list(range(BLOOM_K))}) AS j) js),
+    evp AS (SELECT DISTINCT p FROM px WHERE doc_id % 13 = 0),
+    fl AS (SELECT doc_id, sh FROM px JOIN evp USING (p)
+           WHERE doc_id % 13 <> 0
+           GROUP BY doc_id, sh HAVING COUNT(*) = {BLOOM_K}),
+    flagged AS (SELECT doc_id, COUNT(*) AS n_flagged_grams FROM fl GROUP BY 1)
+    SELECT f.doc_id, f.n_flagged_grams, CAST(len(d.sh) AS BIGINT) AS n_grams,
+           CAST(f.n_flagged_grams AS DOUBLE) / len(d.sh) AS flag_ratio
+    FROM flagged f JOIN ds d USING (doc_id)
+    """,
+    doc="decontamination screen via a Bloom bitmap of the eval 4-grams — "
+        "the scale path when the eval-gram set outgrows the exact screen's "
+        "raw-string broadcast: the bitmap is FIXED-size (2^20 bits packed "
+        "into <=16384 (word_idx, bits) longs, 128 KiB) however large the "
+        "eval set grows, and broadcasts onto the training-gram scan. A "
+        "gram is flagged iff all k=3 double-hashed probe bits are set: a "
+        "provable superset of the exact screen (no false negatives; FP "
+        "rate ~(kN/m)^k). Deterministic md5-derived hashing, so the "
+        "oracle models the bitmap as its distinct bit-position set — "
+        "semantically identical — and matches exactly "
+        "(operators/dedup.py::contamination_screen_bloom).",
+)
+def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen_bloom,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    return contamination_screen_bloom(docs, F.col("doc_id") % 13 == 0, n=4)
+
+
+@register(
+    "adaptive_quality_filter",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id, source, {_QUALITY_SQL} AS quality FROM documents
+    ), r AS (
+      SELECT doc_id, source, quality,
+             ROW_NUMBER() OVER (PARTITION BY source
+                                ORDER BY quality, doc_id) AS rn,
+             COUNT(*) OVER (PARTITION BY source) AS n
+      FROM scored
+    ), bounds AS (
+      SELECT source,
+             MIN(CASE WHEN rn = CAST(CEIL(0.25 * n) AS BIGINT)
+                      THEN quality END) AS q25
+      FROM r GROUP BY source
+    )
+    SELECT s.doc_id, s.source, s.quality, b.q25, s.quality >= b.q25 AS kept
+    FROM scored s JOIN bounds b USING (source)
+    """,
+    doc="adaptive per-source quality floor (the FineWeb/DCLM-style "
+        "curation step): each source's p25 quality becomes its own keep "
+        "threshold, so boilerplate-heavy domains are pruned harder than "
+        "clean ones instead of one global cutoff. Exact rank-based "
+        "percentile (percentile_disc semantics — deterministic and "
+        "engine-portable, same pattern as winsorized_stats); one window "
+        "shuffle on source derives the bounds, the per-source bounds "
+        "table broadcasts back onto the scan, the keep decision is "
+        "map-side. Emits every doc with its threshold and kept flag (the "
+        "downstream materialization filters on kept).",
+)
+def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select("doc_id", "source",
+                         quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("source").orderBy("quality", "doc_id")
+    ranked = (scored
+              .withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(Window.partitionBy("source"))))
+    bounds = (ranked
+              .filter(F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")))
+              .select("source", F.col("quality").alias("q25")))
+    return (scored.join(F.broadcast(bounds), "source")
+            .select("doc_id", "source", "quality", "q25",
+                    (F.col("quality") >= F.col("q25")).alias("kept")))
 
 
 @register(

@@ -138,6 +138,16 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "r3 addition; window full this round — local oracle replica green "
         "(per-lang content-hash sums vs the source table) + lossless-write "
         "test in tests/test_formats.py; rotate into the r4 window.",
+    "decontaminate_bloom":
+        "r3 addition; window full this round — local oracle replica green "
+        "(position-set model of the identical bloom arithmetic) + superset-"
+        "of-exact-screen property test in tests/test_extensions.py; rotate "
+        "into the r4 window.",
+    "adaptive_quality_filter":
+        "r3 addition; window full this round — local oracle replica green "
+        "(identical rank-based percentile SQL) + per-source threshold "
+        "property test in tests/test_extensions.py; rotate into the r4 "
+        "window.",
 }
 
 

@@ -240,6 +240,59 @@ def test_contamination_screen_ground_truth(docs):
     assert all(r.n_shared_grams <= r.n_grams for r in got.collect())
 
 
+def test_bloom_screen_is_superset_of_exact_screen(docs):
+    """The Bloom screen must flag every exactly-contaminated doc with at
+    least its exact shared-gram count (no false negatives); any surplus is
+    bloom false positives, which must stay a small fraction of the
+    corpus."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen,
+        contamination_screen_bloom,
+    )
+
+    cond = F.col("doc_id") % 13 == 0
+    exact = {r.doc_id: r.n_shared_grams
+             for r in contamination_screen(docs, cond, n=4).collect()}
+    bloom_rows = contamination_screen_bloom(docs, cond, n=4).collect()
+    bloom = {r.doc_id: r.n_flagged_grams for r in bloom_rows}
+    assert exact, "testdata should contain contaminated docs"
+    for doc_id, n_shared in exact.items():
+        assert bloom.get(doc_id, 0) >= n_shared, (
+            f"doc {doc_id}: bloom missed exact hits ({bloom.get(doc_id)} < "
+            f"{n_shared}) — a bloom filter can never have false negatives")
+    n_train = docs.filter(~cond).count()
+    false_pos_docs = set(bloom) - set(exact)
+    assert len(false_pos_docs) <= 0.05 * n_train, (
+        f"bloom FP docs {len(false_pos_docs)} exceed 5% of {n_train} "
+        "training docs — m_bits is undersized for this eval-gram count")
+    assert all(r.n_flagged_grams <= r.n_grams for r in bloom_rows)
+
+
+def test_adaptive_quality_filter_per_source_threshold(docs):
+    """Each source's threshold must equal its rank-based p25 quality, and
+    kept must be exactly quality >= that source's threshold."""
+    import math
+
+    from kafka_flink_processing_spark.plans import registry
+
+    rows = registry.queries()["adaptive_quality_filter"](docs.sparkSession,
+                                                         SF).collect()
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    assert len(by_source) > 1, "need multiple sources for per-source floors"
+    for source, rs in by_source.items():
+        qs = sorted((r.quality, r.doc_id) for r in rs)
+        expect_q25 = qs[math.ceil(0.25 * len(qs)) - 1][0]
+        thresholds = {r.q25 for r in rs}
+        assert thresholds == {expect_q25}, f"{source}: threshold mismatch"
+        for r in rs:
+            assert r.kept == (r.quality >= expect_q25)
+    # thresholds must actually differ across sources (adaptivity) unless
+    # the corpus is quality-uniform — testdata sources are not
+    assert len({rs[0].q25 for rs in by_source.values()}) > 1
+
+
 def test_ngram_max_df_bounds_hot_shingle_candidates(spark):
     """A boilerplate sentence shared by many docs must NOT explode the
     inverted-index self-join: with the df cap the hot shingles leave the
