@@ -395,6 +395,72 @@ def simhash_pairs(docs: DataFrame, max_hamming: int = 3,
              .distinct())
 
 
+def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
+                    id_col: str = "doc_id",
+                    text_col: str = "text") -> DataFrame:
+    """Span-level exact-substring dedup — the APPLY step of the dup-span
+    family: rebuild each document with every corpus-duplicated word n-gram
+    run excised (Lee et al. 2022 exact-substring dedup at n-gram
+    granularity; dup_span_stats is the matching signal/ranking pass).
+
+    A word is removed iff ANY n-gram covering it occurs in >= min_df
+    documents. Returns (doc_id, clean_text, n_words, n_removed_words,
+    removed_fraction) for every document.
+
+    Scale shape: the corpus-wide work is exactly dup_span_stats' shingle-df
+    groupBy (map-side combined, shares the memoized shingle index) plus a
+    per-doc collect_set of its OWN duplicated grams (bounded by grams/doc,
+    never corpus-sized); the positional flagging and text rebuild are pure
+    map-side array algebra (transform/filter/slice) — no pair join, no
+    second corpus shuffle. Integer/string-only, so the DuckDB oracle
+    (list-comprehension form) matches bit-for-bit."""
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+    # shingle arrays are distinct per doc => COUNT(*) == document frequency
+    dup_sh = (ex.groupBy("sh").agg(F.count("*").alias("df"))
+                .filter(F.col("df") >= min_df).select("sh"))
+    dset = (ex.join(dup_sh, "sh").groupBy("doc_id")
+              .agg(F.collect_set("sh").alias("dup_grams")))
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("words"))
+    j = (base.join(dset, "doc_id", "left")
+         .withColumn("dup_grams",
+                     F.coalesce("dup_grams", F.array().cast("array<string>")))
+         .withColumn("ng", F.when(F.size("words") < n, F.lit(0))
+                            .otherwise(F.size("words") - (n - 1))))
+
+    def gram_at(i):  # i is the 1-based start position of the n-gram
+        return F.concat_ws(" ", *[F.element_at(F.col("words"), i + k)
+                                  for k in range(n)])
+
+    j = j.withColumn(
+        "flags",
+        F.when(F.col("ng") == 0, F.array().cast("array<boolean>"))
+         .otherwise(F.transform(
+             F.sequence(F.lit(1), F.col("ng")),
+             lambda i: F.array_contains(F.col("dup_grams"), gram_at(i)))))
+
+    def covered(j0):  # 0-based word index; word j0+1 is covered iff any
+        # flagged gram starts in [j0+1-(n-1), j0+1] (clamped to [1, ng])
+        lo = F.greatest(F.lit(1), j0 + 1 - (n - 1))
+        hi = F.least(j0 + 1, F.col("ng"))
+        # when ng >= 1 the clamp guarantees lo <= hi (see dup_span tests);
+        # F.when keeps the slice unevaluated on the ng == 0 branch
+        return F.when(F.col("ng") == 0, F.lit(False)).otherwise(
+            F.exists(F.slice(F.col("flags"), lo, hi - lo + 1), lambda x: x))
+
+    kept = F.filter(F.col("words"), lambda w, j0: ~covered(j0))
+    nw = F.size("words").cast("long")
+    n_removed = (F.size("words") - F.size(kept)).cast("long")
+    return j.select(
+        "doc_id",
+        F.concat_ws(" ", kept).alias("clean_text"),
+        nw.alias("n_words"),
+        n_removed.alias("n_removed_words"),
+        (n_removed.cast("double")
+         / F.greatest(nw, F.lit(1).cast("long"))).alias("removed_fraction"))
+
+
 def incremental_minhash_dups(docs: DataFrame, batch_cond,
                              n: int = 3, threshold: float = 0.6,
                              id_col: str = "doc_id",

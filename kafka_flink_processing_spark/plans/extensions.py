@@ -1654,6 +1654,57 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "dup_span_redact",
+    oracle=f"""
+    {_SHINGLES3},
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    dup_sh AS (SELECT sh FROM ex GROUP BY sh HAVING COUNT(*) >= 2),
+    dset AS (SELECT e.doc_id, list(e.sh) AS dup_grams
+             FROM ex e JOIN dup_sh USING (sh) GROUP BY 1),
+    base AS (SELECT doc_id, string_split(text, ' ') AS words FROM documents),
+    marked AS (
+      SELECT b.doc_id, b.words,
+             CASE WHEN len(b.words) < 3 THEN 0
+                  ELSE len(b.words) - 2 END AS ng,
+             CASE WHEN len(b.words) < 3 THEN CAST([] AS BOOLEAN[])
+                  ELSE [list_contains(COALESCE(d.dup_grams, []),
+                                      b.words[i] || ' ' || b.words[i+1]
+                                        || ' ' || b.words[i+2])
+                        for i in range(1, len(b.words) - 1)]
+             END AS flags
+      FROM base b LEFT JOIN dset d USING (doc_id)
+    ), rebuilt AS (
+      SELECT doc_id, words,
+             [words[j] for j in range(1, len(words) + 1)
+              if ng = 0 OR len(list_filter(
+                   flags[greatest(1, j-2):least(j, ng)], x -> x)) = 0]
+               AS kept
+      FROM marked
+    )
+    -- array_to_string(NULL-safe): DuckDB returns NULL for an empty list,
+    -- Spark's concat_ws returns '' — a fully-redacted doc must agree
+    SELECT doc_id, COALESCE(array_to_string(kept, ' '), '') AS clean_text,
+           CAST(len(words) AS BIGINT) AS n_words,
+           CAST(len(words) - len(kept) AS BIGINT) AS n_removed_words,
+           CAST(len(words) - len(kept) AS DOUBLE)
+             / GREATEST(len(words), 1) AS removed_fraction
+    FROM rebuilt
+    """,
+    doc="span-level exact-substring dedup, the APPLY step of the dup-span "
+        "family: every word covered by a corpus-duplicated 3-gram (df >= "
+        "2 docs) is excised and the document text rebuilt (Lee et al. "
+        "2022 at n-gram granularity; dup_span_stats is the ranking "
+        "signal). Corpus-wide work = the same map-side-combined "
+        "shingle-df groupBy + a per-doc collect_set bounded by grams/doc; "
+        "flagging and rebuild are map-side array algebra — no pair join "
+        "(operators/dedup.py::dup_span_redact).",
+)
+def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import dup_span_redact
+    return dup_span_redact(load_table(spark, "documents", sf_dir), n=3)
+
+
+@register(
     "embedding_quality_stats",
     oracle=f"""
     SELECT vec_id,

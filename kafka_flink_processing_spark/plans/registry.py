@@ -148,6 +148,11 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "(identical rank-based percentile SQL) + per-source threshold "
         "property test in tests/test_extensions.py; rotate into the r4 "
         "window.",
+    "dup_span_redact":
+        "r3 addition; window full this round — local oracle replica green "
+        "(list-comprehension rebuild oracle) + ground-truth rebuild "
+        "property test in tests/test_extensions.py; rotate into the r4 "
+        "window.",
 }
 
 

@@ -268,6 +268,40 @@ def test_bloom_screen_is_superset_of_exact_screen(docs):
     assert all(r.n_flagged_grams <= r.n_grams for r in bloom_rows)
 
 
+def test_dup_span_redact_ground_truth(docs):
+    """The rebuilt text must equal the brute-force python redaction: drop
+    every word covered by a 3-gram that occurs in >= 2 documents."""
+    from kafka_flink_processing_spark.operators.dedup import dup_span_redact
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    df_count: dict[str, int] = {}
+    split = {r.doc_id: r.text.split(" ") for _, r in pdf.iterrows()}
+    for ws in split.values():
+        for g in {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}:
+            df_count[g] = df_count.get(g, 0) + 1
+
+    def redact(ws):
+        ng = max(0, len(ws) - 2)
+        flags = [df_count.get(" ".join(ws[i:i + 3]), 0) >= 2
+                 for i in range(ng)]
+        return " ".join(
+            w for j, w in enumerate(ws, 1)
+            if not any(flags[i - 1] for i in range(max(1, j - 2),
+                                                  min(j, ng) + 1)))
+
+    expect = {d: redact(ws) for d, ws in split.items()}
+    got = {r.doc_id: (r.clean_text, r.n_words, r.n_removed_words)
+           for r in dup_span_redact(docs, n=3).collect()}
+    assert set(got) == set(expect)
+    for d, (clean, n_words, n_removed) in got.items():
+        assert clean == expect[d], f"doc {d} rebuild mismatch"
+        assert n_words == len(split[d])
+        assert n_removed == len(split[d]) - (len(clean.split(" "))
+                                             if clean else 0)
+    # the signal and the apply step must agree on which docs are touched
+    assert any(n_rm > 0 for _, _, n_rm in got.values())
+
+
 def test_adaptive_quality_filter_per_source_threshold(docs):
     """Each source's threshold must equal its rank-based p25 quality, and
     kept must be exactly quality >= that source's threshold."""
