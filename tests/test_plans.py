@@ -169,3 +169,42 @@ def test_lsh_band_stats_is_two_aggregations(spark):
     for bad in ("CartesianProduct", "BroadcastNestedLoopJoin"):
         assert bad not in plan
     assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 1
+
+
+def test_bloom_screen_probe_is_broadcast_no_corpus_shuffle(spark):
+    """The Bloom bitmap (<=16384 rows) must reach the training-gram scan as
+    a BroadcastHashJoin — if it ever plans as a shuffle join the operator
+    has lost its reason to exist (the point is screening the corpus
+    map-side with a fixed-size broadcast)."""
+    plan = plan_of(spark, "decontaminate_bloom")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the bitmap probe must be the ONLY join against the exploded position
+    # rows; sh-keyed sort-merge there would shuffle the corpus gram table
+    assert "SortMergeJoin [sh" not in plan
+
+
+def test_adaptive_quality_bounds_broadcast_back(spark):
+    """The per-source bounds table (|sources| rows) must broadcast back
+    onto the scored scan; the only permitted shuffle is the per-source
+    rank window."""
+    plan = plan_of(spark, "adaptive_quality_filter")
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    # one keyed exchange for the window; the join adds none
+    import re
+    keyed = [e for e in re.findall(r"Exchange hashpartitioning\(\w+", plan)]
+    assert all("source" in e for e in keyed), keyed
+
+
+def test_dup_span_redact_rebuild_is_mapside(spark):
+    """The redact pass may shuffle only what dup_span_stats shuffles (the
+    shingle-df screen + the per-doc dup-gram set); the positional flagging
+    and text rebuild must add no join or exchange of their own — no pair
+    join anywhere."""
+    plan = plan_of(spark, "dup_span_redact")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # joins: df screen on sh, dup-gram set attach on doc_id — never three
+    assert plan.count("SortMergeJoin") + plan.count("BroadcastHashJoin") <= 2
