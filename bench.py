@@ -67,12 +67,15 @@ def main() -> None:
     # Back-to-back repeats of a single query sit inside one spike window and
     # both absorb it; separating the repeats by a whole suite pass (~1 min)
     # decorrelates them, so the per-query min is a far better quiet-box
-    # estimator at identical total cost. Work per pass is still end-to-end
+    # estimator. (Default 3 passes vs the old 2 repeats costs one extra
+    # suite pass — accepted for the extra decorrelated sample; the recorded
+    # metric is the min, never the total harness wall clock.) Work per pass
+    # is still end-to-end
     # (full plan, noop sink, no collect). Caches that memoize *artifacts*
     # (shingle/signature tables) stay warm across passes — deliberate: the
     # production analogue is a persisted index, and pass-1 cold numbers are
     # reported nowhere.
-    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3"))
+    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
     times: dict[str, float] = {}
     for _ in range(n_passes):
         for name, spec in headline.items():

@@ -407,58 +407,66 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
     documents. Returns (doc_id, clean_text, n_words, n_removed_words,
     removed_fraction) for every document.
 
-    Scale shape: the corpus-wide work is exactly dup_span_stats' shingle-df
-    groupBy (map-side combined, shares the memoized shingle index) plus a
-    per-doc collect_set of its OWN duplicated grams (bounded by grams/doc,
-    never corpus-sized); the positional flagging and text rebuild are pure
-    map-side array algebra (transform/filter/slice) — no pair join, no
-    second corpus shuffle. Integer/string-only, so the DuckDB oracle
-    (list-comprehension form) matches bit-for-bit."""
+    Scale shape: LINEAR in corpus words end-to-end. The duplicated-gram
+    screen is the memoized df-filtered inverted index (the artifact
+    dup_span_stats reads); positional gram starts semi-join it on the gram
+    string, flagged starts explode to their covered word positions, an
+    anti-join on (doc, position) drops covered words, and one doc-keyed
+    aggregation reassembles the text in position order. The rebuild
+    shuffles word rows — unavoidable, the operator's OUTPUT is the
+    rewritten corpus — but there is deliberately no per-row
+    array-membership scan, which would be O(doc_grams x doc_dup_grams)
+    per document and stall an executor core on exactly the
+    boilerplate-heavy long documents this operator targets.
+    String/integer-only, so the DuckDB oracle (list-comprehension form)
+    matches bit-for-bit."""
     ds = _doc_shingles(docs, id_col, text_col, n)
-    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
-    # shingle arrays are distinct per doc => COUNT(*) == document frequency
-    dup_sh = (ex.groupBy("sh").agg(F.count("*").alias("df"))
-                .filter(F.col("df") >= min_df).select("sh"))
-    dset = (ex.join(dup_sh, "sh").groupBy("doc_id")
-              .agg(F.collect_set("sh").alias("dup_grams")))
+    if min_df == 2:
+        # the standard screen shares the cached df>=2 index with
+        # dup_span_stats (one corpus-wide df pass per session, not one
+        # per operator)
+        dup_index = _filtered_inverted_index(ds, True, None).select("sh")
+    else:
+        ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+        # shingle arrays are distinct per doc => COUNT(*) == doc frequency
+        dup_index = (ex.groupBy("sh").agg(F.count("*").alias("df"))
+                       .filter(F.col("df") >= min_df).select("sh"))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.split(F.col(text_col), " ").alias("words"))
-    j = (base.join(dset, "doc_id", "left")
-         .withColumn("dup_grams",
-                     F.coalesce("dup_grams", F.array().cast("array<string>")))
-         .withColumn("ng", F.when(F.size("words") < n, F.lit(0))
-                            .otherwise(F.size("words") - (n - 1))))
 
     def gram_at(i):  # i is the 1-based start position of the n-gram
         return F.concat_ws(" ", *[F.element_at(F.col("words"), i + k)
                                   for k in range(n)])
 
-    j = j.withColumn(
-        "flags",
-        F.when(F.col("ng") == 0, F.array().cast("array<boolean>"))
-         .otherwise(F.transform(
-             F.sequence(F.lit(1), F.col("ng")),
-             lambda i: F.array_contains(F.col("dup_grams"), gram_at(i)))))
-
-    def covered(j0):  # 0-based word index; word j0+1 is covered iff any
-        # flagged gram starts in [j0+1-(n-1), j0+1] (clamped to [1, ng])
-        lo = F.greatest(F.lit(1), j0 + 1 - (n - 1))
-        hi = F.least(j0 + 1, F.col("ng"))
-        # when ng >= 1 the clamp guarantees lo <= hi (see dup_span tests);
-        # F.when keeps the slice unevaluated on the ng == 0 branch
-        return F.when(F.col("ng") == 0, F.lit(False)).otherwise(
-            F.exists(F.slice(F.col("flags"), lo, hi - lo + 1), lambda x: x))
-
-    kept = F.filter(F.col("words"), lambda w, j0: ~covered(j0))
-    nw = F.size("words").cast("long")
-    n_removed = (F.size("words") - F.size(kept)).cast("long")
-    return j.select(
+    grams = F.when(
+        F.size("words") < n, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size("words") - (n - 1)), gram_at))
+    pg = base.select("doc_id", F.posexplode(grams).alias("i0", "sh"))
+    flagged = pg.join(dup_index, "sh", "leftsemi")
+    covered = (flagged.select(
         "doc_id",
-        F.concat_ws(" ", kept).alias("clean_text"),
-        nw.alias("n_words"),
-        n_removed.alias("n_removed_words"),
-        (n_removed.cast("double")
-         / F.greatest(nw, F.lit(1).cast("long"))).alias("removed_fraction"))
+        F.explode(F.sequence(F.col("i0") + 1,
+                             F.col("i0") + n)).alias("j"))
+        .distinct())
+    pw = base.select("doc_id", F.posexplode("words").alias("j0", "w")) \
+             .select("doc_id", (F.col("j0") + 1).alias("j"), "w")
+    kept = pw.join(covered, ["doc_id", "j"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j").alias("j"),
+                                                 F.col("w").alias("w")))),
+            lambda s: s["w"])).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"))
+    nw = F.size("words").cast("long")
+    n_removed = nw - F.coalesce("n_kept", F.lit(0).cast("long"))
+    return (base.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    nw.alias("n_words"),
+                    n_removed.alias("n_removed_words"),
+                    (n_removed.cast("double")
+                     / F.greatest(nw, F.lit(1).cast("long")))
+                    .alias("removed_fraction")))
 
 
 def incremental_minhash_dups(docs: DataFrame, batch_cond,
@@ -537,8 +545,18 @@ def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
     Plan shape at 100 TB: one tiny aggregation builds the bitmap (explode
     eval grams -> k positions -> bit_or per word); the corpus side is
     screened with a broadcast hash join on word_idx (map-side, no corpus
-    shuffle); the only corpus-keyed exchanges are the per-gram and per-doc
-    hit counts, both map-side partially aggregated."""
+    shuffle). Probe rows are filtered to bloom-POSITIVE bits BEFORE the
+    (doc, gram) aggregation, so the corpus-keyed exchanges carry only
+    contaminated-or-false-positive grams (~the hit rate of the corpus),
+    never one row per corpus gram; a gram has k pairwise-distinct probe
+    positions (odd stride, power-of-two m), so count(*) == k over its
+    surviving rows is exactly the all-bits-set test."""
+    if m_bits & (m_bits - 1) or k < 1 or k >= m_bits:
+        # the no-false-negative guarantee rests on the probe positions
+        # being pairwise distinct, which the odd-stride argument only
+        # gives for power-of-two m_bits
+        raise ValueError(f"m_bits must be a power of two and 1 <= k < "
+                         f"m_bits (got m_bits={m_bits}, k={k})")
     ds = _doc_shingles(docs, id_col, text_col, n)
     ex = ds.select("doc_id", F.explode("sh").alias("sh"))
     eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
@@ -556,14 +574,16 @@ def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
              .select(word_idx.alias("word_idx"), mask.alias("mask"))
              .groupBy("word_idx")
              .agg(F.bit_or("mask").alias("bits")))
+    # inner join + bit filter BEFORE the aggregation: only bloom-positive
+    # probe rows reach the (doc_id, sh) exchange (missing word_idx == no
+    # bits set == miss, so inner join is exact)
     probe = (pos.filter(~F.col("ev"))
              .withColumn("word_idx", word_idx)
              .withColumn("mask", mask)
-             .join(F.broadcast(bloom), "word_idx", "left"))
-    hit = (F.col("bits").isNotNull()
-           & (F.col("bits").bitwiseAND(F.col("mask")) != 0)).cast("int")
+             .join(F.broadcast(bloom), "word_idx")
+             .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0))
     flagged = (probe.groupBy("doc_id", "sh")
-               .agg(F.sum(hit).alias("n_hits"))
+               .agg(F.count("*").alias("n_hits"))
                .filter(F.col("n_hits") == k)
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_flagged_grams")))

@@ -1634,15 +1634,17 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "100 TB.",
 )
 def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_flink_processing_spark.operators.dedup import _doc_shingles
+    from kafka_flink_processing_spark.operators.dedup import (
+        _doc_shingles,
+        _filtered_inverted_index,
+    )
     docs = load_table(spark, "documents", sf_dir)
     ds = _doc_shingles(docs, "doc_id", "text", 3)
-    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
-    # shingle arrays are distinct per doc, so COUNT(*) per shingle == df
-    dup_sh = (ex.groupBy("sh").agg(F.count("*").alias("df"))
-                .filter(F.col("df") >= 2).select("sh"))
-    hits = (ex.join(dup_sh, "sh").groupBy("doc_id")
-              .agg(F.count("*").cast("long").alias("n_dup_grams")))
+    # the memoized df>=2 inverted index (shared with dup_span_redact):
+    # its (doc_id, sh) rows are exactly the corpus-duplicated grams
+    inv = _filtered_inverted_index(ds, True, None)
+    hits = (inv.groupBy("doc_id")
+               .agg(F.count("*").cast("long").alias("n_dup_grams")))
     sizes = ds.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
     n_dup = F.coalesce("n_dup_grams", F.lit(0).cast("long"))
     return (sizes.join(hits, "doc_id", "left")
@@ -1694,9 +1696,11 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "family: every word covered by a corpus-duplicated 3-gram (df >= "
         "2 docs) is excised and the document text rebuilt (Lee et al. "
         "2022 at n-gram granularity; dup_span_stats is the ranking "
-        "signal). Corpus-wide work = the same map-side-combined "
-        "shingle-df groupBy + a per-doc collect_set bounded by grams/doc; "
-        "flagging and rebuild are map-side array algebra — no pair join "
+        "signal). LINEAR in corpus words: positional gram starts "
+        "semi-join the shared cached df>=2 index, flagged starts explode "
+        "to covered positions, an anti-join drops covered words, one "
+        "doc-keyed aggregation reassembles the text — no pair join, no "
+        "per-row membership scan over a collected gram set "
         "(operators/dedup.py::dup_span_redact).",
 )
 def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
