@@ -551,35 +551,76 @@ def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
     never one row per corpus gram; a gram has k pairwise-distinct probe
     positions (odd stride, power-of-two m), so count(*) == k over its
     surviving rows is exactly the all-bits-set test."""
+    _validate_bloom_params(m_bits, k)
+    ds = _doc_shingles(docs, id_col, text_col, n)
+    eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
+    # shingle ONCE over all docs (one memoized UDF pass), then split the
+    # shingle table by the tag — shingling eval/train separately would run
+    # the string-heavy UDF twice
+    dst = ds.join(eval_ids, "doc_id")
+    bloom = bloom_bitmap(dst.filter(F.col("ev")), m_bits, k)
+    return bloom_screen(dst.filter(~F.col("ev")), bloom, m_bits, k)
+
+
+def _validate_bloom_params(m_bits: int, k: int) -> None:
     if m_bits & (m_bits - 1) or k < 1 or k >= m_bits:
         # the no-false-negative guarantee rests on the probe positions
         # being pairwise distinct, which the odd-stride argument only
         # gives for power-of-two m_bits
         raise ValueError(f"m_bits must be a power of two and 1 <= k < "
                          f"m_bits (got m_bits={m_bits}, k={k})")
-    ds = _doc_shingles(docs, id_col, text_col, n)
+
+
+# variable-distance shift needs the SQL form (F.shiftleft only takes a
+# literal count); 1L << 63 wraps to the sign bit in Java semantics, which
+# bit_or / & handle bitwise — sign never leaks into the output. Lazy:
+# Column construction needs an active SparkContext, so these cannot be
+# module-level constants (import would fail before the session exists).
+def _bloom_word_idx():
+    return F.shiftright(F.col("p"), 6)
+
+
+def _bloom_mask():
+    return F.expr("shiftleft(cast(1 as bigint), cast(p & 63 as int))")
+
+
+def _bloom_pos_rows(ds: DataFrame, m_bits: int, k: int) -> DataFrame:
+    """(doc_id, sh, p) probe-position rows from a (doc_id, sh) shingle
+    table: each gram contributes its k pairwise-distinct bit positions."""
     ex = ds.select("doc_id", F.explode("sh").alias("sh"))
-    eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
-    tagged = ex.join(eval_ids, "doc_id")
-    pos = tagged.select(
-        "doc_id", "sh", "ev",
+    return ex.select(
+        "doc_id", "sh",
         F.explode(F.array(*_bloom_positions(
             md5_hash60(F.col("sh")), m_bits, k))).alias("p"))
-    # variable-distance shift needs the SQL form (F.shiftleft only takes a
-    # literal count); 1L << 63 wraps to the sign bit in Java semantics,
-    # which bit_or / & handle bitwise — sign never leaks into the output
-    word_idx = F.shiftright(F.col("p"), 6)
-    mask = F.expr("shiftleft(cast(1 as bigint), cast(p & 63 as int))")
-    bloom = (pos.filter(F.col("ev"))
-             .select(word_idx.alias("word_idx"), mask.alias("mask"))
-             .groupBy("word_idx")
-             .agg(F.bit_or("mask").alias("bits")))
-    # inner join + bit filter BEFORE the aggregation: only bloom-positive
-    # probe rows reach the (doc_id, sh) exchange (missing word_idx == no
-    # bits set == miss, so inner join is exact)
-    probe = (pos.filter(~F.col("ev"))
-             .withColumn("word_idx", word_idx)
-             .withColumn("mask", mask)
+
+
+def bloom_bitmap(ds: DataFrame, m_bits: int = BLOOM_M_BITS,
+                 k: int = BLOOM_K) -> DataFrame:
+    """(word_idx, bits) packed Bloom bitmap of every n-gram in a (doc_id,
+    sh) shingle table — at most m_bits/64 rows regardless of input size.
+    This is the persisted artifact of the decontamination family: built
+    once per eval-corpus snapshot, broadcast to every screen."""
+    _validate_bloom_params(m_bits, k)
+    return (_bloom_pos_rows(ds, m_bits, k)
+            .select(_bloom_word_idx().alias("word_idx"),
+                    _bloom_mask().alias("mask"))
+            .groupBy("word_idx")
+            .agg(F.bit_or("mask").alias("bits")))
+
+
+def bloom_screen(ds: DataFrame, bloom: DataFrame,
+                 m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
+    """Screen a (doc_id, sh) shingle table against a packed Bloom bitmap:
+    (doc_id, n_flagged_grams, n_grams, flag_ratio) for docs with at least
+    one bloom-positive gram. Inner join + bit filter BEFORE the
+    aggregation: only bloom-positive probe rows reach the (doc_id, sh)
+    exchange (a missing word_idx means no bits set, so inner is exact);
+    count(*) == k over a gram's surviving rows is exactly the all-bits-set
+    test because its k positions are pairwise distinct."""
+    _validate_bloom_params(m_bits, k)
+    probe = (_bloom_pos_rows(ds, m_bits, k)
+             .withColumn("word_idx", _bloom_word_idx())
+             .withColumn("mask", _bloom_mask())
              .join(F.broadcast(bloom), "word_idx")
              .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0))
     flagged = (probe.groupBy("doc_id", "sh")
@@ -587,8 +628,7 @@ def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
                .filter(F.col("n_hits") == k)
                .groupBy("doc_id")
                .agg(F.count("*").alias("n_flagged_grams")))
-    sizes = (ds.join(eval_ids, "doc_id").filter(~F.col("ev"))
-             .select("doc_id", F.size("sh").cast("long").alias("n_grams")))
+    sizes = ds.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
     return (flagged.join(sizes, "doc_id")
             .select("doc_id", "n_flagged_grams", "n_grams",
                     (F.col("n_flagged_grams").cast("double")

@@ -156,3 +156,58 @@ def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start()
+
+
+def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
+                        out_dir: str, checkpoint_root: str,
+                        n: int = 4, available_now: bool = False):
+    """Streaming ingest decontamination guard: each arriving document
+    micro-batch is screened against the Bloom bitmap of the held-out eval
+    corpus's n-grams (operators/dedup.py::bloom_bitmap / bloom_screen —
+    the same implementation the batch `decontaminate_bloom` query uses, so
+    the two paths cannot diverge). Docs with any bloom-positive gram land
+    in `out_dir/contaminated` with their gram counts; clean docs in
+    `out_dir/accepted`. Bloom false positives quarantine a clean doc for
+    review — never the reverse (no false negatives).
+
+    Scale shape: the bitmap is built ONCE from the eval corpus (<=16384
+    (word_idx, bits) longs, 128 KiB — cached here; persisted as the
+    decontamination artifact in a production pipeline) and broadcast to
+    every micro-batch; the per-batch probe is map-side, the only
+    batch-keyed exchange is the per-gram/per-doc hit count over
+    bloom-POSITIVE rows only.
+    """
+    import os as _os
+
+    from kafka_flink_processing_spark.operators.dedup import (
+        _doc_shingles,
+        bloom_bitmap,
+        bloom_screen,
+    )
+
+    eval_ds = _doc_shingles(eval_docs, "doc_id", "text", n)
+    bloom = bloom_bitmap(eval_ds).cache()
+    bloom.count()  # build the artifact once, before the first epoch
+
+    def screen(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        # memo=False + explicit persist: epoch plans must not accumulate
+        # cache entries, and the shingle table feeds both the probe and
+        # the per-doc sizes
+        ds_b = _doc_shingles(batch, "doc_id", "text", n, memo=False).persist()
+        hits = bloom_screen(ds_b, bloom).persist()
+        hits.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, "contaminated", f"epoch={epoch}"))
+        accepted = batch.join(hits.select("doc_id"), "doc_id", "left_anti")
+        accepted.write.mode("overwrite").parquet(
+            _os.path.join(out_dir, "accepted", f"epoch={epoch}"))
+        hits.unpersist()
+        ds_b.unpersist()
+
+    w = (docs_stream.writeStream.foreachBatch(screen)
+         .option("checkpointLocation",
+                 _os.path.join(checkpoint_root, "decontamination")))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start()

@@ -197,3 +197,42 @@ def test_incremental_dedup_job_matches_batch_operator(spark):
         inc_ids = {r.doc_id for r in increment.select("doc_id").collect()}
         acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
         assert acc_ids == inc_ids - flagged
+
+
+def test_decontamination_job_matches_batch_operator(spark):
+    """Streaming decontamination parity: the per-doc screen has no
+    within-batch interactions, so the union over micro-batch epochs must
+    equal the batch contamination_screen_bloom rows exactly; accepted =
+    increment minus flagged ids."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen_bloom,
+    )
+    from kafka_flink_processing_spark.sources.parquet import load_table
+    from kafka_flink_processing_spark.streaming.jobs import (
+        decontamination_job,
+    )
+
+    docs = load_table(spark, "documents", SF).select("doc_id", "text")
+    eval_docs = docs.filter(F.col("doc_id") % 13 == 0)
+    increment = docs.filter(F.col("doc_id") % 13 != 0)
+
+    want = _rowset(contamination_screen_bloom(
+        docs, F.col("doc_id") % 13 == 0, n=4).collect())
+
+    with tempfile.TemporaryDirectory(prefix="kfps_decon_") as td:
+        stream = _stream_from(spark, increment, td, n_files=2,
+                              order_col="doc_id")
+        q = decontamination_job(stream, eval_docs, f"{td}/out", f"{td}/ckpt",
+                                n=4, available_now=True)
+        q.awaitTermination()
+        hits = spark.read.option("basePath", f"{td}/out/contaminated") \
+            .parquet(f"{td}/out/contaminated/epoch=*")
+        accepted = spark.read.option("basePath", f"{td}/out/accepted") \
+            .parquet(f"{td}/out/accepted/epoch=*")
+        assert hits.select("epoch").distinct().count() == 2  # multi-batch
+        got = _rowset(hits.drop("epoch").collect())
+        assert got == want
+        flagged = {r.doc_id for r in hits.select("doc_id").collect()}
+        inc_ids = {r.doc_id for r in increment.select("doc_id").collect()}
+        acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
+        assert acc_ids == inc_ids - flagged
