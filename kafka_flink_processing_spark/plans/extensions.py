@@ -1278,25 +1278,29 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     doc="adaptive per-source quality floor (the FineWeb/DCLM-style "
         "curation step): each source's p25 quality becomes its own keep "
         "threshold, so boilerplate-heavy domains are pruned harder than "
-        "clean ones instead of one global cutoff. Exact rank-based "
-        "percentile (percentile_disc semantics — deterministic and "
-        "engine-portable, same pattern as winsorized_stats); one window "
-        "shuffle on source derives the bounds, the per-source bounds "
-        "table broadcasts back onto the scan, the keep decision is "
-        "map-side. Emits every doc with its threshold and kept flag (the "
-        "downstream materialization filters on kept).",
+        "clean ones instead of one global cutoff. Exact percentile_disc "
+        "semantics computed by HISTOGRAM SELECTION, not a per-source row "
+        "sort: groupBy (source, quality) counts (map-side combined), "
+        "cumulative counts over the distinct-VALUE table, threshold = min "
+        "value whose cumulative count reaches ceil(0.25 n) — identical to "
+        "the rank statistic, but the per-source window runs over distinct "
+        "quality values instead of every doc, so one billion-doc source "
+        "costs a combine + a tiny sorted partition rather than a "
+        "single-partition sort of a billion rows. Bounds broadcast back; "
+        "the keep decision is map-side. Emits every doc with its "
+        "threshold and kept flag.",
 )
 def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     scored = docs.select("doc_id", "source",
                          quality_score(F.col("text")).alias("quality"))
-    w = Window.partitionBy("source").orderBy("quality", "doc_id")
-    ranked = (scored
-              .withColumn("rn", F.row_number().over(w))
-              .withColumn("n", F.count("*").over(Window.partitionBy("source"))))
-    bounds = (ranked
-              .filter(F.col("rn") == F.ceil(F.lit(0.25) * F.col("n")))
-              .select("source", F.col("quality").alias("q25")))
+    counts = scored.groupBy("source", "quality").agg(F.count("*").alias("c"))
+    cum = (counts
+           .withColumn("cum", F.sum("c").over(
+               Window.partitionBy("source").orderBy("quality")))
+           .withColumn("n", F.sum("c").over(Window.partitionBy("source"))))
+    bounds = (cum.filter(F.col("cum") >= F.ceil(F.lit(0.25) * F.col("n")))
+              .groupBy("source").agg(F.min("quality").alias("q25")))
     return (scored.join(F.broadcast(bounds), "source")
             .select("doc_id", "source", "quality", "q25",
                     (F.col("quality") >= F.col("q25")).alias("kept")))
