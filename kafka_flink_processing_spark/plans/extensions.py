@@ -1283,12 +1283,14 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sort: groupBy (source, quality) counts (map-side combined), "
         "cumulative counts over the distinct-VALUE table, threshold = min "
         "value whose cumulative count reaches ceil(0.25 n) — identical to "
-        "the rank statistic, but the per-source window runs over distinct "
-        "quality values instead of every doc, so one billion-doc source "
-        "costs a combine + a tiny sorted partition rather than a "
-        "single-partition sort of a billion rows. Bounds broadcast back; "
-        "the keep decision is map-side. Emits every doc with its "
-        "threshold and kept flag.",
+        "the rank statistic, but the per-source window runs over DISTINCT "
+        "quality values instead of every doc. The rational quality score "
+        "ties heavily (length-capped terms), so the combine collapses a "
+        "giant source to its value set; for a continuous score the same "
+        "plan degrades gracefully to the sort, and the escalation path is "
+        "fixed-width pre-binning + exact selection inside the one "
+        "threshold bin. Bounds broadcast back; the keep decision is "
+        "map-side. Emits every doc with its threshold and kept flag.",
 )
 def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
