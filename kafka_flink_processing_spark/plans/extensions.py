@@ -1308,6 +1308,73 @@ def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("quality") >= F.col("q25")).alias("kept")))
 
 
+# cross-modal agreement threshold: embedding cosine at-or-above this level
+# counts as semantic confirmation of a lexical near-dup pair (matches the
+# embedding_cosine_pairs mining threshold, so the two views are comparable)
+CROSSMODAL_COS_T = 0.45
+
+
+@register(
+    "crossmodal_dup_verify",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    pairs AS (
+      SELECT doc_a, doc_b,
+             len(list_intersect(sa.sh, sb.sh))
+               / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+               AS jaccard
+      FROM cand JOIN ds sa ON doc_a = sa.doc_id JOIN ds sb ON doc_b = sb.doc_id
+      WHERE len(list_intersect(sa.sh, sb.sh))
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh)))
+            >= 0.6)
+    SELECT p.doc_a, p.doc_b, p.jaccard,
+           {_DOT.format(a='ea.embedding', b='eb.embedding')}
+             / (sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})
+                * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}))
+             AS cosine,
+           {_DOT.format(a='ea.embedding', b='eb.embedding')}
+             / (sqrt({_DOT.format(a='ea.embedding', b='ea.embedding')})
+                * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}))
+             >= {CROSSMODAL_COS_T} AS semantic_agree
+    FROM pairs p
+    JOIN embeddings ea ON p.doc_a = ea.vec_id
+    JOIN embeddings eb ON p.doc_b = eb.vec_id
+    """,
+    doc="cross-modal near-dup verification: every MinHash-LSH lexical "
+        "pair annotated with its embedding cosine and a semantic_agree "
+        "flag (cosine >= 0.45, the embedding_cosine_pairs mining "
+        "threshold) — the curation triage that separates true rewrites "
+        "(lexically AND semantically close) from template collisions "
+        "(shared boilerplate, different content). Scale: pairs are "
+        "O(dups) from the banded index; attaching embeddings is two "
+        "id-keyed equi-joins on the pair list — the corpus embedding "
+        "table never self-joins. Cosine via the sequential fold "
+        "(bit-reproducible vs DuckDB list_reduce).",
+)
+def crossmodal_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        _dot,
+        with_unit_info,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    emb = load_table(spark, "embeddings", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    base = with_unit_info(emb, "embedding")
+    ea = base.select(F.col("vec_id").alias("doc_a"),
+                     F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    eb = base.select(F.col("vec_id").alias("doc_b"),
+                     F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    return (pairs.join(ea, "doc_a").join(eb, "doc_b")
+            .select("doc_a", "doc_b", "jaccard", cos.alias("cosine"),
+                    (cos >= CROSSMODAL_COS_T).alias("semantic_agree")))
+
+
 @register(
     "repetition_stats",
     oracle=f"""

@@ -153,6 +153,11 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "(list-comprehension rebuild oracle) + ground-truth rebuild "
         "property test in tests/test_extensions.py; rotate into the r4 "
         "window.",
+    "crossmodal_dup_verify":
+        "r3 addition; window full this round — local oracle replica green "
+        "(reuses the driver-green MinHash-pair fragments + the verified "
+        "list_reduce cosine) + numpy cosine ground-truth test in "
+        "tests/test_extensions.py; rotate into the r4 window.",
 }
 
 

@@ -268,6 +268,30 @@ def test_bloom_screen_is_superset_of_exact_screen(docs):
     assert all(r.n_flagged_grams <= r.n_grams for r in bloom_rows)
 
 
+def test_crossmodal_verify_cosines_match_numpy(spark, docs, emb):
+    """Every lexical pair must carry the numpy-exact embedding cosine of
+    its two aligned vectors, and semantic_agree must be cosine >= 0.45."""
+    import numpy as np
+
+    from kafka_flink_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_flink_processing_spark.plans import registry
+
+    rows = registry.queries()["crossmodal_dup_verify"](spark, SF).collect()
+    want_pairs = {(r.doc_a, r.doc_b)
+                  for r in minhash_lsh_pairs(docs, 3, 0.6).collect()}
+    assert {(r.doc_a, r.doc_b) for r in rows} == want_pairs
+    assert want_pairs, "testdata should contain lexical near-dup pairs"
+    vecs = {r.vec_id: np.array(r.embedding, dtype=np.float64)
+            for r in emb.collect()}
+    for r in rows:
+        va, vb = vecs[r.doc_a], vecs[r.doc_b]
+        want = float(va @ vb / (np.linalg.norm(va) * np.linalg.norm(vb)))
+        assert abs(r.cosine - want) < 1e-9, (r.doc_a, r.doc_b)
+        assert r.semantic_agree == (r.cosine >= 0.45)
+
+
 def test_dup_span_redact_ground_truth(docs):
     """The rebuilt text must equal the brute-force python redaction: drop
     every word covered by a 3-gram that occurs in >= 2 documents."""
