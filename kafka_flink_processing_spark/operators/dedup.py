@@ -155,17 +155,18 @@ def _doc_shingles(docs: DataFrame, id_col: str, text_col: str,
 NGRAM_MAX_DF = 1000
 
 
-def _filtered_inverted_index(ds: DataFrame, prune_singletons: bool,
+def _filtered_inverted_index(ds: DataFrame, min_df: int,
                              max_df: int | None) -> DataFrame:
-    """(doc_id, sh) inverted shingle index with the document-frequency
-    bounds applied (see NGRAM_MAX_DF). Memoized per (shingle plan, bounds):
-    the index feeds BOTH sides of the candidate self-join, so without a
-    cache the df groupBy + semi-join runs twice per action — and the r2
-    bench showed dedup_ngram_jaccard paying exactly that (+178%). Cached +
-    primed, the df pass runs once and both join sides read the
-    materialization (the 100 TB analogue: the df-capped index is persisted
-    as a table once per corpus snapshot, every dedup pass reads it)."""
-    lo = 2 if prune_singletons else 1
+    """(doc_id, sh) inverted shingle index keeping shingles with document
+    frequency in [min_df, max_df] (see NGRAM_MAX_DF). Memoized per
+    (shingle plan, bounds): the index feeds BOTH sides of the candidate
+    self-join, so without a cache the df groupBy + semi-join runs twice
+    per action — and the r2 bench showed dedup_ngram_jaccard paying
+    exactly that (+178%). Cached + primed, the df pass runs once and both
+    join sides read the materialization (the 100 TB analogue: the
+    df-capped index is persisted as a table once per corpus snapshot,
+    every dedup pass reads it)."""
+    lo = min_df
     hi = max_df if max_df is not None else None
     key, hit = _memo_lookup(_INV_CACHE, ds, (lo, hi))
     if hit is not None:
@@ -189,7 +190,7 @@ def _jaccard_intersections(ds: DataFrame, prune_singletons: bool,
                            max_df: int | None) -> DataFrame:
     """(doc_a, doc_b, n_common) candidate intersections from the shingle
     index, with the df-bounded inverted index (see NGRAM_MAX_DF)."""
-    inv = _filtered_inverted_index(ds, prune_singletons, max_df)
+    inv = _filtered_inverted_index(ds, 2 if prune_singletons else 1, max_df)
     a, b = inv.alias("a"), inv.alias("b")
     return (a.join(b, (F.col("a.sh") == F.col("b.sh"))
                    & (F.col("a.doc_id") < F.col("b.doc_id")))
@@ -421,16 +422,10 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
     String/integer-only, so the DuckDB oracle (list-comprehension form)
     matches bit-for-bit."""
     ds = _doc_shingles(docs, id_col, text_col, n)
-    if min_df == 2:
-        # the standard screen shares the cached df>=2 index with
-        # dup_span_stats (one corpus-wide df pass per session, not one
-        # per operator)
-        dup_index = _filtered_inverted_index(ds, True, None).select("sh")
-    else:
-        ex = ds.select("doc_id", F.explode("sh").alias("sh"))
-        # shingle arrays are distinct per doc => COUNT(*) == doc frequency
-        dup_index = (ex.groupBy("sh").agg(F.count("*").alias("df"))
-                       .filter(F.col("df") >= min_df).select("sh"))
+    # one memoized df screen for any min_df (shared with dup_span_stats
+    # at the default 2: one corpus-wide df pass per session, not one per
+    # operator)
+    dup_index = _filtered_inverted_index(ds, min_df, None).select("sh")
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.split(F.col(text_col), " ").alias("words"))
 
@@ -457,15 +452,20 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
                                                  F.col("w").alias("w")))),
             lambda s: s["w"])).alias("clean_text"),
         F.count("*").cast("long").alias("n_kept"))
-    nw = F.size("words").cast("long")
-    n_removed = nw - F.coalesce("n_kept", F.lit(0).cast("long"))
-    return (base.join(rebuilt, "doc_id", "left")
+    # project word COUNTS before the attach join — joining `base` directly
+    # would ship every document's full words array through the exchange a
+    # second time (O(corpus text)) when one long per doc suffices
+    sizes = base.select("doc_id", F.size("words").cast("long")
+                        .alias("n_words"))
+    n_removed = F.col("n_words") - F.coalesce("n_kept",
+                                              F.lit(0).cast("long"))
+    return (sizes.join(rebuilt, "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
-                    nw.alias("n_words"),
+                    "n_words",
                     n_removed.alias("n_removed_words"),
                     (n_removed.cast("double")
-                     / F.greatest(nw, F.lit(1).cast("long")))
+                     / F.greatest("n_words", F.lit(1).cast("long")))
                     .alias("removed_fraction")))
 
 

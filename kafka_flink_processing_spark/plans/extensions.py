@@ -103,6 +103,11 @@ def _minhash_sig_sql() -> str:
 """
 
 
+# One embedding-cosine near-dup threshold shared by every semantic view
+# (LSH pair mining, SemDeDup, the cross-modal verifier) so the views stay
+# comparable; retune it in ONE place.
+EMBED_COS_T = 0.45
+
 _DOT = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
         "list_transform(list_zip({a}, {b}), "
         "p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE))), "
@@ -573,7 +578,7 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              FROM asg a JOIN asg b
                ON a.cell = b.cell AND a.vec_id < b.vec_id
              WHERE {_DOT.format(a='a.embedding', b='b.embedding')}
-                     / (a.nrm * b.nrm) >= 0.45)
+                     / (a.nrm * b.nrm) >= {EMBED_COS_T})
     SELECT a.vec_id, a.cell, (d.vec_id IS NULL) AS keep
     FROM asg a LEFT JOIN dups d ON a.vec_id = d.vec_id
     """,
@@ -593,7 +598,7 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     # same pinned-codebook contract as similarity_ivf_topk: the static
     # oracle embeds the one artifact, live per-corpus training is the
     # operator default (centroids=None)
-    return semdedup(emb, threshold=0.45, centroids=IVF_CENTROIDS)
+    return semdedup(emb, threshold=EMBED_COS_T, centroids=IVF_CENTROIDS)
 
 
 @register(
@@ -618,7 +623,7 @@ def dedup_semantic_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT vec_a, vec_b,
            {_DOT.format(a='va', b='vb')} / (na * nb) AS cosine
     FROM cand
-    WHERE {_DOT.format(a='va', b='vb')} / (na * nb) >= 0.45
+    WHERE {_DOT.format(a='va', b='vb')} / (na * nb) >= {EMBED_COS_T}
     """,
     doc="embedding-cosine near-dup pairs via banded-LSH candidates + exact "
         "re-scoring (no all-pairs join in the plan). Oracle = the same "
@@ -632,7 +637,7 @@ def embedding_cosine_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lsh_cosine_pairs,
     )
     return lsh_cosine_pairs(load_table(spark, "embeddings", sf_dir),
-                            threshold=0.45)
+                            threshold=EMBED_COS_T)
 
 
 # ---------------------------------------------------------------------------
@@ -1308,10 +1313,9 @@ def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.col("quality") >= F.col("q25")).alias("kept")))
 
 
-# cross-modal agreement threshold: embedding cosine at-or-above this level
-# counts as semantic confirmation of a lexical near-dup pair (matches the
-# embedding_cosine_pairs mining threshold, so the two views are comparable)
-CROSSMODAL_COS_T = 0.45
+# cross-modal agreement: embedding cosine at-or-above the one shared
+# semantic threshold counts as confirmation of a lexical near-dup pair
+CROSSMODAL_COS_T = EMBED_COS_T
 
 
 @register(
@@ -1342,8 +1346,8 @@ CROSSMODAL_COS_T = 0.45
                 * sqrt({_DOT.format(a='eb.embedding', b='eb.embedding')}))
              >= {CROSSMODAL_COS_T} AS semantic_agree
     FROM pairs p
-    JOIN embeddings ea ON p.doc_a = ea.vec_id
-    JOIN embeddings eb ON p.doc_b = eb.vec_id
+    LEFT JOIN embeddings ea ON p.doc_a = ea.vec_id
+    LEFT JOIN embeddings eb ON p.doc_b = eb.vec_id
     """,
     doc="cross-modal near-dup verification: every MinHash-LSH lexical "
         "pair annotated with its embedding cosine and a semantic_agree "
@@ -1370,7 +1374,10 @@ def crossmodal_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     eb = base.select(F.col("vec_id").alias("doc_b"),
                      F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
     cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
-    return (pairs.join(ea, "doc_a").join(eb, "doc_b")
+    # LEFT joins: a lexical pair whose doc lacks an embedding row (partial
+    # embedding coverage is normal at corpus scale) must surface with null
+    # cosine/semantic_agree for review, never vanish from the triage
+    return (pairs.join(ea, "doc_a", "left").join(eb, "doc_b", "left")
             .select("doc_a", "doc_b", "jaccard", cos.alias("cosine"),
                     (cos >= CROSSMODAL_COS_T).alias("semantic_agree")))
 
@@ -1715,7 +1722,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ds = _doc_shingles(docs, "doc_id", "text", 3)
     # the memoized df>=2 inverted index (shared with dup_span_redact):
     # its (doc_id, sh) rows are exactly the corpus-duplicated grams
-    inv = _filtered_inverted_index(ds, True, None)
+    inv = _filtered_inverted_index(ds, 2, None)
     hits = (inv.groupBy("doc_id")
                .agg(F.count("*").cast("long").alias("n_dup_grams")))
     sizes = ds.select("doc_id", F.size("sh").cast("long").alias("n_grams"))

@@ -145,9 +145,11 @@ DEFERRED_VERIFICATION: dict[str, str] = {
         "into the r4 window.",
     "adaptive_quality_filter":
         "r3 addition; window full this round — local oracle replica green "
-        "(identical rank-based percentile SQL) + per-source threshold "
-        "property test in tests/test_extensions.py; rotate into the r4 "
-        "window.",
+        "(Spark computes the threshold by distinct-value histogram "
+        "selection, the oracle by ROW_NUMBER rank: two algorithms for the "
+        "same percentile_disc statistic agreeing exactly is the stronger "
+        "check) + per-source threshold property test in "
+        "tests/test_extensions.py; rotate into the r4 window.",
     "dup_span_redact":
         "r3 addition; window full this round — local oracle replica green "
         "(list-comprehension rebuild oracle) + ground-truth rebuild "

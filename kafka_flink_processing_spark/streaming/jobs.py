@@ -185,7 +185,10 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
         bloom_screen,
     )
 
-    eval_ds = _doc_shingles(eval_docs, "doc_id", "text", n)
+    # memo=False: the eval shingle table is consumed exactly once (the
+    # bitmap build below); memoizing would cache+count a full extra
+    # materialization and pin it in executor storage for the session
+    eval_ds = _doc_shingles(eval_docs, "doc_id", "text", n, memo=False)
     bloom = bloom_bitmap(eval_ds).cache()
     bloom.count()  # build the artifact once, before the first epoch
 
