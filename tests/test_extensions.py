@@ -292,6 +292,39 @@ def test_crossmodal_verify_cosines_match_numpy(spark, docs, emb):
         assert r.semantic_agree == (r.cosine >= 0.45)
 
 
+def test_crossmodal_verify_keeps_pairs_missing_embeddings(spark, docs, emb):
+    """A lexical pair whose doc lacks an embedding row must surface with
+    null cosine/semantic_agree — never vanish from the triage output."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        minhash_lsh_pairs,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        _dot,
+        with_unit_info,
+    )
+    from kafka_flink_processing_spark.plans.extensions import (
+        CROSSMODAL_COS_T,
+    )
+
+    pairs = minhash_lsh_pairs(docs, 3, 0.6)
+    first = pairs.orderBy("doc_a", "doc_b").first()
+    partial = emb.filter(F.col("vec_id") != first.doc_a)
+    base = with_unit_info(partial, "embedding")
+    ea = base.select(F.col("vec_id").alias("doc_a"),
+                     F.col("embedding").alias("va"), F.col("nrm").alias("na"))
+    eb = base.select(F.col("vec_id").alias("doc_b"),
+                     F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
+    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    out = (pairs.join(ea, "doc_a", "left").join(eb, "doc_b", "left")
+           .select("doc_a", "doc_b", "jaccard", cos.alias("cosine"),
+                   (cos >= CROSSMODAL_COS_T).alias("semantic_agree")))
+    rows = {(r.doc_a, r.doc_b): r for r in out.collect()}
+    assert set(rows) == {(r.doc_a, r.doc_b) for r in pairs.collect()}
+    gap = rows[(first.doc_a, first.doc_b)]
+    assert gap.cosine is None and gap.semantic_agree is None
+    assert gap.jaccard is not None
+
+
 def test_dup_span_redact_ground_truth(docs):
     """The rebuilt text must equal the brute-force python redaction: drop
     every word covered by a 3-gram that occurs in >= 2 documents."""
