@@ -75,20 +75,29 @@ def main() -> None:
     # (shingle/signature tables) stay warm across passes — deliberate: the
     # production analogue is a persisted index, and pass-1 cold numbers are
     # reported nowhere.
-    n_passes = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")))
+    raw_passes = os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")
+    try:
+        n_passes = max(1, int(raw_passes))
+    except ValueError:
+        print(f"warning: SPARK_GRAFT_BENCH_PASSES={raw_passes!r} is not an "
+              f"int; falling back to 3", file=sys.stderr)
+        n_passes = 3
+    # keep the RAW best per query; round once when emitting (round-then-min
+    # could drift the stored time below any actual measurement)
     times: dict[str, float] = {}
     for _ in range(n_passes):
         for name, spec in headline.items():
             t0 = time.time()
             force(spec.spark(spark, sf_dir))
             dt = time.time() - t0
-            times[name] = round(min(times.get(name, float("inf")), dt), 3)
+            times[name] = min(times.get(name, float("inf")), dt)
 
+    rounded = {name: round(t, 3) for name, t in times.items()}
     print(json.dumps({
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
-        "queries": times,
+        "queries": rounded,
         "sf": sf_from_dir(sf_dir),
     }))
 

@@ -44,11 +44,13 @@ def davg(col: Column | str, scale: int = 2) -> Column:
 
 
 def dsum_sql(expr: str, scale: int = 2) -> str:
-    """The DuckDB-oracle rendering of dsum(expr, scale)."""
+    """The DuckDB-oracle rendering of dsum(expr, scale). Parenthesized so
+    the fragment composes safely as a division operand (an unwrapped
+    `a / 10^s` tail would re-associate under a following `/ x`)."""
     factor = 10 ** scale
-    return (f"CAST(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) AS DOUBLE)"
-            f" / {float(factor)}")
+    return (f"(CAST(SUM(CAST(ROUND(({expr}) * {factor}) AS BIGINT)) AS DOUBLE)"
+            f" / {float(factor)})")
 
 
 def davg_sql(expr: str, scale: int = 2) -> str:
-    return f"{dsum_sql(expr, scale)} / COUNT({expr})"
+    return f"({dsum_sql(expr, scale)} / COUNT({expr}))"

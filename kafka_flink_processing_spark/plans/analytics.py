@@ -1,0 +1,611 @@
+"""Round-4 pipeline analytics: index-quality evals, corpus diagnostics,
+and event-stream analytics (funnel / cohorts / anomaly).
+
+Three families, all first-class oracle-backed queries:
+
+- **Index-quality evals** (`minhash_jaccard_accuracy`, `ivf_recall_eval`):
+  a production dedup/ANN deployment needs its approximation error measured
+  ON the corpus it serves, not assumed from theory — these run the
+  estimate and the exact value through one plan and report the gap.
+- **Corpus diagnostics** (`ngram_freq_top`, `token_length_histogram`,
+  `source_overlap_matrix`, `dedup_keep_best`, `packing_efficiency`,
+  `embedding_norm_stats`): the summary tables a curation run reads before
+  choosing thresholds.
+- **Event analytics** (`session_funnel`, `retention_cohorts`,
+  `event_hourly_anomaly`): sessionized behavioral rollups over the
+  `events` stream table — the read-side analytics the reference delegated
+  to Postgres (README.md:83-101), here engine-native.
+
+Cross-engine exactness rules are the package's usual ones: integer
+arithmetic wherever possible (epoch-microsecond gaps, day diffs, count
+ratios as a single int/int division), dsum for float sums, and the shared
+literal constants for every hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.constants import N_MINHASH
+from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
+from kafka_flink_processing_spark.functions.text import (
+    TOKEN_REGEX,
+    quality_score,
+    shingles,
+)
+from kafka_flink_processing_spark.plans.extensions import (
+    _codebook_values_sql,
+    _COSINE_BASE_SQL,
+    _DOT,
+    _minhash_bands_sql,
+    _minhash_sig_sql,
+    _QUALITY_SQL,
+    _SHINGLES3,
+)
+from kafka_flink_processing_spark.plans.registry import register
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+# ---------------------------------------------------------------------------
+# Index-quality evals
+# ---------------------------------------------------------------------------
+
+_EST_TERMS = " + ".join(
+    f"CASE WHEN sa.mh{i} = sb.mh{i} THEN 1 ELSE 0 END"
+    for i in range(N_MINHASH))
+
+
+@register(
+    "minhash_jaccard_accuracy",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    est AS (SELECT doc_a, doc_b, ({_EST_TERMS}) / {N_MINHASH}.0 AS est_jaccard
+            FROM cand JOIN sig sa ON doc_a = sa.doc_id
+                      JOIN sig sb ON doc_b = sb.doc_id),
+    exa AS (SELECT doc_a, doc_b,
+                   len(list_intersect(da.sh, db.sh))
+                     / (len(da.sh) + len(db.sh)
+                        - len(list_intersect(da.sh, db.sh))) AS exact_jaccard
+            FROM cand JOIN ds da ON doc_a = da.doc_id
+                      JOIN ds db ON doc_b = db.doc_id)
+    SELECT e.doc_a, e.doc_b, e.est_jaccard, x.exact_jaccard,
+           abs(e.est_jaccard - x.exact_jaccard) AS abs_err
+    FROM est e JOIN exa x ON e.doc_a = x.doc_a AND e.doc_b = x.doc_b
+    """,
+    doc=f"MinHash estimator accuracy ON the LSH candidate set: for every "
+        f"candidate pair, the {N_MINHASH}-component signature agreement "
+        f"(matching-minhash fraction, the unbiased Jaccard estimator) next "
+        f"to the exact shingle-set Jaccard and their absolute error — the "
+        f"eval a production dedup deployment runs before trusting "
+        f"signature-only thresholds at 100 TB (where exact verification "
+        f"of every pair stops being affordable and you need the measured "
+        f"error at YOUR shingle distribution). Reuses the memoized "
+        f"signature artifact; the candidate set is the banded-LSH one, so "
+        f"cost is O(candidates), never all-pairs.",
+)
+def minhash_jaccard_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        _cached_signatures,
+        _lsh_bands,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _cached_signatures(docs, 3, "doc_id", "text")
+    bands = _lsh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sa = sig.select(F.col("doc_id").alias("doc_a"),
+                    F.col("sh").alias("sh_a"),
+                    *[F.col(f"mh{i}").alias(f"amh{i}")
+                      for i in range(N_MINHASH)])
+    sb = sig.select(F.col("doc_id").alias("doc_b"),
+                    F.col("sh").alias("sh_b"),
+                    *[F.col(f"mh{i}").alias(f"bmh{i}")
+                      for i in range(N_MINHASH)])
+    agree = sum(F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
+                for i in range(N_MINHASH))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    exact = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    return (cand.join(sa, "doc_a").join(sb, "doc_b")
+            .withColumn("est_jaccard", agree / float(N_MINHASH))
+            .withColumn("exact_jaccard", exact)
+            .withColumn("abs_err",
+                        F.abs(F.col("est_jaccard") - F.col("exact_jaccard")))
+            .select("doc_a", "doc_b", "est_jaccard", "exact_jaccard",
+                    "abs_err"))
+
+
+from kafka_flink_processing_spark.operators.similarity import IVF_NPROBE  # noqa: E402
+
+
+@register(
+    "ivf_recall_eval",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS ({_codebook_values_sql()}),
+    bf AS (SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DOT.format(a='q.qv', b='c.embedding')}
+                            / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+              FROM n WHERE vec_id < 5) q
+        JOIN n c ON c.vec_id != q.query_id) WHERE rank <= 10),
+    asgj AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, embedding, nrm, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn,
+                      CAST(cid AS BIGINT) AS cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+                 FROM asgj WHERE vec_id < 5) WHERE rn <= {IVF_NPROBE}),
+    iv AS (SELECT query_id, cand_id FROM (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY cosine DESC, cand_id) AS rank
+        FROM (SELECT DISTINCT p.query_id, a.vec_id AS cand_id,
+                     {_DOT.format(a='p.qv', b='a.embedding')} / (p.qn * a.nrm)
+                       AS cosine
+              FROM probes p JOIN asg a
+                ON a.cell = p.cell AND a.vec_id != p.query_id))
+        WHERE rank <= 10)
+    SELECT b.query_id, CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(COUNT(i.cand_id) AS BIGINT) AS n_hit,
+           CAST(COUNT(i.cand_id) AS DOUBLE) / COUNT(*) AS recall_at_10
+    FROM bf b LEFT JOIN iv i
+      ON b.query_id = i.query_id AND b.cand_id = i.cand_id
+    GROUP BY b.query_id
+    """,
+    doc="per-query recall@10 of the IVF index against the brute-force "
+        "ground truth — the standard ANN quality metric (measured, not "
+        "assumed: nprobe/K is a recall knob and this is its gauge). Runs "
+        "both retrieval plans (each already driver-verified standalone) "
+        "and left-joins IVF hits onto the exact top-10; at 100 TB you run "
+        "this on a sampled query set while brute force is still "
+        "affordable there, then trust the measured curve. The eval "
+        "itself adds only a 50-row join to the two retrievals.",
+)
+def ivf_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        cosine_topk,
+        ivf_cosine_topk,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    bf = cosine_topk(emb, query_ids=range(5), k=10) \
+        .select("query_id", "cand_id")
+    iv = ivf_cosine_topk(emb, query_ids=range(5), k=10,
+                         centroids=IVF_CENTROIDS) \
+        .select("query_id", "cand_id").withColumn("hit", F.lit(1))
+    return (bf.join(iv, ["query_id", "cand_id"], "left")
+            .groupBy("query_id")
+            .agg(F.count("*").alias("n_true"),
+                 F.sum(F.coalesce(F.col("hit"), F.lit(0))).cast("long")
+                 .alias("n_hit"))
+            .withColumn("recall_at_10",
+                        F.col("n_hit").cast("double") / F.col("n_true")))
+
+
+# ---------------------------------------------------------------------------
+# Corpus diagnostics
+# ---------------------------------------------------------------------------
+
+@register(
+    "ngram_freq_top",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS words FROM documents),
+    bi AS (SELECT unnest(
+             CASE WHEN len(words) < 2 THEN []
+                  ELSE [words[i] || ' ' || words[i+1]
+                        for i in range(1, len(words))]
+             END) AS bigram
+           FROM t)
+    SELECT bigram, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM bi GROUP BY bigram
+    ORDER BY n_occurrences DESC, bigram
+    LIMIT 20
+    """,
+    doc="corpus-wide top-20 word bigrams by occurrence (NON-distinct per "
+        "doc — frequency, not document frequency): the n-gram language-"
+        "model / boilerplate-detection staple. One explode + one "
+        "map-side-combined count; the top-20 is orderBy+limit => "
+        "TakeOrderedAndProject (per-partition partial top-k, never a "
+        "global sort), deterministic via the bigram tie-break.",
+)
+def ngram_freq_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 1)
+    grams = F.when(F.size(words) < 2,
+                   F.array().cast("array<string>")) \
+             .otherwise(F.transform(idx, lambda i: F.concat_ws(
+                 " ", F.element_at(words, i), F.element_at(words, i + 1))))
+    return (docs.select(F.explode(grams).alias("bigram"))
+            .groupBy("bigram")
+            .agg(F.count("*").alias("n_occurrences"))
+            .orderBy(F.col("n_occurrences").desc(), "bigram")
+            .limit(20))
+
+
+@register(
+    "token_length_histogram",
+    oracle=f"""
+    WITH tok AS (SELECT unnest(regexp_extract_all(lower(text),
+                                                  '{TOKEN_REGEX}')) AS t
+                 FROM documents),
+    h AS (SELECT CAST(LEAST(length(t), 20) AS BIGINT) AS tok_len,
+                 CAST(COUNT(*) AS BIGINT) AS n_tokens
+          FROM tok GROUP BY 1)
+    SELECT tok_len, n_tokens,
+           CAST(n_tokens AS DOUBLE) / CAST(SUM(n_tokens) OVER () AS BIGINT)
+             AS share
+    FROM h
+    """,
+    doc="token-length distribution of the BPE-ish token stream (lengths "
+        "capped at 20): the tokenizer-fit diagnostic — a long tail here "
+        "means the token regex is splitting badly for this corpus. "
+        "Explode + 20-group count; the share window runs over the "
+        "20-row aggregate, so its single partition is a non-issue.",
+)
+def token_length_histogram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    toks = docs.select(F.explode(
+        F.regexp_extract_all(F.lower(F.col("text")), F.lit(TOKEN_REGEX), 0))
+        .alias("t"))
+    h = (toks.groupBy(F.least(F.length("t"), F.lit(20)).cast("long")
+                      .alias("tok_len"))
+         .agg(F.count("*").alias("n_tokens")))
+    return h.withColumn(
+        "share",
+        F.col("n_tokens").cast("double")
+        / F.sum("n_tokens").over(Window.partitionBy()))
+
+
+@register(
+    "source_overlap_matrix",
+    oracle="""
+    WITH t AS (SELECT source, string_split(text, ' ') AS words
+               FROM documents),
+    ds AS (SELECT source,
+             CASE WHEN len(words) < 3 THEN []
+                  ELSE list_distinct([words[i] || ' ' || words[i+1] || ' ' ||
+                                      words[i+2]
+                                      for i in range(1, len(words)-1)])
+             END AS sh
+           FROM t),
+    gs AS (SELECT DISTINCT source, unnest(sh) AS sh FROM ds)
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_grams
+    FROM gs a JOIN gs b ON a.sh = b.sh AND a.source < b.source
+    GROUP BY 1, 2
+    """,
+    doc="cross-source contamination matrix: for every source pair, the "
+        "number of distinct word 3-grams both sources contain — the "
+        "between-collection leakage signal (same gram family as "
+        "dup_span_stats, aggregated source-to-source instead of per-doc). "
+        "The (source, gram) table is DISTINCT per source, so a gram joins "
+        "at most #sources times regardless of how many documents repeat "
+        "it — per-gram fan-out is bounded by sources^2, not df^2, which "
+        "is what keeps the gram-keyed self-join safe at 100 TB.",
+)
+def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    gs = (docs.select("source",
+                      F.explode(shingles(F.col("text"), 3)).alias("sh"))
+          .distinct())
+    a = gs.select(F.col("source").alias("source_a"), "sh")
+    b = gs.select(F.col("source").alias("source_b"), "sh")
+    return (a.join(b, "sh")
+            .filter(F.col("source_a") < F.col("source_b"))
+            .groupBy("source_a", "source_b")
+            .agg(F.count("*").alias("n_shared_grams")))
+
+
+@register(
+    "dedup_keep_best",
+    oracle=f"""
+    WITH scored AS (
+      SELECT doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS text_hash,
+             {_QUALITY_SQL} AS quality
+      FROM documents
+    )
+    SELECT doc_id, text_hash, quality,
+           (ROW_NUMBER() OVER (PARTITION BY text_hash
+                               ORDER BY quality DESC, doc_id) = 1) AS keep
+    FROM scored
+    """,
+    doc="quality-aware exact dedup: within each normalized-text duplicate "
+        "cluster keep the HIGHEST-quality member (doc_id tie-break) "
+        "instead of dedup_exact's lowest-id rule — what a curation run "
+        "actually wants when duplicates differ in extraction quality. "
+        "Scoring fuses into the scan; the only shuffle is the hash-keyed "
+        "window (same key as the dedup groupBy it replaces). The quality "
+        "double is the shared rational-arithmetic score, so the "
+        "cross-engine ranking is exact.",
+)
+def dedup_keep_best_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import normalize_text
+    docs = load_table(spark, "documents", sf_dir)
+    scored = docs.select(
+        "doc_id",
+        F.md5(normalize_text(F.col("text"))).alias("text_hash"),
+        quality_score(F.col("text")).alias("quality"))
+    w = Window.partitionBy("text_hash").orderBy(F.col("quality").desc(),
+                                                "doc_id")
+    return scored.withColumn("keep", F.row_number().over(w) == 1)
+
+
+from kafka_flink_processing_spark.operators.packing import DEFAULT_BUDGET  # noqa: E402
+
+
+@register(
+    "packing_efficiency",
+    oracle=f"""
+    WITH toks AS (
+      SELECT source, doc_id,
+             CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT source, n_tokens,
+             COALESCE(SUM(n_tokens) OVER (
+               PARTITION BY source ORDER BY doc_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+               0) AS prefix_tokens
+      FROM toks
+    ), seqs AS (
+      SELECT source, CAST(prefix_tokens // {DEFAULT_BUDGET} AS BIGINT)
+               AS seq_id,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             (CAST(SUM(n_tokens) AS BIGINT) * 1000) // {DEFAULT_BUDGET}
+               AS fill_1000
+      FROM packed GROUP BY 1, 2
+    )
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_seqs,
+           CAST(SUM(n_docs) AS BIGINT) AS n_docs,
+           CAST(SUM(fill_1000) AS DOUBLE) / COUNT(*) AS avg_fill_1000,
+           MIN(fill_1000) AS min_fill_1000,
+           MAX(fill_1000) AS max_fill_1000,
+           CAST(SUM(CASE WHEN fill_1000 < 800 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_underfull
+    FROM seqs GROUP BY source
+    """,
+    doc="packing-efficiency rollup over sequence_packing's packs: per "
+        "source, pack count, average/min/max fill (permille of the "
+        f"{DEFAULT_BUDGET}-token budget) and the count of <80%-full packs "
+        "— the waste gauge that tells you whether the shard key needs "
+        "re-cutting before a training run burns the padding. Pure "
+        "integer arithmetic on top of the packing prefix-sum; one extra "
+        "#shards-row aggregate.",
+)
+def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.packing import pack_summary
+    docs = load_table(spark, "documents", sf_dir)
+    packs = pack_summary(docs.select("source", "doc_id", "text"))
+    return (packs.groupBy("source")
+            .agg(F.count("*").alias("n_seqs"),
+                 F.sum("n_docs").cast("long").alias("n_docs"),
+                 (F.sum("fill_1000").cast("double") / F.count("*"))
+                 .alias("avg_fill_1000"),
+                 F.min("fill_1000").alias("min_fill_1000"),
+                 F.max("fill_1000").alias("max_fill_1000"),
+                 F.sum(F.when(F.col("fill_1000") < 800, 1).otherwise(0))
+                 .cast("long").alias("n_underfull")))
+
+
+@register(
+    "embedding_norm_stats",
+    oracle=f"""
+    WITH n AS (SELECT CAST(label AS BIGINT) AS label,
+                      sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
+               FROM embeddings)
+    SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {dsum_sql('nrm', 6)} / COUNT(*) AS avg_norm,
+           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
+    FROM n GROUP BY label
+    """,
+    doc="per-label embedding norm statistics — the drift/health screen an "
+        "embedding pipeline runs on every refresh (collapsed or exploding "
+        "norms are the first symptom of a bad encoder batch). Norms via "
+        "the shared sequential-fold dot product; the mean goes through "
+        "dsum at 6dp so it is partition-count-independent, min/max are "
+        "order-free; one K-row aggregate, no shuffle beyond it.",
+)
+def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        with_unit_info,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = with_unit_info(emb)
+    return (base.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count("*").alias("n_vecs"),
+                 (dsum(F.col("nrm"), 6) / F.count("*")).alias("avg_norm"),
+                 F.min("nrm").alias("min_norm"),
+                 F.max("nrm").alias("max_norm")))
+
+
+# ---------------------------------------------------------------------------
+# Event analytics (sessionized behavioral rollups)
+# ---------------------------------------------------------------------------
+
+SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+
+
+def _sessionized(events: DataFrame) -> DataFrame:
+    """(user_id, sidx, ts, event_type): 30-min-gap sessionization via the
+    classic lag + running-sum-of-new-session-flags; integer microsecond
+    arithmetic so the gap test is cross-engine exact."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
+    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
+    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+           .rowsBetween(Window.unboundedPreceding, 0))
+    return (events.select("user_id", "ts", "event_type", "event_id")
+            .withColumn("sidx", F.sum(new_sess).over(run).cast("long")))
+
+
+_SESS_SQL = f"""
+    ord AS (SELECT user_id, ts, event_type, event_id,
+                   epoch_us(ts) - lag(epoch_us(ts)) OVER
+                     (PARTITION BY user_id ORDER BY ts, event_id) AS gap
+            FROM events),
+    sess AS (SELECT user_id, ts, event_type,
+                    CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
+                             THEN 1 ELSE 0 END) OVER
+                      (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
+             FROM ord)
+"""
+
+
+@register(
+    "session_funnel",
+    oracle=f"""
+    WITH {_SESS_SQL},
+    v AS (SELECT user_id, sidx, MIN(ts) AS v_ts FROM sess
+          WHERE event_type = 'view' GROUP BY 1, 2),
+    c AS (SELECT s.user_id, s.sidx, MIN(s.ts) AS c_ts
+          FROM sess s JOIN v ON s.user_id = v.user_id AND s.sidx = v.sidx
+          WHERE s.event_type = 'click' AND s.ts > v.v_ts GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.sidx
+          FROM sess s JOIN c ON s.user_id = c.user_id AND s.sidx = c.sidx
+          WHERE s.event_type = 'purchase' AND s.ts > c.c_ts GROUP BY 1, 2)
+    SELECT 'session' AS stage, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM (SELECT DISTINCT user_id, sidx FROM sess)
+    UNION ALL SELECT 'view', CAST(COUNT(*) AS BIGINT) FROM v
+    UNION ALL SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
+    UNION ALL SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
+    """,
+    doc="ordered conversion funnel over 30-min-gap sessions: sessions, "
+        "sessions with a view, with a click STRICTLY AFTER the first "
+        "view, with a purchase strictly after that click — the ordered-"
+        "sequence semantics (not mere co-occurrence) that window "
+        "functions alone cannot express without the stage-at-a-time "
+        "min-ts joins used here. Everything is keyed by (user_id, sidx): "
+        "ONE shuffle sessionizes, and the three stage joins co-partition "
+        "on the same key, so at 100 TB this is a single exchange plus "
+        "narrow stages; the output is 4 rows.",
+)
+def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    sess = _sessionized(events)
+    key = ["user_id", "sidx"]
+    v = (sess.filter(F.col("event_type") == "view")
+         .groupBy(*key).agg(F.min("ts").alias("v_ts")))
+    c = (sess.filter(F.col("event_type") == "click")
+         .join(v, key).filter(F.col("ts") > F.col("v_ts"))
+         .groupBy(*key).agg(F.min("ts").alias("c_ts")))
+    p = (sess.filter(F.col("event_type") == "purchase")
+         .join(c, key).filter(F.col("ts") > F.col("c_ts"))
+         .select(*key).distinct())
+
+    def stage(name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("n_sessions")) \
+                 .select(F.lit(name).alias("stage"), "n_sessions")
+
+    return (stage("session", sess.select(*key).distinct())
+            .unionByName(stage("view", v))
+            .unionByName(stage("view_click", c))
+            .unionByName(stage("view_click_purchase", p)))
+
+
+@register(
+    "retention_cohorts",
+    oracle="""
+    WITH d AS (SELECT DISTINCT user_id,
+                      CAST(CAST(ts AS DATE) AS TIMESTAMP) AS day
+               FROM events),
+    f AS (SELECT user_id, MIN(day) AS cohort_day FROM d GROUP BY 1)
+    SELECT cohort_day,
+           CAST(date_diff('day', cohort_day, day) AS BIGINT) AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM d JOIN f USING (user_id)
+    GROUP BY 1, 2
+    """,
+    doc="retention-cohort matrix: users bucketed by first-activity day, "
+        "counted on each later activity day offset — the standard "
+        "retention triangle. The (user, day) relation is DISTINCT before "
+        "anything else (so a user's event volume never inflates "
+        "retention), the cohort join is user-keyed against the tiny "
+        "first-day aggregate, and day arithmetic is integer. COUNT(*) "
+        "over the pre-deduped relation replaces COUNT(DISTINCT), keeping "
+        "both aggregates map-side-combinable.",
+)
+def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    d = (events.select("user_id",
+                       F.date_trunc("day", F.col("ts")).alias("day"))
+         .distinct())
+    f = d.groupBy("user_id").agg(F.min("day").alias("cohort_day"))
+    return (d.join(f, "user_id")
+            .groupBy("cohort_day",
+                     F.datediff(F.to_date("day"), F.to_date("cohort_day"))
+                     .cast("long").alias("day_offset"))
+            .agg(F.count("*").alias("n_users")))
+
+
+@register(
+    "event_hourly_anomaly",
+    oracle="""
+    WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                      CAST(COUNT(*) AS BIGINT) AS n_events
+               FROM events GROUP BY 1, 2),
+    w AS (SELECT *,
+                 CAST(SUM(n_events) OVER tw AS BIGINT) AS prev_sum,
+                 CAST(COUNT(n_events) OVER tw AS BIGINT) AS n_prev
+          FROM h
+          WINDOW tw AS (PARTITION BY event_type ORDER BY hour
+                        ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
+    SELECT hour, event_type, n_events,
+           CAST(prev_sum AS DOUBLE) / n_prev AS trailing_avg,
+           CAST(n_events * n_prev AS DOUBLE) / prev_sum AS rate_ratio,
+           (n_events * n_prev >= 2 * prev_sum
+            OR 2 * n_events * n_prev <= prev_sum) AS is_anomaly
+    FROM w WHERE n_prev >= 12
+    """,
+    doc="hourly event-rate anomaly screen: each (hour, event_type) count "
+        "against its trailing-24h mean (current hour excluded), flagged "
+        "at 2x/0.5x. The anomaly test is pure INTEGER cross-"
+        "multiplication (n*n_prev vs 2*prev_sum) — no float threshold "
+        "can disagree between engines — and the reported ratio is one "
+        "int/int division. Cost: one hourly pre-aggregate (map-side), "
+        "then a row-frame window over ~hours x types rows; warm-up rows "
+        "(<12 prior hours) are suppressed.",
+)
+def event_hourly_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    h = (events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                        "event_type")
+         .agg(F.count("*").alias("n_events")))
+    tw = (Window.partitionBy("event_type").orderBy("hour")
+          .rowsBetween(-24, -1))
+    w = (h.withColumn("prev_sum", F.sum("n_events").over(tw))
+         .withColumn("n_prev", F.count("n_events").over(tw)))
+    return (w.filter(F.col("n_prev") >= 12)
+            .select("hour", "event_type", "n_events",
+                    (F.col("prev_sum").cast("double") / F.col("n_prev"))
+                    .alias("trailing_avg"),
+                    ((F.col("n_events") * F.col("n_prev")).cast("double")
+                     / F.col("prev_sum")).alias("rate_ratio"),
+                    ((F.col("n_events") * F.col("n_prev")
+                      >= 2 * F.col("prev_sum"))
+                     | (2 * F.col("n_events") * F.col("n_prev")
+                        <= F.col("prev_sum"))).alias("is_anomaly")))

@@ -562,6 +562,49 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "kmeans_assign_cells",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS ({_codebook_values_sql()}),
+    asgj AS (SELECT v.vec_id, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c)
+    SELECT vec_id, CAST(cid AS BIGINT) AS cell, cos AS cell_cosine FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                 ORDER BY cos DESC, cid) AS rn
+      FROM asgj) WHERE rn = 1
+    """,
+    doc="k-means cell assignment against the frozen codebook "
+        "(functions/ivf_codebook.py, the offline trainer's pinned 6dp "
+        "output): nearest centroid by cosine with smallest-cid tie-break "
+        "— a deterministic SQL argmax, so (unlike the iterative trainer "
+        "kmeans_embeddings, rows-only by design) this is the "
+        "driver-verifiable face of the k-means family. Plan shape is the "
+        "IVF quantizer's: broadcast K-row codebook, N*K scored rows never "
+        "shuffle, map-side max_by partial aggregation -> one ~N-row "
+        "exchange on vec_id.",
+)
+def kmeans_assign_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        _codebook_df,
+        _scored_cells,
+        with_unit_info,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = with_unit_info(emb)
+    cents = _codebook_df(spark, IVF_CENTROIDS)
+    scored = _scored_cells(base, cents, "vec_id", "embedding")
+    # same argmax (cosine desc, then smallest cid) as _argmax_cell, plus
+    # the winning cosine itself; max_by's struct tie-break picks exactly
+    # the oracle's ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row
+    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
+    return (scored.groupBy("vec_id")
+            .agg(F.max_by("cid", tie).cast("long").alias("cell"),
+                 F.max("ccos").alias("cell_cosine")))
+
+
+@register(
     "dedup_semantic",
     oracle=f"""
     WITH {_COSINE_BASE_SQL},
@@ -1166,6 +1209,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "band table is the persisted index, maintained by appending each "
         "day's batch bands). Complements dedup_incremental (exact-hash "
         "screen) and dedup_clusters (full-corpus clustering).",
+    bench=True,
 )
 def dedup_incremental_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import (
@@ -1247,10 +1291,11 @@ def decontaminate_ngram_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "eval set grows, and broadcasts onto the training-gram scan. A "
         "gram is flagged iff all k=3 double-hashed probe bits are set: a "
         "provable superset of the exact screen (no false negatives; FP "
-        "rate ~(kN/m)^k). Deterministic md5-derived hashing, so the "
+        "rate (1-e^{-kN/m})^k). Deterministic md5-derived hashing, so the "
         "oracle models the bitmap as its distinct bit-position set — "
         "semantically identical — and matches exactly "
         "(operators/dedup.py::contamination_screen_bloom).",
+    bench=True,
 )
 def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import (
@@ -1296,6 +1341,7 @@ def decontaminate_bloom_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "fixed-width pre-binning + exact selection inside the one "
         "threshold bin. Bounds broadcast back; the keep decision is "
         "map-side. Emits every doc with its threshold and kept flag.",
+    bench=True,
 )
 def adaptive_quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1782,6 +1828,7 @@ def dup_span_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc-keyed aggregation reassembles the text — no pair join, no "
         "per-row membership scan over a collected gram set "
         "(operators/dedup.py::dup_span_redact).",
+    bench=True,
 )
 def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import dup_span_redact

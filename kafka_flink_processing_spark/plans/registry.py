@@ -37,8 +37,13 @@ def register(name: str, oracle: str | None, doc: str = "",
 
 
 # The driver's correctness harness compares the FIRST `DRIVER_WINDOW`
-# registered queries against their oracles each round (observed:
-# CORRECTNESS_r01/r02 hold exactly the first 50 keys in registration order).
+# registered queries against their oracles each round (observed, NOT
+# contracted: CORRECTNESS_r01/r02/r03 each hold exactly the first 50 keys
+# in registration order; tests/test_registry_guard.py::
+# test_driver_window_size_matches_newest_correctness re-checks the observed
+# size against the newest committed CORRECTNESS file every round, so a
+# driver-side window change flags immediately instead of silently making
+# this priority list meaningless).
 # Registration order is therefore a verification lever, not cosmetics: a
 # query outside the window gets NO driver signal that round. We order
 # explicitly so the window always covers (a) queries that have never had a
@@ -51,67 +56,66 @@ def register(name: str, oracle: str | None, doc: str = "",
 DRIVER_WINDOW = 50
 
 _PRIORITY: list[str] = [
+    # -- the r3 deferrals (never driver-checked; rotated in per the r3
+    #    verdict — every oracle-backed query gets its driver-green row) --
+    "decontaminate_bloom",
+    "adaptive_quality_filter",
+    "dup_span_redact",
+    "crossmodal_dup_verify",
+    "curation_funnel",
+    "dedup_fuzzy_corpus",
+    "corpus_partitioned_roundtrip",
+    "pnl_positions_hybrid",       # rows-only by design; row proves it runs
     # -- new this round (never driver-checked by definition) --
-    "dup_span_stats",
-    "embedding_quality_stats",
-    "lsh_band_stats",
-    "mix_temperature_sample",
-    "split_leakage_audit",
-    # -- never driver-checked: dedup / similarity flagships --
-    "dedup_minhash_lsh",          # green r1; flagship — keep in window
-    "dedup_clusters",             # green r1; flagship — keep in window
-    "dedup_simhash",
-    "similarity_bruteforce_topk",
-    "similarity_lsh_topk",
-    "similarity_ivf_topk",
-    "dedup_semantic",
-    "embedding_cosine_pairs",
-    "dedup_incremental",
-    "dedup_incremental_minhash",
-    "decontaminate_ngram",
-    "curation_pipeline",
-    # -- never driver-checked: assembly / text pack --
-    "train_test_split",
-    "stratified_sample",
-    "per_source_cap",
-    "data_mix_summary",
-    "vocab_top_tokens",
-    "tfidf_top_terms",
-    "repetition_stats",
-    "token_rarity_score",
-    "pii_redaction",
-    "sequence_packing",
-    "jsonl_roundtrip",
-    "csv_roundtrip",
-    # -- never driver-checked: multimodal (all oracle-gated as of r3) --
-    "multimodal_metadata",
-    "multimodal_decode_features",
-    "multimodal_resize",
-    "multimodal_frame_sample",
-    "kmeans_embeddings",
-    # -- never driver-checked: temporal / windowed --
-    "tumbling_window_stats",
-    "streaming_tumbling_stats",
-    "sliding_window_stats",
-    "session_window_stats",
-    "da_rt_asof_basis",
-    "range_join_attribution",
-    "time_range_moving_avg",
-    "time_rollup_multigrain",
-    "grouping_sets_revenue",
-    # -- oracle dtype fixes this round: must re-verify green --
-    "scalar_battery",
-    "json_props_stats",
-    "winsorized_stats",
+    "kmeans_assign_cells",        # oracle-gated k-means (replaces the
+    #                               rows-only trainer in the window)
+    "sql_q4_order_priority",
+    "sql_q7_volume_shipping",
+    "sql_q8_market_share",
+    "sql_q10_returned_items",
+    "sql_q12_late_lineitems",
+    "sql_q14_promo_revenue",
+    "sql_q15_top_supplier",
+    "sql_q17_small_qty_revenue",
+    "sql_q18_large_volume_customer",
+    "sql_q19_bracketed_revenue",
+    "sql_q22_dormant_customers",
+    "minhash_jaccard_accuracy",
+    "ivf_recall_eval",
+    "ngram_freq_top",
+    "dedup_keep_best",
+    "source_overlap_matrix",
+    "packing_efficiency",
+    "session_funnel",
+    "retention_cohorts",
+    "event_hourly_anomaly",
+    "embedding_norm_stats",
+    "token_length_histogram",
     # -- sentinels: one per long-stable family --
     "join_revenue_by_nation",     # join
     "groupby_agg_q1",             # aggregation
     "window_rank_lag",            # window functions
     "sql_q3_shipping_priority",   # textual SQL entry
-    # (asof_join_events / forecast_sma / streaming_forecast_sma /
-    # running_position / topk_recent rotated out: each green in r1 AND r2
-    # — forecast_sma additionally re-verified every round by the driver's
-    # entry() smoke — their slots fund the five new round-3 operators)
+    "tumbling_window_stats",      # temporal
+    "similarity_ivf_topk",        # ANN
+    "dedup_minhash_lsh",          # dedup flagship
+    "curation_pipeline",          # pipeline composition
+    # -- fills: oldest driver signal first (green r1/r2, not seen in r3) --
+    "asof_join_events",
+    "running_position",
+    "latest_per_key",
+    "topk_recent",
+    "last_value_carried_forward",
+    "streaming_forecast_sma",
+    "streaming_enrich_static",
+    "streaming_session_stats",
+    "dedup_exact",
+    "text_stats",
+    "doc_fingerprint",
+    # (multimodal four / jsonl_roundtrip / csv_roundtrip /
+    # train_test_split / stratified_sample and the rest of the r3 window
+    # rotated out: each holds a green r3 row; forecast_sma is additionally
+    # re-verified every round by the driver's entry() smoke)
 ]
 
 
@@ -119,48 +123,10 @@ _PRIORITY: list[str] = [
 # reason and its compensating strong check. The guard tests allow exactly
 # these; anything else unproven outside the window is a test failure
 # (deliberate deferral is visible here, silent demotion stays impossible).
-DEFERRED_VERIFICATION: dict[str, str] = {
-    "pnl_positions_hybrid":
-        "r3 addition; rows-only by design (W2 fold not SQL-expressible) so "
-        "a driver row adds only a row-count check; strong check = bitwise "
-        "output equality vs pnl_positions_fold at two SFs "
-        "(tests/test_pnl.py); window full with never-checked oracle-backed "
-        "queries — rotate into the r4 window.",
-    "curation_funnel":
-        "r3 addition; window full this round — local oracle replica green "
-        "(tools/oracle_check.py at sf0.01, driver-identical dtype-kind "
-        "sensitivity) + full-sweep canary; rotate into the r4 window.",
-    "dedup_fuzzy_corpus":
-        "r3 addition; window full this round — local oracle replica green "
-        "(recursive-CTE closure oracle, same fragments as the driver-green "
-        "dedup_clusters) + full-sweep canary; rotate into the r4 window.",
-    "corpus_partitioned_roundtrip":
-        "r3 addition; window full this round — local oracle replica green "
-        "(per-lang content-hash sums vs the source table) + lossless-write "
-        "test in tests/test_formats.py; rotate into the r4 window.",
-    "decontaminate_bloom":
-        "r3 addition; window full this round — local oracle replica green "
-        "(position-set model of the identical bloom arithmetic) + superset-"
-        "of-exact-screen property test in tests/test_extensions.py; rotate "
-        "into the r4 window.",
-    "adaptive_quality_filter":
-        "r3 addition; window full this round — local oracle replica green "
-        "(Spark computes the threshold by distinct-value histogram "
-        "selection, the oracle by ROW_NUMBER rank: two algorithms for the "
-        "same percentile_disc statistic agreeing exactly is the stronger "
-        "check) + per-source threshold property test in "
-        "tests/test_extensions.py; rotate into the r4 window.",
-    "dup_span_redact":
-        "r3 addition; window full this round — local oracle replica green "
-        "(list-comprehension rebuild oracle) + ground-truth rebuild "
-        "property test in tests/test_extensions.py; rotate into the r4 "
-        "window.",
-    "crossmodal_dup_verify":
-        "r3 addition; window full this round — local oracle replica green "
-        "(reuses the driver-green MinHash-pair fragments + the verified "
-        "list_reduce cosine) + numpy cosine ground-truth test in "
-        "tests/test_extensions.py; rotate into the r4 window.",
-}
+# Empty as of r4: every r3 deferral is rotated into the window above, so
+# after this round's CORRECTNESS lands, every oracle-backed query in the
+# registry holds a driver-green row.
+DEFERRED_VERIFICATION: dict[str, str] = {}
 
 
 def _ordered() -> list[str]:
@@ -193,5 +159,7 @@ def _ensure_loaded() -> None:
         stateful,
         extensions,
         temporal,
+        tpch,
+        analytics,
     )
     _LOADED = True

@@ -176,26 +176,14 @@ def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pnl_positions(trades, prices)
 
 
-@register(
-    "pnl_positions_sliced",
-    oracle=None,
-    doc="W2/W3 replay sharded by (hub, day) with carried-in boundary state "
-        "— bit-identical output to pnl_positions_fold (asserted in "
-        "tests/test_pnl.py) but fold parallelism = hubs x days instead of "
-        "hubs, so a hot hub no longer serializes one task at 100 TB. The "
-        "sequential pass runs per (hub, account) and touches only the "
-        "sparse trade stream; the fan-out-heavy emission parallelizes "
-        "across slices (operators/pnl.py::pnl_positions_sliced). "
-        "SUPERSEDED as the benched scale path by pnl_positions_hybrid "
-        "(r3), which keeps the dense emission JVM-side entirely; retained "
-        "registered for driver-row continuity and as the all-Python "
-        "sharding alternative.",
-)
-def pnl_positions_sliced_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from kafka_flink_processing_spark.operators.pnl import pnl_positions_sliced
-    trades, prices = derive_market(spark, sf_dir)
-    return pnl_positions_sliced(trades, prices)
-
+# pnl_positions_sliced DEREGISTERED in r4 (r3 verdict: the hybrid is
+# strictly the better 100 TB form, and the all-Python sliced variant added
+# registry surface without a distinct role). The operator itself
+# (operators/pnl.py::pnl_positions_sliced) and its bitwise-equality test
+# (tests/test_pnl.py) are retained: the sliced fold is the only independent
+# exerciser of the _carried_entry_price construction the hybrid shares, so
+# the test doubles as a differential check of the hybrid's carry semantics.
+# Rationale in SCALE.md §PnL.
 
 @register(
     "pnl_positions_hybrid",

@@ -176,6 +176,12 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
     every micro-batch; the per-batch probe is map-side, the only
     batch-keyed exchange is the per-gram/per-doc hit count over
     bloom-POSITIVE rows only.
+
+    The cached bitmap is handed back as `query.bloom` — long-lived
+    sessions that run many jobs should `query.bloom.unpersist()` after
+    `query.awaitTermination()`, or the (small) cache entry stays pinned in
+    executor storage for the session (the sibling incremental_dedup_job
+    unpersists its per-epoch state the same way).
     """
     import os as _os
 
@@ -213,4 +219,6 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
                  _os.path.join(checkpoint_root, "decontamination")))
     if available_now:
         w = w.trigger(availableNow=True)
-    return w.start()
+    q = w.start()
+    q.bloom = bloom  # see docstring: unpersist after awaitTermination()
+    return q

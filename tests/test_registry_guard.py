@@ -69,6 +69,23 @@ def test_window_prefers_unproven_queries():
     assert not outside, f"never-proven queries outside driver window: {outside}"
 
 
+def test_driver_window_size_matches_newest_correctness():
+    # DRIVER_WINDOW = 50 is OBSERVED from the driver's behavior, not
+    # contracted. Probe it every round: the newest committed CORRECTNESS
+    # file must hold exactly DRIVER_WINDOW rows, and every row must name a
+    # query that was registered (names can lag one round behind the current
+    # ordering — the file reflects LAST round's registration order — so we
+    # assert the size invariant, which is what the priority list depends
+    # on, not name-for-name prefix equality).
+    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    assert files, "no committed CORRECTNESS files to probe"
+    newest = json.loads(files[-1].read_text())
+    assert len(newest) == registry.DRIVER_WINDOW, (
+        f"driver window changed: newest CORRECTNESS file has {len(newest)} "
+        f"rows but registry.DRIVER_WINDOW={registry.DRIVER_WINDOW} — update "
+        f"DRIVER_WINDOW and re-plan the priority window")
+
+
 def test_deferrals_are_current():
     # A deferral must reference a REGISTERED query that is actually outside
     # the window (a stale entry would mask a future silent demotion).

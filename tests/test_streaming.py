@@ -225,6 +225,7 @@ def test_decontamination_job_matches_batch_operator(spark):
         q = decontamination_job(stream, eval_docs, f"{td}/out", f"{td}/ckpt",
                                 n=4, available_now=True)
         q.awaitTermination()
+        q.bloom.unpersist()  # the documented caller contract
         hits = spark.read.option("basePath", f"{td}/out/contaminated") \
             .parquet(f"{td}/out/contaminated/epoch=*")
         accepted = spark.read.option("basePath", f"{td}/out/accepted") \
