@@ -1,0 +1,249 @@
+"""Market-analytics pack: the read-side analytics an energy-trading desk
+runs over the reference's own data model (price ticks + trades per hub —
+producer.py:36-70, README.md:83-101), which the reference could only
+answer by shipping rows to Postgres. OHLC candles, VWAP, realized
+variance, max drawdown, signed flow — all engine-native, all oracle-gated.
+
+Ticks/trades are the deterministic event-table derivations the PnL family
+already uses (plans/stateful.py::derive_market and its SQL twin), extended
+here with the tick_id needed for total-order tie-breaks: several ticks can
+share (hub, ts), and open/close or a return sequence picked without a
+tie-break would be partition-order-dependent — the exact class of
+nondeterminism this engine bans.
+
+Scale shapes: every query is one map-side-combined aggregate or one keyed
+window; bars/returns partition by (hub, time-bucket) so no hub serializes
+a year of ticks (same lever as plans/temporal.py's day-keyed RANGE
+window). Money sums go through dsum; returns are clamped to [-10, 10]
+before squaring (standard outlier winsorization — and it also bounds the
+scaled-int64 sum at any corpus size).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
+from kafka_flink_processing_spark.plans.registry import register
+from kafka_flink_processing_spark.sources.parquet import load_table
+
+# (ts, hub, price_mwh, tick_id): the PRICE_TYPES derivation from
+# plans/stateful.py::derive_market plus the event_id tie-break.
+_TICKS_SQL = """
+  ticks AS (SELECT event_id AS tick_id, ts,
+                   'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+                   value AS price_mwh
+            FROM events WHERE event_type IN ('view', 'click'))
+"""
+
+_TRADES_SQL = """
+  trades AS (SELECT event_id AS trade_id, ts,
+                    'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+                    CASE WHEN event_type IN ('purchase', 'signup')
+                         THEN 'BUY' ELSE 'SELL' END AS side,
+                    CASE event_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+                                      WHEN 2 THEN 25 ELSE 50 END AS mw,
+                    value AS price_mwh
+             FROM events WHERE event_type IN ('purchase', 'signup', 'error'))
+"""
+
+
+def _ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    return (ev.filter(F.col("event_type").isin("view", "click"))
+            .select(F.col("event_id").alias("tick_id"), "ts",
+                    hub.alias("hub"), F.col("value").alias("price_mwh")))
+
+
+def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    return (ev.filter(F.col("event_type").isin("purchase", "signup", "error"))
+            .select(F.col("event_id").alias("trade_id"), "ts",
+                    hub.alias("hub"),
+                    F.when(F.col("event_type").isin("purchase", "signup"),
+                           "BUY").otherwise("SELL").alias("side"),
+                    F.when(F.col("event_id") % 4 == 0, 5)
+                     .when(F.col("event_id") % 4 == 1, 10)
+                     .when(F.col("event_id") % 4 == 2, 25)
+                     .otherwise(50).alias("mw"),
+                    F.col("value").alias("price_mwh")))
+
+
+@register(
+    "ohlc_bars",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    tb AS (SELECT hub, date_trunc('hour', ts) AS bar_hour, ts, tick_id,
+                  price_mwh
+           FROM ticks),
+    o AS (SELECT hub, bar_hour, price_mwh AS open FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
+                       ORDER BY ts, tick_id) AS rn FROM tb) WHERE rn = 1),
+    c AS (SELECT hub, bar_hour, price_mwh AS close FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
+                       ORDER BY ts DESC, tick_id DESC) AS rn FROM tb)
+          WHERE rn = 1),
+    hl AS (SELECT hub, bar_hour, MAX(price_mwh) AS high,
+                  MIN(price_mwh) AS low, CAST(COUNT(*) AS BIGINT) AS n_ticks
+           FROM tb GROUP BY 1, 2)
+    SELECT hub, bar_hour, open, high, low, close, n_ticks
+    FROM hl JOIN o USING (hub, bar_hour) JOIN c USING (hub, bar_hour)
+    """,
+    doc="hourly OHLC candles per hub — the desk's basic price rollup. "
+        "open/close are min_by/max_by over a (ts, tick_id) ORDER struct "
+        "(ties at equal ts broken by tick id — first/last without the "
+        "tie-break would be partition-order-dependent), high/low/count "
+        "plain aggregates: ONE map-side-combined groupBy, no window, no "
+        "join Spark-side. Bars key by (hub, hour), so parallelism grows "
+        "with history length — no hub ever serializes.",
+    bench=True,
+)
+def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).withColumn(
+        "bar_hour", F.date_trunc("hour", F.col("ts")))
+    first_key = F.struct(F.col("ts"), F.col("tick_id"))
+    return (t.groupBy("hub", "bar_hour")
+            .agg(F.min_by("price_mwh", first_key).alias("open"),
+                 F.max("price_mwh").alias("high"),
+                 F.min("price_mwh").alias("low"),
+                 F.max_by("price_mwh", first_key).alias("close"),
+                 F.count("*").alias("n_ticks")))
+
+
+@register(
+    "vwap_hub_day",
+    oracle=f"""
+    WITH {_TRADES_SQL}
+    SELECT hub, date_trunc('day', ts) AS day,
+           {dsum_sql('mw * price_mwh', 2)} / CAST(SUM(mw) AS BIGINT) AS vwap,
+           CAST(SUM(mw) AS BIGINT) AS total_mw,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM trades GROUP BY 1, 2
+    """,
+    doc="volume-weighted average price per (hub, day) over the trade "
+        "stream: exact-decimal notional sum divided by the integer MW "
+        "sum, so the quotient is identical at any partition count. One "
+        "map-side-combined aggregate keyed by (hub, day).",
+)
+def vwap_hub_day_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    return (t.groupBy("hub", F.date_trunc("day", F.col("ts")).alias("day"))
+            .agg((dsum(F.col("mw") * F.col("price_mwh"), 2)
+                  / F.sum("mw")).alias("vwap"),
+                 F.sum("mw").cast("long").alias("total_mw"),
+                 F.count("*").alias("n_trades")))
+
+
+@register(
+    "realized_variance_daily",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    seq AS (SELECT hub, date_trunc('day', ts) AS day, price_mwh,
+                   lag(price_mwh) OVER (PARTITION BY hub, date_trunc('day', ts)
+                                        ORDER BY ts, tick_id) AS prev
+            FROM ticks),
+    r AS (SELECT hub, day,
+                 LEAST(GREATEST(price_mwh / prev - 1, -10.0), 10.0) AS ret
+          FROM seq WHERE prev > 0)
+    SELECT hub, day, CAST(COUNT(*) AS BIGINT) AS n_returns,
+           {dsum_sql('ret * ret', 8)} AS sum_sq_returns,
+           {dsum_sql('ret * ret', 8)} / COUNT(*) AS realized_var
+    FROM r GROUP BY 1, 2
+    """,
+    doc="daily realized variance per hub from tick-to-tick simple returns "
+        "(uncentered second moment — the desk's intraday volatility "
+        "gauge). Returns clamp to [-10, 10] (winsorized against the "
+        "synthetic zero/near-zero prices; the clamp also bounds the "
+        "scaled-int64 square sum at any corpus size) and zero previous "
+        "prices are excluded (a return off zero is undefined). The lag "
+        "partitions by (hub, day) — the same bounded-partition lever as "
+        "the day-keyed RANGE window — then ONE aggregate; no "
+        "transcendentals anywhere (log returns would cost cross-engine "
+        "exactness for nothing at this granularity).",
+)
+def realized_variance_daily_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir).withColumn(
+        "day", F.date_trunc("day", F.col("ts")))
+    w = Window.partitionBy("hub", "day").orderBy("ts", "tick_id")
+    seq = t.withColumn("prev", F.lag("price_mwh").over(w))
+    ret = F.least(F.greatest(F.col("price_mwh") / F.col("prev") - 1,
+                             F.lit(-10.0)), F.lit(10.0))
+    r = seq.filter(F.col("prev") > 0).select("hub", "day",
+                                             ret.alias("ret"))
+    return (r.groupBy("hub", "day")
+            .agg(F.count("*").alias("n_returns"),
+                 dsum(F.col("ret") * F.col("ret"), 8)
+                 .alias("sum_sq_returns"),
+                 (dsum(F.col("ret") * F.col("ret"), 8) / F.count("*"))
+                 .alias("realized_var")))
+
+
+@register(
+    "max_drawdown",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    run AS (SELECT hub, price_mwh,
+                   MAX(price_mwh) OVER (PARTITION BY hub ORDER BY ts, tick_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                     AS peak
+            FROM ticks)
+    SELECT hub, MAX(peak) AS peak_price,
+           MAX(CASE WHEN peak > 0 THEN (peak - price_mwh) / peak
+                    ELSE 0.0 END) AS max_drawdown
+    FROM run GROUP BY hub
+    """,
+    doc="maximum drawdown per hub: running peak via a ts-ordered window "
+        "max, per-row drawdown ratio, then an order-free MAX — the "
+        "path-dependent risk statistic that IS window-expressible "
+        "(unlike the PnL fold) because the running max needs no "
+        "netting state. One window shuffle on hub; for hubs with years "
+        "of ticks re-key the window by (hub, epoch) and merge peaks — "
+        "same sharding lever as the sliced PnL's carry.",
+)
+def max_drawdown_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    w = (Window.partitionBy("hub").orderBy("ts", "tick_id")
+         .rowsBetween(Window.unboundedPreceding, 0))
+    run = t.withColumn("peak", F.max("price_mwh").over(w))
+    dd = F.when(F.col("peak") > 0,
+                (F.col("peak") - F.col("price_mwh")) / F.col("peak")) \
+          .otherwise(F.lit(0.0))
+    return (run.groupBy("hub")
+            .agg(F.max("peak").alias("peak_price"),
+                 F.max(dd).alias("max_drawdown")))
+
+
+@register(
+    "trade_flow_net",
+    oracle=f"""
+    WITH {_TRADES_SQL}
+    SELECT hub, date_trunc('hour', ts) AS flow_hour,
+           CAST(SUM(CASE WHEN side = 'BUY' THEN mw ELSE 0 END) AS BIGINT)
+             AS buy_mw,
+           CAST(SUM(CASE WHEN side = 'SELL' THEN mw ELSE 0 END) AS BIGINT)
+             AS sell_mw,
+           CAST(SUM(CASE WHEN side = 'BUY' THEN mw ELSE -mw END) AS BIGINT)
+             AS net_mw,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM trades GROUP BY 1, 2
+    """,
+    doc="signed order-flow per (hub, hour): buy/sell/net MW volumes — the "
+        "P5 side-to-signed-quantity map (PnlAndExposureJob.java:116) "
+        "aggregated into the flow-imbalance series a desk watches. Pure "
+        "integer conditional sums, one map-side-combined aggregate.",
+)
+def trade_flow_net_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    signed = F.when(F.col("side") == "BUY", F.col("mw")) \
+              .otherwise(-F.col("mw"))
+    return (t.groupBy("hub", F.date_trunc("hour", F.col("ts"))
+                      .alias("flow_hour"))
+            .agg(F.sum(F.when(F.col("side") == "BUY", F.col("mw"))
+                       .otherwise(0)).cast("long").alias("buy_mw"),
+                 F.sum(F.when(F.col("side") == "SELL", F.col("mw"))
+                       .otherwise(0)).cast("long").alias("sell_mw"),
+                 F.sum(signed).cast("long").alias("net_mw"),
+                 F.count("*").alias("n_trades")))

@@ -91,6 +91,12 @@ _PRIORITY: list[str] = [
     "event_hourly_anomaly",
     "embedding_norm_stats",
     "token_length_histogram",
+    # -- new this round: market-analytics pack (plans/market.py) --
+    "ohlc_bars",
+    "vwap_hub_day",
+    "realized_variance_daily",
+    "max_drawdown",
+    "trade_flow_net",
     # -- sentinels: one per long-stable family --
     "join_revenue_by_nation",     # join
     "groupby_agg_q1",             # aggregation
@@ -103,15 +109,10 @@ _PRIORITY: list[str] = [
     # -- fills: oldest driver signal first (green r1/r2, not seen in r3) --
     "asof_join_events",
     "running_position",
-    "latest_per_key",
-    "topk_recent",
-    "last_value_carried_forward",
     "streaming_forecast_sma",
-    "streaming_enrich_static",
     "streaming_session_stats",
     "dedup_exact",
     "text_stats",
-    "doc_fingerprint",
     # (multimodal four / jsonl_roundtrip / csv_roundtrip /
     # train_test_split / stratified_sample and the rest of the r3 window
     # rotated out: each holds a green r3 row; forecast_sma is additionally
@@ -161,5 +162,6 @@ def _ensure_loaded() -> None:
         temporal,
         tpch,
         analytics,
+        market,
     )
     _LOADED = True
