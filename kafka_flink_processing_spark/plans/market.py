@@ -97,8 +97,12 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ties at equal ts broken by tick id — first/last without the "
         "tie-break would be partition-order-dependent), high/low/count "
         "plain aggregates: ONE map-side-combined groupBy, no window, no "
-        "join Spark-side. Bars key by (hub, hour), so parallelism grows "
-        "with history length — no hub ever serializes.",
+        "join Spark-side (struct-keyed min_by/max_by plans as a "
+        "partial+final SortAggregate rather than hash — the sort is "
+        "per-partition on the bar key and the exchange still carries one "
+        "row per bar per partition; see PLANS.md). Bars key by "
+        "(hub, hour), so parallelism grows with history length — no hub "
+        "ever serializes.",
     bench=True,
 )
 def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
