@@ -118,6 +118,60 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "streaming_ohlc_bars",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    tb AS (SELECT hub, date_trunc('hour', ts) AS bar_hour, ts, tick_id,
+                  price_mwh
+           FROM ticks),
+    o AS (SELECT hub, bar_hour, price_mwh AS open FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
+                       ORDER BY ts, tick_id) AS rn FROM tb) WHERE rn = 1),
+    c AS (SELECT hub, bar_hour, price_mwh AS close FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
+                       ORDER BY ts DESC, tick_id DESC) AS rn FROM tb)
+          WHERE rn = 1),
+    hl AS (SELECT hub, bar_hour, MAX(price_mwh) AS high,
+                  MIN(price_mwh) AS low, CAST(COUNT(*) AS BIGINT) AS n_ticks
+           FROM tb GROUP BY 1, 2)
+    SELECT hub, bar_hour, open, high, low, close, n_ticks
+    FROM hl JOIN o USING (hub, bar_hour) JOIN c USING (hub, bar_hour)
+    """,
+    doc="the OHLC rollup as a Structured Streaming windowed aggregation "
+        "(1-hour tumbling window, complete-mode availableNow drain), "
+        "hash-matched against the SAME batch oracle as ohlc_bars — "
+        "unified batch/streaming semantics extended to ORDER-struct "
+        "min_by/max_by state (the open/close tie-break carries through "
+        "the streaming state merge unchanged). The live form of the "
+        "candle feed a desk would run off the prices topic.",
+)
+def streaming_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+    import uuid
+
+    from kafka_flink_processing_spark.streaming.sinks import (
+        run_available_now,
+    )
+    t = _ticks(spark, sf_dir)
+    work = tempfile.mkdtemp(prefix="kfps_sohlc_")
+    src = f"{work}/src"
+    t.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(t.schema).parquet(src)
+    first_key = F.struct(F.col("ts"), F.col("tick_id"))
+    agg = (stream.groupBy("hub", F.window("ts", "1 hour").alias("w"))
+           .agg(F.min_by("price_mwh", first_key).alias("open"),
+                F.max("price_mwh").alias("high"),
+                F.min("price_mwh").alias("low"),
+                F.max_by("price_mwh", first_key).alias("close"),
+                F.count("*").alias("n_ticks"))
+           .select("hub", F.col("w.start").alias("bar_hour"),
+                   "open", "high", "low", "close", "n_ticks"))
+    name = f"sohlc_stream_{uuid.uuid4().hex[:8]}"
+    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
+    return spark.table(name)
+
+
+@register(
     "vwap_hub_day",
     oracle=f"""
     WITH {_TRADES_SQL}

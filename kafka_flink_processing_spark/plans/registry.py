@@ -93,6 +93,7 @@ _PRIORITY: list[str] = [
     "token_length_histogram",
     # -- new this round: market-analytics pack (plans/market.py) --
     "ohlc_bars",
+    "streaming_ohlc_bars",
     "vwap_hub_day",
     "realized_variance_daily",
     "max_drawdown",
@@ -108,7 +109,6 @@ _PRIORITY: list[str] = [
     "curation_pipeline",          # pipeline composition
     # -- fills: oldest driver signal first (green r1/r2, not seen in r3) --
     "asof_join_events",
-    "running_position",
     "streaming_forecast_sma",
     "streaming_session_stats",
     "dedup_exact",
