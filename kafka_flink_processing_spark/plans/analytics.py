@@ -202,6 +202,118 @@ def ivf_recall_eval_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                         F.col("n_hit").cast("double") / F.col("n_true")))
 
 
+@register(
+    "lsh_threshold_sweep",
+    oracle=f"""
+    {_SHINGLES3},
+    {_minhash_sig_sql()},
+    bands AS ({_minhash_bands_sql()}),
+    cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+             FROM bands a JOIN bands b
+               ON a.band = b.band AND a.key = b.key AND a.doc_id < b.doc_id),
+    j AS (SELECT doc_a, doc_b,
+                 len(list_intersect(da.sh, db.sh))
+                   / (len(da.sh) + len(db.sh)
+                      - len(list_intersect(da.sh, db.sh))) AS jac
+          FROM cand JOIN ds da ON doc_a = da.doc_id
+                    JOIN ds db ON doc_b = db.doc_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_candidates,
+           CAST(SUM(CASE WHEN jac >= 0.5 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ge_050,
+           CAST(SUM(CASE WHEN jac >= 0.6 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ge_060,
+           CAST(SUM(CASE WHEN jac >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ge_070,
+           CAST(SUM(CASE WHEN jac >= 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ge_080,
+           CAST(SUM(CASE WHEN jac >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+             AS ge_090
+    FROM j
+    """,
+    doc="dedup-threshold tuning curve: exact Jaccard computed ONCE over "
+        "the LSH candidate set, then survivor counts at thresholds "
+        "0.5-0.9 in one conditional-aggregate pass — the sweep you run "
+        "before committing a near-dup threshold to a 100 TB pass, "
+        "instead of re-running the pair miner per candidate threshold. "
+        "O(candidates) like every LSH-routed query; single-row output.",
+)
+def lsh_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        _cached_signatures,
+        _lsh_bands,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    sig = _cached_signatures(docs, 3, "doc_id", "text")
+    bands = _lsh_bands(sig)
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+            .distinct())
+    sh_a = sig.select(F.col("doc_id").alias("doc_a"),
+                      F.col("sh").alias("sh_a"))
+    sh_b = sig.select(F.col("doc_id").alias("doc_b"),
+                      F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    j = cand.join(sh_a, "doc_a").join(sh_b, "doc_b") \
+            .select(jac.alias("jac"))
+    aggs = [F.count("*").alias("n_candidates")]
+    for t in (50, 60, 70, 80, 90):
+        aggs.append(F.sum(F.when(F.col("jac") >= t / 100.0, 1).otherwise(0))
+                    .cast("long").alias(f"ge_0{t}"))
+    return j.agg(*aggs)
+
+
+@register(
+    "semantic_mix_matrix",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    lab AS (SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    cent AS ({_codebook_values_sql()}),
+    asgj AS (SELECT v.vec_id, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1)
+    SELECT cell, label, CAST(COUNT(*) AS BIGINT) AS n_vecs
+    FROM asg JOIN lab USING (vec_id)
+    GROUP BY cell, label
+    """,
+    doc="semantic cluster x label mix matrix: the IVF quantizer's cell "
+        "assignment cross-tabulated with the metadata label — the "
+        "cluster-balance screen a curation run reads to spot cells "
+        "dominated by one source/class (the signal behind cluster-based "
+        "data-mix rebalancing). Same broadcast-codebook map-side argmax "
+        "as kmeans_assign_cells plus one id-keyed join and a tiny "
+        "(cells x labels) aggregate.",
+)
+def semantic_mix_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        _argmax_cell,
+        _codebook_df,
+        _scored_cells,
+        with_unit_info,
+    )
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    base = with_unit_info(emb)
+    cents = _codebook_df(spark, IVF_CENTROIDS)
+    asg = _argmax_cell(_scored_cells(base, cents, "vec_id", "embedding"),
+                       "vec_id", "embedding").select("vec_id", "cell")
+    lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
+    return (asg.join(lab, "vec_id")
+            .groupBy("cell", "label")
+            .agg(F.count("*").alias("n_vecs")))
+
+
 # ---------------------------------------------------------------------------
 # Corpus diagnostics
 # ---------------------------------------------------------------------------

@@ -82,6 +82,8 @@ _PRIORITY: list[str] = [
     "sql_q22_dormant_customers",
     "minhash_jaccard_accuracy",
     "ivf_recall_eval",
+    "lsh_threshold_sweep",
+    "semantic_mix_matrix",
     "ngram_freq_top",
     "dedup_keep_best",
     "source_overlap_matrix",
@@ -110,9 +112,7 @@ _PRIORITY: list[str] = [
     # -- fills: oldest driver signal first (green r1/r2, not seen in r3) --
     "asof_join_events",
     "streaming_forecast_sma",
-    "streaming_session_stats",
     "dedup_exact",
-    "text_stats",
     # (multimodal four / jsonl_roundtrip / csv_roundtrip /
     # train_test_split / stratified_sample and the rest of the r3 window
     # rotated out: each holds a green r3 row; forecast_sma is additionally
