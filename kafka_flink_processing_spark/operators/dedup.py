@@ -258,14 +258,23 @@ def minhash_signatures(docs: DataFrame, n: int = 3, id_col: str = "doc_id",
     return signatures_from_shingles(ds)
 
 
+def jaccard_expr(sh_left, sh_right):
+    """THE one copy of the exact-Jaccard expression over distinct shingle
+    sets: |A∩B| / (|A|+|B|-|A∩B|). Shared by verified_jaccard_pairs and
+    the estimator-accuracy / threshold-sweep evals (plans/analytics.py),
+    so the evals always measure exactly the semantics the dedup
+    operators apply."""
+    inter = F.size(F.array_intersect(sh_left, sh_right))
+    return inter / (F.size(sh_left) + F.size(sh_right) - inter)
+
+
 def verified_jaccard_pairs(cand: DataFrame, sig_left: DataFrame,
                            sig_right: DataFrame, left_col: str,
                            right_col: str, threshold: float) -> DataFrame:
-    """Exact-Jaccard verification of LSH candidates — THE one copy of the
-    per-pair semantics (array_intersect over distinct shingle sets,
-    |A∩B| / (|A|+|B|-|A∩B|) >= threshold), shared by minhash_lsh_pairs,
-    incremental_minhash_dups, and the streaming incremental dedup job so
-    the three paths cannot silently diverge.
+    """Exact-Jaccard verification of LSH candidates — the one copy of the
+    per-pair THRESHOLD semantics (jaccard_expr >= threshold), shared by
+    minhash_lsh_pairs, incremental_minhash_dups, and the streaming
+    incremental dedup job so the paths cannot silently diverge.
 
     cand: (left_col, right_col) candidate id pairs; sig_left/sig_right:
     signature tables whose doc_id matches the respective column. Returns
@@ -275,11 +284,25 @@ def verified_jaccard_pairs(cand: DataFrame, sig_left: DataFrame,
     sh_r = sig_right.select(F.col("doc_id").alias(right_col),
                             F.col("sh").alias("__sh_r"))
     joined = cand.join(sh_l, left_col).join(sh_r, right_col)
-    inter = F.size(F.array_intersect("__sh_l", "__sh_r"))
-    jac = inter / (F.size("__sh_l") + F.size("__sh_r") - inter)
+    jac = jaccard_expr(F.col("__sh_l"), F.col("__sh_r"))
     return (joined.withColumn("jaccard", jac)
                   .filter(F.col("jaccard") >= threshold)
                   .select(left_col, right_col, "jaccard"))
+
+
+def lsh_self_candidates(bands: DataFrame, left_col: str = "doc_a",
+                        right_col: str = "doc_b") -> DataFrame:
+    """Distinct unordered candidate pairs (left < right) agreeing on at
+    least one LSH band — the one copy of the self-join candidate builder,
+    shared by minhash_lsh_pairs and the index evals
+    (minhash_jaccard_accuracy / lsh_threshold_sweep)."""
+    a, b = bands.alias("a"), bands.alias("b")
+    return (a.join(b, (F.col("a.band") == F.col("b.band"))
+                   & (F.col("a.key") == F.col("b.key"))
+                   & (F.col("a.doc_id") < F.col("b.doc_id")))
+             .select(F.col("a.doc_id").alias(left_col),
+                     F.col("b.doc_id").alias(right_col))
+             .distinct())
 
 
 # Signature memo, same rationale, keying, and collision handling as the
@@ -328,14 +351,7 @@ def minhash_lsh_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.6,
     only runs on same-band pairs.
     """
     sig = _cached_signatures(docs, n, id_col, text_col)
-    bands = _lsh_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-             .select(F.col("a.doc_id").alias("doc_a"),
-                     F.col("b.doc_id").alias("doc_b"))
-             .distinct())
+    cand = lsh_self_candidates(_lsh_bands(sig))
     return verified_jaccard_pairs(cand, sig, sig, "doc_a", "doc_b", threshold)
 
 

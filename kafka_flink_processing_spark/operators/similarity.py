@@ -155,18 +155,21 @@ def _scored_cells(base: DataFrame, cents: DataFrame, id_col: str,
 
 
 def _argmax_cell(scored_cells: DataFrame, id_col: str,
-                 vec_col: str) -> DataFrame:
-    """Nearest-cell assignment (id, vec, nrm, cell) — argmax by (cosine,
-    then smallest cid). Struct ordering is lexicographic, so
-    max_by(cid, struct(ccos, -cid)) picks exactly the oracle's
-    ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates map-side,
-    so the one exchange carries ~N rows, not N*K."""
+                 vec_col: str, with_cosine: bool = False) -> DataFrame:
+    """Nearest-cell assignment (id, vec, nrm, cell[, cell_cosine]) —
+    argmax by (cosine, then smallest cid). Struct ordering is
+    lexicographic, so max_by(cid, struct(ccos, -cid)) picks exactly the
+    oracle's ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates
+    map-side, so the one exchange carries ~N rows, not N*K. with_cosine
+    additionally emits the winning cosine (max over the same rows — THE
+    one copy of the tie-break, reused by kmeans_assign_cells)."""
     tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
-    return (scored_cells
-            .groupBy(id_col)
-            .agg(F.max_by("cid", tie).cast("long").alias("cell"),
-                 F.first(vec_col).alias(vec_col),
-                 F.first("nrm").alias("nrm")))
+    aggs = [F.max_by("cid", tie).cast("long").alias("cell"),
+            F.first(vec_col).alias(vec_col),
+            F.first("nrm").alias("nrm")]
+    if with_cosine:
+        aggs.append(F.max("ccos").alias("cell_cosine"))
+    return scored_cells.groupBy(id_col).agg(*aggs)
 
 
 def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,

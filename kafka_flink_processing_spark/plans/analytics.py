@@ -92,17 +92,12 @@ def minhash_jaccard_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import (
         _cached_signatures,
         _lsh_bands,
+        jaccard_expr,
+        lsh_self_candidates,
     )
     docs = load_table(spark, "documents", sf_dir)
     sig = _cached_signatures(docs, 3, "doc_id", "text")
-    bands = _lsh_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = lsh_self_candidates(_lsh_bands(sig))
     sa = sig.select(F.col("doc_id").alias("doc_a"),
                     F.col("sh").alias("sh_a"),
                     *[F.col(f"mh{i}").alias(f"amh{i}")
@@ -113,8 +108,7 @@ def minhash_jaccard_accuracy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       for i in range(N_MINHASH)])
     agree = sum(F.when(F.col(f"amh{i}") == F.col(f"bmh{i}"), 1).otherwise(0)
                 for i in range(N_MINHASH))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    exact = inter / (F.size("sh_a") + F.size("sh_b") - inter)
+    exact = jaccard_expr(F.col("sh_a"), F.col("sh_b"))
     return (cand.join(sa, "doc_a").join(sb, "doc_b")
             .withColumn("est_jaccard", agree / float(N_MINHASH))
             .withColumn("exact_jaccard", exact)
@@ -241,25 +235,18 @@ def lsh_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import (
         _cached_signatures,
         _lsh_bands,
+        jaccard_expr,
+        lsh_self_candidates,
     )
     docs = load_table(spark, "documents", sf_dir)
     sig = _cached_signatures(docs, 3, "doc_id", "text")
-    bands = _lsh_bands(sig)
-    a, b = bands.alias("a"), bands.alias("b")
-    cand = (a.join(b, (F.col("a.band") == F.col("b.band"))
-                   & (F.col("a.key") == F.col("b.key"))
-                   & (F.col("a.doc_id") < F.col("b.doc_id")))
-            .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
-            .distinct())
+    cand = lsh_self_candidates(_lsh_bands(sig))
     sh_a = sig.select(F.col("doc_id").alias("doc_a"),
                       F.col("sh").alias("sh_a"))
     sh_b = sig.select(F.col("doc_id").alias("doc_b"),
                       F.col("sh").alias("sh_b"))
-    inter = F.size(F.array_intersect("sh_a", "sh_b"))
-    jac = inter / (F.size("sh_a") + F.size("sh_b") - inter)
     j = cand.join(sh_a, "doc_a").join(sh_b, "doc_b") \
-            .select(jac.alias("jac"))
+            .select(jaccard_expr(F.col("sh_a"), F.col("sh_b")).alias("jac"))
     aggs = [F.count("*").alias("n_candidates")]
     for t in (50, 60, 70, 80, 90):
         aggs.append(F.sum(F.when(F.col("jac") >= t / 100.0, 1).otherwise(0))
@@ -558,50 +545,38 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Event analytics (sessionized behavioral rollups)
 # ---------------------------------------------------------------------------
 
-SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+# Sessionization semantics (gap constant, boundary rule, tie-break) are
+# THE shared core in operators/sessionize.py — the same definition of "a
+# session" that session_window_stats (plans/temporal.py) aggregates.
+from kafka_flink_processing_spark.operators.sessionize import (  # noqa: E402
+    session_cte_sql,
+    with_session_id,
+)
 
 
 def _sessionized(events: DataFrame) -> DataFrame:
-    """(user_id, sidx, ts, event_type): 30-min-gap sessionization via the
-    classic lag + running-sum-of-new-session-flags; integer microsecond
-    arithmetic so the gap test is cross-engine exact."""
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.unix_micros(F.col("ts")) - F.lag(F.unix_micros(F.col("ts"))).over(w)
-    new_sess = F.when(gap.isNull() | (gap > SESSION_GAP_US), 1).otherwise(0)
-    run = (Window.partitionBy("user_id").orderBy("ts", "event_id")
-           .rowsBetween(Window.unboundedPreceding, 0))
-    return (events.select("user_id", "ts", "event_type", "event_id")
-            .withColumn("sidx", F.sum(new_sess).over(run).cast("long")))
-
-
-_SESS_SQL = f"""
-    ord AS (SELECT user_id, ts, event_type, event_id,
-                   epoch_us(ts) - lag(epoch_us(ts)) OVER
-                     (PARTITION BY user_id ORDER BY ts, event_id) AS gap
-            FROM events),
-    sess AS (SELECT user_id, ts, event_type,
-                    CAST(SUM(CASE WHEN gap IS NULL OR gap > {SESSION_GAP_US}
-                             THEN 1 ELSE 0 END) OVER
-                      (PARTITION BY user_id ORDER BY ts, event_id
-                       ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sidx
-             FROM ord)
-"""
+    """(user_id, session_id, ts, event_type, event_id) via the shared
+    sessionizer."""
+    return with_session_id(
+        events.select("user_id", "ts", "event_type", "event_id"))
 
 
 @register(
     "session_funnel",
     oracle=f"""
-    WITH {_SESS_SQL},
-    v AS (SELECT user_id, sidx, MIN(ts) AS v_ts FROM sess
+    WITH {session_cte_sql('event_type')},
+    v AS (SELECT user_id, session_id, MIN(ts) AS v_ts FROM sess
           WHERE event_type = 'view' GROUP BY 1, 2),
-    c AS (SELECT s.user_id, s.sidx, MIN(s.ts) AS c_ts
-          FROM sess s JOIN v ON s.user_id = v.user_id AND s.sidx = v.sidx
+    c AS (SELECT s.user_id, s.session_id, MIN(s.ts) AS c_ts
+          FROM sess s JOIN v ON s.user_id = v.user_id
+                             AND s.session_id = v.session_id
           WHERE s.event_type = 'click' AND s.ts > v.v_ts GROUP BY 1, 2),
-    p AS (SELECT s.user_id, s.sidx
-          FROM sess s JOIN c ON s.user_id = c.user_id AND s.sidx = c.sidx
+    p AS (SELECT s.user_id, s.session_id
+          FROM sess s JOIN c ON s.user_id = c.user_id
+                             AND s.session_id = c.session_id
           WHERE s.event_type = 'purchase' AND s.ts > c.c_ts GROUP BY 1, 2)
     SELECT 'session' AS stage, CAST(COUNT(*) AS BIGINT) AS n_sessions
-    FROM (SELECT DISTINCT user_id, sidx FROM sess)
+    FROM (SELECT DISTINCT user_id, session_id FROM sess)
     UNION ALL SELECT 'view', CAST(COUNT(*) AS BIGINT) FROM v
     UNION ALL SELECT 'view_click', CAST(COUNT(*) AS BIGINT) FROM c
     UNION ALL SELECT 'view_click_purchase', CAST(COUNT(*) AS BIGINT) FROM p
@@ -619,7 +594,7 @@ _SESS_SQL = f"""
 def session_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     sess = _sessionized(events)
-    key = ["user_id", "sidx"]
+    key = ["user_id", "session_id"]
     v = (sess.filter(F.col("event_type") == "view")
          .groupBy(*key).agg(F.min("ts").alias("v_ts")))
     c = (sess.filter(F.col("event_type") == "click")
@@ -680,10 +655,19 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
                       CAST(COUNT(*) AS BIGINT) AS n_events
                FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+               FROM h GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM bounds),
+    full_h AS (SELECT g.event_type, g.hour,
+                      CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+               FROM grid g LEFT JOIN h
+                 ON g.event_type = h.event_type AND g.hour = h.hour),
     w AS (SELECT *,
                  CAST(SUM(n_events) OVER tw AS BIGINT) AS prev_sum,
                  CAST(COUNT(n_events) OVER tw AS BIGINT) AS n_prev
-          FROM h
+          FROM full_h
           WINDOW tw AS (PARTITION BY event_type ORDER BY hour
                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING))
     SELECT hour, event_type, n_events,
@@ -691,27 +675,42 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(n_events * n_prev AS DOUBLE) / prev_sum AS rate_ratio,
            (n_events * n_prev >= 2 * prev_sum
             OR 2 * n_events * n_prev <= prev_sum) AS is_anomaly
-    FROM w WHERE n_prev >= 12
+    FROM w WHERE n_prev >= 12 AND prev_sum > 0
     """,
     doc="hourly event-rate anomaly screen: each (hour, event_type) count "
-        "against its trailing-24h mean (current hour excluded), flagged "
-        "at 2x/0.5x. The anomaly test is pure INTEGER cross-"
-        "multiplication (n*n_prev vs 2*prev_sum) — no float threshold "
-        "can disagree between engines — and the reported ratio is one "
-        "int/int division. Cost: one hourly pre-aggregate (map-side), "
-        "then a row-frame window over ~hours x types rows; warm-up rows "
-        "(<12 prior hours) are suppressed.",
+        "against its trailing-24-WALL-CLOCK-hour mean (current hour "
+        "excluded), flagged at 2x/0.5x. The hour axis is DENSIFIED per "
+        "type (sequence over [first, last] hour, zero-filled), so empty "
+        "hours are real rows: a drop-to-zero outage flags as a low "
+        "anomaly and the trailing frame never reaches past a gap into "
+        "week-old rates — the ROWS frame over the dense grid IS a "
+        "wall-clock frame. The anomaly test is pure INTEGER cross-"
+        "multiplication (n*n_prev vs 2*prev_sum); the reported ratio is "
+        "one int/int division; dead trailing windows (prev_sum=0, "
+        "ratio undefined) are excluded. Cost: one hourly pre-aggregate "
+        "(map-side), a per-type grid of ~hours rows, one row-frame "
+        "window over ~hours x types rows.",
 )
 def event_hourly_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
     h = (events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
                         "event_type")
          .agg(F.count("*").alias("n_events")))
+    bounds = h.groupBy("event_type").agg(F.min("hour").alias("h0"),
+                                         F.max("hour").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+         .alias("hour"))
+    full_h = (grid.join(h, ["event_type", "hour"], "left")
+              .select("event_type", "hour",
+                      F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+                      .alias("n_events")))
     tw = (Window.partitionBy("event_type").orderBy("hour")
           .rowsBetween(-24, -1))
-    w = (h.withColumn("prev_sum", F.sum("n_events").over(tw))
+    w = (full_h.withColumn("prev_sum", F.sum("n_events").over(tw))
          .withColumn("n_prev", F.count("n_events").over(tw)))
-    return (w.filter(F.col("n_prev") >= 12)
+    return (w.filter((F.col("n_prev") >= 12) & (F.col("prev_sum") > 0))
             .select("hour", "event_type", "n_events",
                     (F.col("prev_sum").cast("double") / F.col("n_prev"))
                     .alias("trailing_avg"),

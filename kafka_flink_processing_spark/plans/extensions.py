@@ -587,6 +587,7 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def kmeans_assign_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
+        _argmax_cell,
         _codebook_df,
         _scored_cells,
         with_unit_info,
@@ -595,13 +596,10 @@ def kmeans_assign_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = with_unit_info(emb)
     cents = _codebook_df(spark, IVF_CENTROIDS)
     scored = _scored_cells(base, cents, "vec_id", "embedding")
-    # same argmax (cosine desc, then smallest cid) as _argmax_cell, plus
-    # the winning cosine itself; max_by's struct tie-break picks exactly
-    # the oracle's ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row
-    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
-    return (scored.groupBy("vec_id")
-            .agg(F.max_by("cid", tie).cast("long").alias("cell"),
-                 F.max("ccos").alias("cell_cosine")))
+    # the IVF quantizer's own argmax (one copy of the tie-break), with the
+    # winning cosine emitted alongside
+    asg = _argmax_cell(scored, "vec_id", "embedding", with_cosine=True)
+    return asg.select("vec_id", "cell", "cell_cosine")
 
 
 @register(

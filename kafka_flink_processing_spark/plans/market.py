@@ -72,9 +72,10 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.col("value").alias("price_mwh")))
 
 
-@register(
-    "ohlc_bars",
-    oracle=f"""
+# ONE oracle text for both OHLC registrations: the batch and streaming
+# queries exist to hash-match the SAME result, so their sameness must be
+# structural, not maintained by hand-copying two SQL strings.
+_OHLC_ORACLE = f"""
     WITH {_TICKS_SQL},
     tb AS (SELECT hub, date_trunc('hour', ts) AS bar_hour, ts, tick_id,
                   price_mwh
@@ -91,7 +92,12 @@ def _trades(spark: SparkSession, sf_dir: str) -> DataFrame:
            FROM tb GROUP BY 1, 2)
     SELECT hub, bar_hour, open, high, low, close, n_ticks
     FROM hl JOIN o USING (hub, bar_hour) JOIN c USING (hub, bar_hour)
-    """,
+    """
+
+
+@register(
+    "ohlc_bars",
+    oracle=_OHLC_ORACLE,
     doc="hourly OHLC candles per hub — the desk's basic price rollup. "
         "open/close are min_by/max_by over a (ts, tick_id) ORDER struct "
         "(ties at equal ts broken by tick id — first/last without the "
@@ -119,24 +125,7 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "streaming_ohlc_bars",
-    oracle=f"""
-    WITH {_TICKS_SQL},
-    tb AS (SELECT hub, date_trunc('hour', ts) AS bar_hour, ts, tick_id,
-                  price_mwh
-           FROM ticks),
-    o AS (SELECT hub, bar_hour, price_mwh AS open FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
-                       ORDER BY ts, tick_id) AS rn FROM tb) WHERE rn = 1),
-    c AS (SELECT hub, bar_hour, price_mwh AS close FROM (
-            SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, bar_hour
-                       ORDER BY ts DESC, tick_id DESC) AS rn FROM tb)
-          WHERE rn = 1),
-    hl AS (SELECT hub, bar_hour, MAX(price_mwh) AS high,
-                  MIN(price_mwh) AS low, CAST(COUNT(*) AS BIGINT) AS n_ticks
-           FROM tb GROUP BY 1, 2)
-    SELECT hub, bar_hour, open, high, low, close, n_ticks
-    FROM hl JOIN o USING (hub, bar_hour) JOIN c USING (hub, bar_hour)
-    """,
+    oracle=_OHLC_ORACLE,  # literally the batch query's oracle object
     doc="the OHLC rollup as a Structured Streaming windowed aggregation "
         "(1-hour tumbling window, complete-mode availableNow drain), "
         "hash-matched against the SAME batch oracle as ohlc_bars — "

@@ -155,50 +155,36 @@ def sliding_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Session window (engine extension)
 # --------------------------------------------------------------------------
 
-_SESSION_GAP_US = 30 * 60 * 1_000_000  # 30-minute inactivity gap
+# Sessionization semantics (gap constant, boundary rule, tie-break) live
+# in ONE place — operators/sessionize.py — shared with session_funnel.
+from kafka_flink_processing_spark.operators.sessionize import (  # noqa: E402
+    session_cte_sql,
+    with_session_id,
+)
+
 
 @register(
     "session_window_stats",
     oracle=f"""
-    WITH o AS (
-      SELECT user_id, ts, event_id, value,
-             CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
-                       OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                          > {_SESSION_GAP_US}
-                  THEN 1 ELSE 0 END AS is_new
-      FROM events
-      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), s AS (
-      SELECT *, CAST(SUM(is_new) OVER (
-               PARTITION BY user_id ORDER BY ts, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
-             ) AS BIGINT) AS session_id
-      FROM o
-    )
+    WITH {session_cte_sql('value')}
     SELECT user_id, session_id,
            MIN(ts) AS session_start,
            MAX(ts) AS session_end,
            COUNT(*) AS n_events,
            {dsum_sql('value')} AS sum_value
-    FROM s GROUP BY 1, 2
+    FROM sess GROUP BY 1, 2
     """,
     doc="gap-based sessionization (30-min inactivity) per user — engine "
         "extension. lag + cumulative-sum boundary numbering: the batch form "
         "of F.session_window, two codegen'd window passes over ONE shuffle "
         "on user_id (microsecond-integer gap arithmetic, cross-engine "
-        "exact).",
+        "exact). Session semantics shared with session_funnel via "
+        "operators/sessionize.py.",
     bench=True,
 )
 def session_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir)
-    us = F.unix_micros(F.col("ts"))
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = us - F.lag(us).over(w)
-    is_new = F.when(gap.isNull() | (gap > _SESSION_GAP_US), 1).otherwise(0)
-    sessions = (ev
-                .withColumn("session_id",
-                            F.sum(is_new).over(
-                                w.rowsBetween(Window.unboundedPreceding, 0))))
+    sessions = with_session_id(ev)
     return (sessions.groupBy("user_id", "session_id")
             .agg(F.min("ts").alias("session_start"),
                  F.max("ts").alias("session_end"),

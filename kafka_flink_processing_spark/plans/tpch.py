@@ -256,11 +256,15 @@ def sql_q12_late_lineitems(spark: SparkSession, sf_dir: str) -> DataFrame:
               .when(delay <= 90, "late")
               .otherwise("very_late"))
     high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    low = ~F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    # two EXPLICIT predicates, not when(high,...).otherwise(1): the oracle's
+    # NOT IN yields NULL (-> ELSE 0) for a NULL priority, while otherwise(1)
+    # would count it — a latent hash divergence on nullable data
     return (orders.join(li, orders.o_orderkey == li.l_orderkey)
             .groupBy(bucket.alias("delay_bucket"))
             .agg(F.sum(F.when(high, 1).otherwise(0)).cast("long")
                  .alias("high_line_count"),
-                 F.sum(F.when(high, 0).otherwise(1)).cast("long")
+                 F.sum(F.when(low, 1).otherwise(0)).cast("long")
                  .alias("low_line_count")))
 
 

@@ -11,10 +11,8 @@ import pytest
 
 from pyspark.sql import functions as F
 
-from kafka_flink_processing_spark.plans.analytics import (
-    SESSION_GAP_US,
-    _sessionized,
-)
+from kafka_flink_processing_spark.operators.sessionize import SESSION_GAP_US
+from kafka_flink_processing_spark.plans.analytics import _sessionized
 from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
 
 SF = "/root/testdata/sf0.001"
@@ -48,7 +46,7 @@ def test_sessionization_gap_boundary(spark):
         (3, 7, 600 * SEC + SESSION_GAP_US, "view"),       # exactly +30 min
         (4, 7, 600 * SEC + 2 * SESSION_GAP_US + 1, "view"),  # +30 min +1 us
     ])
-    got = {r.event_id: r.sidx for r in _sessionized(ev).collect()}
+    got = {r.event_id: r.session_id for r in _sessionized(ev).collect()}
     assert got[1] == got[2] == got[3] == 1
     assert got[4] == 2
 
@@ -59,7 +57,7 @@ def test_sessionization_per_user_independent(spark):
         (2, 2, 0, "view"),
         (3, 1, 2 * SESSION_GAP_US, "view"),
     ])
-    got = {r.event_id: (r.user_id, r.sidx)
+    got = {r.event_id: (r.user_id, r.session_id)
            for r in _sessionized(ev).collect()}
     assert got[1] == (1, 1) and got[3] == (1, 2)
     assert got[2] == (2, 1)  # other user's first session unaffected
@@ -202,6 +200,34 @@ def test_event_anomaly_flags_planted_spike(spark):
     assert spike[0].rate_ratio == pytest.approx(4.0)
     steady = [r for r in out if r.n_events == 10]
     assert steady and not any(r.is_anomaly for r in steady)
+
+
+def test_event_anomaly_flags_outage_hours(spark):
+    import tempfile
+    from kafka_flink_processing_spark.plans.analytics import (
+        event_hourly_anomaly_q,
+    )
+    # 30 steady hours of 10 events, a 3-hour TOTAL outage, then recovery:
+    # the gap hours must exist as zero rows (densified grid) and flag as
+    # low anomalies — the drop-to-zero case a sparse hourly table misses
+    rows = []
+    eid = 0
+    for h in list(range(30)) + [33, 34]:
+        for k in range(10):
+            rows.append((eid, 1, (h * 3600 + k) * SEC, "click"))
+            eid += 1
+    ev = _events(spark, rows)
+    with tempfile.TemporaryDirectory(prefix="kfps_outage_") as td:
+        ev.write.mode("overwrite").parquet(f"{td}/events.parquet")
+        out = event_hourly_anomaly_q(spark, td).collect()
+    zero_hours = [r for r in out if r.n_events == 0]
+    assert len(zero_hours) == 3, "outage hours must surface as zero rows"
+    assert all(r.is_anomaly for r in zero_hours)
+    assert all(r.rate_ratio == 0.0 for r in zero_hours)
+    # recovery hour compares against a trailing window that contains the
+    # outage zeros (wall-clock frame), not week-old populated hours
+    rec = [r for r in out if r.hour.hour == 9 and r.n_events == 10]
+    assert rec, "recovery hour present"
 
 
 def test_retention_cohort_fixture(spark):
