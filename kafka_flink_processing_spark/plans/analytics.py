@@ -541,6 +541,86 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.max("nrm").alias("max_norm")))
 
 
+from kafka_flink_processing_spark.functions.text import lang_id  # noqa: E402
+from kafka_flink_processing_spark.plans.extensions import (  # noqa: E402
+    _lang_case_sql,
+    _lang_scores_sql,
+)
+
+_LANG_SCORES = _lang_scores_sql()
+
+
+@register(
+    "lang_confusion_matrix",
+    oracle=f"""
+    WITH s AS (
+      SELECT lang,
+             {", ".join(f"{expr} AS s_{lg}"
+                        for lg, expr in _LANG_SCORES.items())}
+      FROM (SELECT lang, ' ' || text || ' ' AS p FROM documents)
+    )
+    SELECT lang AS lang_label, {_lang_case_sql(_LANG_SCORES)} AS lang_pred,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM s GROUP BY 1, 2
+    """,
+    doc="language-ID confusion matrix: the heuristic classifier's "
+        "prediction cross-tabulated with the metadata label — the "
+        "measured-error eval for the lang-id stage (same posture as "
+        "minhash_jaccard_accuracy: a production pipeline trusts its "
+        "classifier's MEASURED confusion on its own corpus, not assumed "
+        "accuracy). Classifier semantics are the one shared "
+        "implementation (functions/text.py::lang_id and its SQL twin); "
+        "one map-side scan + a langs x langs aggregate.",
+)
+def lang_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return (docs.select(F.col("lang").alias("lang_label"),
+                        lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang_label", "lang_pred")
+            .agg(F.count("*").alias("n_docs")))
+
+
+@register(
+    "dedup_rate_by_source",
+    oracle="""
+    WITH h AS (
+      SELECT source, doc_id,
+             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+               AS text_hash
+      FROM documents
+    ),
+    canon AS (SELECT text_hash, MIN(doc_id) AS keeper FROM h
+              GROUP BY text_hash)
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_exact_dups,
+           CAST(SUM(CASE WHEN doc_id != keeper THEN 1 ELSE 0 END) AS DOUBLE)
+             / COUNT(*) AS dup_rate
+    FROM h JOIN canon USING (text_hash)
+    GROUP BY source
+    """,
+    doc="per-source exact-duplicate rate: share of each source's documents "
+        "that lose the canonical-min-id exact dedup — the per-provider "
+        "observability number a curation run reports (a source with a "
+        "high dup rate gets its crawler fixed, not more quota). Same "
+        "normalized-hash shuffle as dedup_exact plus one id-keyed join "
+        "and a #sources-row aggregate; the rate is one int/int division.",
+)
+def dedup_rate_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import normalize_text
+    docs = load_table(spark, "documents", sf_dir)
+    h = docs.select("source", "doc_id",
+                    F.md5(normalize_text(F.col("text"))).alias("text_hash"))
+    canon = h.groupBy("text_hash").agg(F.min("doc_id").alias("keeper"))
+    dup = F.when(F.col("doc_id") != F.col("keeper"), 1).otherwise(0)
+    return (h.join(canon, "text_hash")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum(dup).cast("long").alias("n_exact_dups"),
+                 (F.sum(dup).cast("double") / F.count("*"))
+                 .alias("dup_rate")))
+
+
 # ---------------------------------------------------------------------------
 # Event analytics (sessionized behavioral rollups)
 # ---------------------------------------------------------------------------

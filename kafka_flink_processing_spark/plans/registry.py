@@ -84,6 +84,8 @@ _PRIORITY: list[str] = [
     "ivf_recall_eval",
     "lsh_threshold_sweep",
     "semantic_mix_matrix",
+    "lang_confusion_matrix",
+    "dedup_rate_by_source",
     "ngram_freq_top",
     "dedup_keep_best",
     "source_overlap_matrix",
@@ -111,8 +113,8 @@ _PRIORITY: list[str] = [
     "curation_pipeline",          # pipeline composition
     # -- fills: oldest driver signal first (green r1/r2, not seen in r3) --
     "asof_join_events",
-    "streaming_forecast_sma",
-    "dedup_exact",
+    # (streaming_forecast_sma / dedup_exact rotated out for the two r4
+    # late additions: both hold r1 AND r2 green rows)
     # (multimodal four / jsonl_roundtrip / csv_roundtrip /
     # train_test_split / stratified_sample and the rest of the r3 window
     # rotated out: each holds a green r3 row; forecast_sma is additionally
