@@ -23,6 +23,28 @@ from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
 from kafka_flink_processing_spark.session import get_spark
 
 
+# Frozen comparison sets (r4 verdict: cross-round totals stopped being
+# comparable once the headline set grew; emit fixed-set subtotals so a
+# regression is readable straight off BENCH_r{N}.json without re-deriving
+# set intersections). CORE16 = the r1 headline set, the de-facto floor the
+# 2x gate measures against; R4_22 = the r4 set (adds the pipeline operators
+# benched since). NEVER edit these: add a new frozen set if the gate needs
+# a new baseline. main() errors if a frozen-set query leaves the headline.
+CORE16 = frozenset({
+    "asof_join_events", "curation_pipeline", "dedup_clusters",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "forecast_sma",
+    "groupby_agg_q1", "join_revenue_by_nation", "join_topk_orders",
+    "latest_per_key", "pnl_positions_fold", "range_join_attribution",
+    "session_window_stats", "similarity_bruteforce_topk",
+    "similarity_ivf_topk", "tumbling_window_stats",
+})
+R4_22 = CORE16 | frozenset({
+    "adaptive_quality_filter", "decontaminate_bloom",
+    "dedup_incremental_minhash", "dup_span_redact", "ohlc_bars",
+    "pnl_positions_hybrid",
+})
+
+
 def sf_from_dir(sf_dir: str) -> float:
     name = os.path.basename(sf_dir.rstrip("/"))
     try:
@@ -93,11 +115,19 @@ def main() -> None:
             times[name] = min(times.get(name, float("inf")), dt)
 
     rounded = {name: round(t, 3) for name, t in times.items()}
+    for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22)):
+        missing = frozen - set(times)
+        assert not missing, (
+            f"{frozen_name} queries dropped from the bench headline "
+            f"(comparison subtotals would silently shrink): {missing}")
     print(json.dumps({
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),
         "unit": "sec",
         "queries": rounded,
+        # frozen-set subtotals: compare these across rounds, not `value`
+        "core16_subtotal": round(sum(times[q] for q in CORE16), 3),
+        "r4_22_subtotal": round(sum(times[q] for q in R4_22), 3),
         "sf": sf_from_dir(sf_dir),
     }))
 

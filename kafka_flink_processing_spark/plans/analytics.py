@@ -800,3 +800,205 @@ def event_hourly_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       >= 2 * F.col("prev_sum"))
                      | (2 * F.col("n_events") * F.col("n_prev")
                         <= F.col("prev_sum"))).alias("is_anomaly")))
+
+
+# ---------------------------------------------------------------------------
+# Round-5 depth: event transitions, Zipf fit, IVF probe sweep
+# ---------------------------------------------------------------------------
+
+@register(
+    "event_transition_matrix",
+    oracle="""
+    WITH nxt AS (
+      SELECT event_type AS from_type,
+             LEAD(event_type) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id) AS to_type
+      FROM events)
+    SELECT from_type, to_type, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(COUNT(*) AS DOUBLE)
+             / SUM(COUNT(*)) OVER (PARTITION BY from_type) AS p
+    FROM nxt WHERE to_type IS NOT NULL
+    GROUP BY from_type, to_type
+    """,
+    doc="first-order Markov transition matrix over per-user event "
+        "sequences: P(next event type | current), the behavioral-model "
+        "summary (and input to next-action prediction features) a product "
+        "analytics stack derives from the reference's event stream. ONE "
+        "user-keyed exchange for the LEAD ordering — the same partitioning "
+        "the sessionizer uses, so in a multi-query pass it reuses that "
+        "shuffle — then a types^2-cell aggregate (25 rows here) whose "
+        "row-probability normalization is a window over the tiny matrix, "
+        "not the event stream. The probability is one int/int division, "
+        "deterministic cross-engine.",
+)
+def event_transition_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir) \
+        .select("user_id", "ts", "event_id", "event_type")
+    wu = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (events
+             .withColumn("to_type", F.lead("event_type").over(wu))
+             .filter(F.col("to_type").isNotNull())
+             .select(F.col("event_type").alias("from_type"), "to_type"))
+    counts = pairs.groupBy("from_type", "to_type") \
+                  .agg(F.count("*").alias("n"))
+    wrow = Window.partitionBy("from_type")
+    return counts.withColumn(
+        "p", F.col("n").cast("double") / F.sum("n").over(wrow))
+
+
+_ZIPF_TOP = 1000
+_LN_SUMS_SQL = (
+    f"CAST(COUNT(*) AS BIGINT) AS n, "
+    f"{dsum_sql('ln(rank)', 6)} AS sx, "
+    f"{dsum_sql('ln(freq)', 6)} AS sy, "
+    f"{dsum_sql('ln(rank) * ln(freq)', 6)} AS sxy, "
+    f"{dsum_sql('ln(rank) * ln(rank)', 6)} AS sxx")
+
+
+@register(
+    "vocab_zipf_slope",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+               AS token
+      FROM documents),
+    counts AS (SELECT token, COUNT(*) AS freq FROM tok GROUP BY token),
+    ranked AS (SELECT * FROM (
+        SELECT freq,
+               ROW_NUMBER() OVER (ORDER BY freq DESC, token) AS rank
+        FROM counts) WHERE rank <= {_ZIPF_TOP}),
+    agg AS (SELECT {_LN_SUMS_SQL} FROM ranked)
+    SELECT n AS n_tokens,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+             AS zipf_intercept
+    FROM agg
+    """,
+    doc="Zipf's-law fit over the top-1000 token vocabulary: least-squares "
+        "slope/intercept of ln(freq) on ln(rank) — the corpus-health "
+        "diagnostic (natural text sits near slope -1; scraped boilerplate "
+        "and template spam bend the curve) a curation run checks before "
+        "and after filtering. The token count is the same map-side-"
+        "combined explode->count as vocab_top_tokens; ranking is "
+        "TakeOrderedAndProject to the bounded top-K, so the single-"
+        "partition row_number touches 1000 rows, never the vocabulary. "
+        "Cross-engine exactness: each ln() term is rounded to 6dp and "
+        "summed as scaled int64 (functions/exact.py), so the closed-form "
+        "slope arithmetic runs on bit-identical sums in both engines.",
+)
+def vocab_zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit(TOKEN_REGEX), F.lit(0)))
+         .alias("token"))
+    counts = tok.groupBy("token").agg(F.count("*").alias("freq"))
+    top = counts.orderBy(F.desc("freq"), "token").limit(_ZIPF_TOP)
+    ranked = top.withColumn(
+        "rank",
+        F.row_number().over(Window.orderBy(F.desc("freq"), "token")))
+    lr, lf = F.log(F.col("rank").cast("double")), F.log("freq")
+    agg = ranked.agg(F.count("*").alias("n"),
+                     dsum(lr, 6).alias("sx"),
+                     dsum(lf, 6).alias("sy"),
+                     dsum(lr * lf, 6).alias("sxy"),
+                     dsum(lr * lr, 6).alias("sxx"))
+    slope = ((F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"))
+             / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")))
+    return (agg.withColumn("zipf_slope", slope)
+            .select(F.col("n").alias("n_tokens"), "zipf_slope",
+                    ((F.col("sy") - F.col("zipf_slope") * F.col("sx"))
+                     / F.col("n")).alias("zipf_intercept")))
+
+
+_NPROBES = (1, 2, 4, 8)
+
+
+@register(
+    "ivf_probe_sweep",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS ({_codebook_values_sql()}),
+    bf AS (SELECT query_id, cand_id FROM (
+        SELECT q.query_id, c.vec_id AS cand_id,
+               ROW_NUMBER() OVER (PARTITION BY q.query_id
+                 ORDER BY {_DOT.format(a='q.qv', b='c.embedding')}
+                            / (q.qn * c.nrm) DESC, c.vec_id) AS rank
+        FROM (SELECT vec_id AS query_id, embedding AS qv, nrm AS qn
+              FROM n WHERE vec_id < 5) q
+        JOIN n c ON c.vec_id != q.query_id) WHERE rank <= 10),
+    asgj AS (SELECT v.vec_id, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1),
+    qrank AS (SELECT vec_id AS query_id, CAST(cid AS BIGINT) AS cell,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id
+                        ORDER BY cos DESC, cid) AS rn
+              FROM asgj WHERE vec_id < 5),
+    truth AS (SELECT b.query_id, q.rn
+              FROM bf b JOIN asg a ON a.vec_id = b.cand_id
+              JOIN qrank q ON q.query_id = b.query_id AND q.cell = a.cell)
+    SELECT CAST(np.nprobe AS BIGINT) AS nprobe,
+           CAST(COUNT(*) AS BIGINT) AS n_true,
+           CAST(SUM(CASE WHEN t.rn <= np.nprobe THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_hit,
+           CAST(SUM(CASE WHEN t.rn <= np.nprobe THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS recall_at_10
+    FROM truth t CROSS JOIN (SELECT unnest({list(_NPROBES)}) AS nprobe) np
+    GROUP BY np.nprobe
+    """,
+    doc="recall@10 as a function of nprobe (1/2/4/8 of 16 cells) for the "
+        "IVF index — the tuning curve behind the IVF_NPROBE constant, "
+        "companion to lsh_threshold_sweep. Key identity making the sweep "
+        "one pass instead of a retrieval per setting: with matching k, a "
+        "true top-10 neighbor is recalled at nprobe=p iff its cell's rank "
+        "in the query's probe ordering is <= p (any candidate outranking "
+        "it in the probed set would outrank it globally too). So: brute-"
+        "force ground truth (driver-verified standalone) + the corpus "
+        "cell assignment (broadcast codebook, map-side argmax, the SAME "
+        "single exchange as similarity_ivf_topk) + the query's full cell "
+        "ranking, joined on the 50-row truth set, then a conditional "
+        "aggregate over nprobe x truth — O(corpus) work once, O(50) per "
+        "added sweep point.",
+)
+def ivf_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        _argmax_cell,
+        _codebook_df,
+        _scored_cells,
+        cosine_topk,
+        with_unit_info,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    bf = cosine_topk(emb, query_ids=range(5), k=10) \
+        .select("query_id", "cand_id")
+    base = with_unit_info(emb)
+    cents = _codebook_df(spark, IVF_CENTROIDS)
+    scored = _scored_cells(base, cents, "vec_id", "embedding")
+    asg = _argmax_cell(scored, "vec_id", "embedding") \
+        .select("vec_id", "cell")
+    wq = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
+                                              F.col("cid"))
+    qrank = (scored.filter(F.col("vec_id") < 5)
+             .withColumn("rn", F.row_number().over(wq))
+             .select(F.col("vec_id").alias("query_id"),
+                     F.col("cid").cast("long").alias("cell"), "rn"))
+    truth = (bf.join(asg, bf.cand_id == asg.vec_id)
+             .join(qrank, ["query_id", "cell"])
+             .select("query_id", "rn"))
+    nprobes = F.explode(F.array(*[F.lit(p) for p in _NPROBES])).alias("np_i")
+    return (truth.select("rn", nprobes)
+            .select("rn", F.col("np_i").cast("long").alias("nprobe"))
+            .groupBy("nprobe")
+            .agg(F.count("*").alias("n_true"),
+                 F.sum(F.when(F.col("rn") <= F.col("nprobe"), 1)
+                       .otherwise(0)).cast("long").alias("n_hit"))
+            .withColumn("recall_at_10",
+                        F.col("n_hit").cast("double") / F.col("n_true")))

@@ -816,15 +816,14 @@ def curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "by the oracle, not assumed.",
 )
 def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from kafka_flink_processing_spark.sources.formats import (
         read_jsonl,
+        roundtrip_scratch_dir,
         write_jsonl,
     )
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "text")
-    work = tempfile.mkdtemp(prefix="kfps_jsonl_")
+    work = roundtrip_scratch_dir("jsonl")
     write_jsonl(docs, work)
     back = read_jsonl(spark, work, docs.schema)
     return back.select("doc_id", "lang",
@@ -843,15 +842,14 @@ def jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "parquet source per the oracle.",
 )
 def csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from kafka_flink_processing_spark.sources.formats import (
         read_csv,
+        roundtrip_scratch_dir,
         write_csv,
     )
     ev = load_table(spark, "events", sf_dir).select(
         "event_id", "user_id", "event_type", "value", "props")
-    work = tempfile.mkdtemp(prefix="kfps_csv_")
+    work = roundtrip_scratch_dir("csv")
     write_csv(ev, work)
     back = read_csv(spark, work, ev.schema)
     return back.select("event_id", "user_id", "event_type", "value",
@@ -2125,13 +2123,14 @@ def dedup_fuzzy_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
         "jsonl/csv round-trips prove the text connectors.",
 )
 def corpus_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     from kafka_flink_processing_spark.functions.text import md5_hash60
-    from kafka_flink_processing_spark.sources.formats import write_corpus
+    from kafka_flink_processing_spark.sources.formats import (
+        roundtrip_scratch_dir,
+        write_corpus,
+    )
     docs = load_table(spark, "documents", sf_dir).select(
         "doc_id", "lang", "source", "text")
-    work = tempfile.mkdtemp(prefix="kfps_corpus_")
+    work = roundtrip_scratch_dir("corpus")
     write_corpus(docs, work, partition_cols=("lang",),
                  target_rows_per_file=1000)
     # explicit schema on read-back: never infer (5.2 rule), and an EMPTY

@@ -135,29 +135,23 @@ def ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "candle feed a desk would run off the prices topic.",
 )
 def streaming_ohlc_bars_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
     from kafka_flink_processing_spark.streaming.sinks import (
-        run_available_now,
+        drain_streaming_result,
     )
-    t = _ticks(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="kfps_sohlc_")
-    src = f"{work}/src"
-    t.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(t.schema).parquet(src)
-    first_key = F.struct(F.col("ts"), F.col("tick_id"))
-    agg = (stream.groupBy("hub", F.window("ts", "1 hour").alias("w"))
-           .agg(F.min_by("price_mwh", first_key).alias("open"),
-                F.max("price_mwh").alias("high"),
-                F.min("price_mwh").alias("low"),
-                F.max_by("price_mwh", first_key).alias("close"),
-                F.count("*").alias("n_ticks"))
-           .select("hub", F.col("w.start").alias("bar_hour"),
-                   "open", "high", "low", "close", "n_ticks"))
-    name = f"sohlc_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
-    return spark.table(name)
+
+    def build(stream: DataFrame) -> DataFrame:
+        first_key = F.struct(F.col("ts"), F.col("tick_id"))
+        return (stream.groupBy("hub", F.window("ts", "1 hour").alias("w"))
+                .agg(F.min_by("price_mwh", first_key).alias("open"),
+                     F.max("price_mwh").alias("high"),
+                     F.min("price_mwh").alias("low"),
+                     F.max_by("price_mwh", first_key).alias("close"),
+                     F.count("*").alias("n_ticks"))
+                .select("hub", F.col("w.start").alias("bar_hour"),
+                        "open", "high", "low", "close", "n_ticks"))
+
+    return drain_streaming_result(_ticks(spark, sf_dir), build, "sohlc",
+                                  output_mode="complete")
 
 
 @register(

@@ -399,24 +399,16 @@ _STREAM_SMA_ORACLE = f"""
         "bit-for-bit (unified batch/streaming semantics).",
 )
 def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_result,
+    )
     from kafka_flink_processing_spark.streaming.stateful import (
         streaming_sma_forecast,
     )
 
     _, prices = derive_market(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="kfps_stream_")
-    src = f"{work}/src"
-    prices.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(prices.schema).parquet(src)
-    fc = streaming_sma_forecast(stream)
-    name = f"sma_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(fc, name, f"{work}/ckpt")
-    return spark.table(name).select("ts", "hub", "price_mwh",
-                                    "sma5", "sma20", "forecast_next")
+    return drain_streaming_result(prices, streaming_sma_forecast, "sma") \
+        .select("ts", "hub", "price_mwh", "sma5", "sma20", "forecast_next")
 
 
 # --- winsorized statistics: rank-based exact percentile bounds + clipping
@@ -506,10 +498,9 @@ def winsorized_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "oracle (unified-semantics evidence, like streaming_forecast_sma).",
 )
 def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_result,
+    )
 
     _, prices = derive_market(spark, sf_dir)
     dim = (load_table(spark, "nation", sf_dir)
@@ -517,15 +508,11 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
            .select(F.concat(F.lit("HUB"),
                             F.col("n_nationkey").cast("string")).alias("hub"),
                    F.col("n_name").alias("region")))
-    work = tempfile.mkdtemp(prefix="kfps_stream_")
-    src = f"{work}/src"
-    prices.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(prices.schema).parquet(src)
-    enriched = stream.join(F.broadcast(dim), "hub") \
-        .select("ts", "hub", "price_mwh", "region")
-    name = f"enrich_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(enriched, name, f"{work}/ckpt")
-    return spark.table(name)
+    return drain_streaming_result(
+        prices,
+        lambda s: s.join(F.broadcast(dim), "hub")
+                   .select("ts", "hub", "price_mwh", "region"),
+        "enrich")
 
 
 # --- streaming SESSION windows (complete-mode drain): F.session_window's
@@ -569,24 +556,22 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sessions in production append mode.",
 )
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_result,
+    )
 
     _, prices = derive_market(spark, sf_dir)
-    work = tempfile.mkdtemp(prefix="kfps_sess_")
-    src = f"{work}/src"
-    prices.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(prices.schema).parquet(src)
-    agg = (stream.groupBy(F.session_window("ts", "30 minutes").alias("w"),
-                          "hub")
-           .agg(F.count("*").alias("n_ticks"),
-                dsum("price_mwh").alias("sum_price"))
-           .select("hub",
-                   F.col("w.start").alias("session_start"),
-                   F.col("w.end").alias("session_end"),
-                   "n_ticks", "sum_price"))
-    name = f"sess_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
-    return spark.table(name)
+
+    def build(stream: DataFrame) -> DataFrame:
+        return (stream
+                .groupBy(F.session_window("ts", "30 minutes").alias("w"),
+                         "hub")
+                .agg(F.count("*").alias("n_ticks"),
+                     dsum("price_mwh").alias("sum_price"))
+                .select("hub",
+                        F.col("w.start").alias("session_start"),
+                        F.col("w.end").alias("session_end"),
+                        "n_ticks", "sum_price"))
+
+    return drain_streaming_result(prices, build, "sess",
+                                  output_mode="complete")

@@ -91,10 +91,9 @@ def tumbling_window_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         "tests/test_streaming_windows.py.",
 )
 def streaming_tumbling_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-    import uuid
-
-    from kafka_flink_processing_spark.streaming.sinks import run_available_now
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_result,
+    )
     from kafka_flink_processing_spark.streaming.windows import (
         streaming_tumbling_stats,
     )
@@ -104,14 +103,9 @@ def streaming_tumbling_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     prices = (ev.filter(F.col("event_type").isin("view", "click"))
                 .select("ts", hub.alias("hub"),
                         F.col("value").alias("price_mwh")))
-    work = tempfile.mkdtemp(prefix="kfps_twin_")
-    src = f"{work}/src"
-    prices.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(prices.schema).parquet(src)
-    agg = streaming_tumbling_stats(stream, "1 hour")
-    name = f"twin_stream_{uuid.uuid4().hex[:8]}"
-    run_available_now(agg, name, f"{work}/ckpt", output_mode="complete")
-    return spark.table(name)
+    return drain_streaming_result(
+        prices, lambda s: streaming_tumbling_stats(s, "1 hour"), "twin",
+        output_mode="complete")
 
 
 # --------------------------------------------------------------------------

@@ -482,3 +482,86 @@ def sql_q22_dormant_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("c_mktsegment")
             .agg(F.count("*").alias("numcust"),
                  dsum(F.col("c_acctbal"), 2).alias("totacctbal")))
+
+
+@register(
+    "sql_q5_local_supplier",
+    oracle=f"""
+    SELECT n_name, {dsum_sql(_REV_SQL, 4)} AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n_name
+    """,
+    doc="TPC-H Q5 shape (local supplier volume): revenue from orders where "
+        "the customer and the lineitem's supplier share a nation, one order "
+        "year, one region, grouped by nation. Six-way join: region filters "
+        "nation (both broadcast — the region predicate prunes the "
+        "dimension BEFORE it reaches any fact row), the customer-supplier "
+        "same-nation equi-conjunct rides the supplier join, and the date "
+        "filter pushes into the orders scan. The 5-row aggregate is "
+        "map-side-combined; revenue is the exact scaled-int sum.",
+    bench=True,
+)
+def sql_q5_local_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, "customer", sf_dir) \
+        .select("c_custkey", "c_nationkey")
+    orders = load_table(spark, "orders", sf_dir).filter(
+        (F.col("o_orderdate") >= "1996-01-01")
+        & (F.col("o_orderdate") < "1997-01-01")) \
+        .select("o_orderkey", "o_custkey")
+    li = load_table(spark, "lineitem", sf_dir) \
+        .select("l_orderkey", "l_suppkey", "l_extendedprice", "l_discount")
+    sup = load_table(spark, "supplier", sf_dir) \
+        .select("s_suppkey", "s_nationkey")
+    nat = load_table(spark, "nation", sf_dir)
+    reg = load_table(spark, "region", sf_dir).filter(F.col("r_name") == "ASIA")
+    # region prunes nation driver-free: broadcast both dimension legs
+    local_nat = F.broadcast(
+        nat.join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+           .select("n_nationkey", "n_name"))
+    return (cust.join(orders, cust.c_custkey == orders.o_custkey)
+            .join(li, F.col("o_orderkey") == F.col("l_orderkey"))
+            .join(sup, (F.col("l_suppkey") == F.col("s_suppkey"))
+                  & (F.col("c_nationkey") == F.col("s_nationkey")))
+            .join(local_nat, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("n_name")
+            .agg(dsum(_rev(), 4).alias("revenue")))
+
+
+@register(
+    "sql_q6_forecast_revenue",
+    oracle=f"""
+    SELECT {dsum_sql("l_extendedprice * l_discount", 4)} AS revenue,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount >= 0.05 AND l_discount <= 0.07
+      AND l_quantity < 24.0
+    """,
+    doc="TPC-H Q6 shape (forecasting revenue change): the pure "
+        "scan-filter-aggregate — revenue delta if mid-range discounts on "
+        "small orders were eliminated. The whole point at 100 TB is that "
+        "EVERY predicate (ship year, discount band, quantity cap) reaches "
+        "the parquet scan as PushedFilters over row-group min/max stats "
+        "and only two columns are read; no join, no shuffle beyond the "
+        "single-row final combine, fully inside whole-stage codegen.",
+    bench=True,
+)
+def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).filter(
+        (F.col("l_shipdate") >= "1996-01-01")
+        & (F.col("l_shipdate") < "1997-01-01")
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24.0))
+    return li.agg(
+        dsum(F.col("l_extendedprice") * F.col("l_discount"), 4)
+        .alias("revenue"),
+        F.count("*").alias("n_lineitems"))

@@ -19,8 +19,28 @@ queries (read-back content hash == parquet content hash).
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
+
+
+def roundtrip_scratch_dir(tag: str) -> str:
+    """Fixed per-tag scratch dir for the registered roundtrip queries.
+
+    A roundtrip query's RESULT reads lazily from its staged files, so the
+    staging cannot be deleted before the caller consumes the DataFrame.
+    Fixing the path (instead of mkdtemp per call) means every writer here
+    — all mode("overwrite") — replaces the previous invocation's staging,
+    capping scratch usage at one copy per tag for the session instead of
+    leaking a new dir per driver/bench run (r4 advice). Not safe for
+    concurrent invocations of the SAME tag; the round harnesses run
+    queries sequentially.
+    """
+    d = os.path.join(tempfile.gettempdir(), "kfps_scratch", tag)
+    os.makedirs(d, exist_ok=True)
+    return d
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:

@@ -177,11 +177,13 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
     batch-keyed exchange is the per-gram/per-doc hit count over
     bloom-POSITIVE rows only.
 
-    The cached bitmap is handed back as `query.bloom` — long-lived
-    sessions that run many jobs should `query.bloom.unpersist()` after
-    `query.awaitTermination()`, or the (small) cache entry stays pinned in
-    executor storage for the session (the sibling incremental_dedup_job
-    unpersists its per-epoch state the same way).
+    Returns `(query, bloom)` — the StreamingQuery plus the cached bitmap
+    DataFrame. Long-lived sessions that run many jobs should
+    `bloom.unpersist()` after `query.awaitTermination()`, or the (small)
+    cache entry stays pinned in executor storage for the session. (An
+    explicit tuple, not an attribute grafted onto the query proxy: the
+    artifact is part of the job's contract and must survive PySpark
+    changing its StreamingQuery wrapper.)
     """
     import os as _os
 
@@ -219,6 +221,4 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
                  _os.path.join(checkpoint_root, "decontamination")))
     if available_now:
         w = w.trigger(availableNow=True)
-    q = w.start()
-    q.bloom = bloom  # see docstring: unpersist after awaitTermination()
-    return q
+    return w.start(), bloom

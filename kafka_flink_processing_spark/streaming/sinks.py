@@ -53,6 +53,45 @@ def parquet_sink(df: DataFrame, out_dir: str, checkpoint_dir: str):
               .start())
 
 
+def drain_streaming_result(batch_df: DataFrame, build_stream, tag: str,
+                           output_mode: str = "append") -> DataFrame:
+    """TEST-HARNESS-ONLY batch->stream->drain: stage `batch_df` as a
+    single-file parquet dir, apply `build_stream(stream_df)` and drain it
+    availableNow into a memory sink; return the drained table.
+
+    The registered streaming queries (streaming_ohlc_bars,
+    streaming_forecast_sma, ...) use this to hash-match their streaming
+    operators against batch oracles; a production job reads the Kafka
+    sources (sources/kafka.py) instead — never lift the coalesce(1)
+    staging write into a job shape, it funnels the whole table through one
+    writer task (it exists here so the drain sees one deterministic
+    micro-batch).
+
+    Leak discipline (r4 advice): the scratch dir (full staging copy +
+    checkpoint) is deleted before returning — the memory sink owns the
+    drained rows, independent of the staging files — and the sink table
+    name is FIXED per tag, so re-invoking a query replaces its previous
+    view (and frees those rows) instead of pinning one uuid-named result
+    table per invocation for the session's lifetime. Consequence: the
+    returned DataFrame is only valid until the same tag is drained again —
+    consume it before re-invoking, as every harness does.
+    """
+    import shutil
+    import tempfile
+
+    spark = batch_df.sparkSession
+    work = tempfile.mkdtemp(prefix=f"kfps_{tag}_")
+    src = f"{work}/src"
+    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    name = f"{tag}_stream_result"
+    spark.catalog.dropTempView(name)  # no-op when absent
+    run_available_now(build_stream(stream), name, f"{work}/ckpt",
+                      output_mode=output_mode)
+    shutil.rmtree(work, ignore_errors=True)
+    return spark.table(name)
+
+
 def run_available_now(df: DataFrame, query_name: str, checkpoint_dir: str,
                       output_mode: str = "append"):
     """Drain everything currently available into an in-memory table and stop

@@ -249,3 +249,58 @@ def test_retention_cohort_fixture(spark):
         out = retention_cohorts_q(spark, td).collect()
     got = {(r.cohort_day.day, r.day_offset): r.n_users for r in out}
     assert got == {(1, 0): 2, (1, 2): 1, (2, 0): 1}
+
+
+# --- round-5 additions ---
+
+def test_event_transition_matrix_fixture(spark):
+    # user 1: view -> click -> purchase; user 2: view -> view
+    ev = _events(spark, [
+        (1, 1, 0 * SEC, "view"), (2, 1, 5 * SEC, "click"),
+        (3, 1, 9 * SEC, "purchase"),
+        (4, 2, 0 * SEC, "view"), (5, 2, 3 * SEC, "view"),
+    ])
+    from kafka_flink_processing_spark.plans.analytics import (
+        event_transition_matrix_q,
+    )
+    import unittest.mock as mock
+    with mock.patch(
+            "kafka_flink_processing_spark.plans.analytics.load_table",
+            return_value=ev):
+        out = {(r.from_type, r.to_type): (r.n, r.p)
+               for r in event_transition_matrix_q(spark, SF).collect()}
+    assert out == {("view", "click"): (1, 0.5),
+                   ("view", "view"): (1, 0.5),
+                   ("click", "purchase"): (1, 1.0)}
+
+
+def test_event_transition_rows_are_conditional_distributions(spark):
+    out = run(spark, "event_transition_matrix")
+    sums = (out.groupBy("from_type").agg(F.sum("p").alias("s")).collect())
+    for r in sums:
+        assert r.s == pytest.approx(1.0, abs=1e-9)
+
+
+def test_vocab_zipf_slope_invariants(spark):
+    r = run(spark, "vocab_zipf_slope").collect()[0]
+    assert 0 < r.n_tokens <= 1000
+    # natural-ish corpus: frequency decays with rank, and the fitted line
+    # at rank 1 predicts a positive log-frequency
+    assert r.zipf_slope < 0
+    assert r.zipf_intercept > 0
+
+
+def test_ivf_probe_sweep_matches_recall_eval_at_default_nprobe(spark):
+    # The sweep's cell-rank identity must agree with the actually-executed
+    # retrieval: at nprobe=IVF_NPROBE the swept hit count equals the sum
+    # of ivf_recall_eval's per-query hits (which runs ivf_cosine_topk for
+    # real). Also recall must be monotone non-decreasing in nprobe.
+    from kafka_flink_processing_spark.operators.similarity import IVF_NPROBE
+    sweep = {r.nprobe: r for r in run(spark, "ivf_probe_sweep").collect()}
+    assert sorted(sweep) == [1, 2, 4, 8]
+    assert all(r.n_true == 50 for r in sweep.values())
+    hits = [sweep[p].n_hit for p in (1, 2, 4, 8)]
+    assert hits == sorted(hits)
+    eval_hits = sum(r.n_hit
+                    for r in run(spark, "ivf_recall_eval").collect())
+    assert sweep[IVF_NPROBE].n_hit == eval_hits

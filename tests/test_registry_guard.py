@@ -11,6 +11,7 @@ make that failure mode a test failure instead.
 from __future__ import annotations
 
 import json
+import subprocess
 from pathlib import Path
 
 from kafka_flink_processing_spark.plans import registry
@@ -18,11 +19,31 @@ from kafka_flink_processing_spark.plans import registry
 REPO = Path(__file__).resolve().parent.parent
 
 
+def _correctness_files() -> list[Path]:
+    """COMMITTED CORRECTNESS_r*.json files, in round order.
+
+    git-pinned rather than globbed (r4 advice): mid-round the driver may
+    drop a partial, untracked CORRECTNESS file into the working tree, and a
+    glob would silently promote that half-written file to the asserted
+    source of truth. Falls back to the glob only when git itself is
+    unavailable (e.g. an exported tree).
+    """
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"], cwd=REPO,
+            capture_output=True, text=True, check=True).stdout.split()
+        if out:
+            return [REPO / f for f in sorted(out)]
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return sorted(REPO.glob("CORRECTNESS_r*.json"))
+
+
 def _committed_rows() -> set[str]:
     """Query names with ANY driver row (green or rows-only) in a committed
     CORRECTNESS_r*.json."""
     names: set[str] = set()
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for p in _correctness_files():
         names |= set(json.loads(p.read_text()))
     return names
 
@@ -57,7 +78,7 @@ def test_window_prefers_unproven_queries():
     # Queries that have never had a GREEN (hash or rows-only) driver row
     # must sit inside the window — they are the ones needing proof.
     green: set[str] = set()
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for p in _correctness_files():
         for name, row in json.loads(p.read_text()).items():
             if row.get("hash_match") is True or row.get("err") == "no_oracle":
                 green.add(name)
@@ -77,7 +98,7 @@ def test_driver_window_size_matches_newest_correctness():
     # ordering — the file reflects LAST round's registration order — so we
     # assert the size invariant, which is what the priority list depends
     # on, not name-for-name prefix equality).
-    files = sorted(REPO.glob("CORRECTNESS_r*.json"))
+    files = _correctness_files()
     assert files, "no committed CORRECTNESS files to probe"
     newest = json.loads(files[-1].read_text())
     assert len(newest) == registry.DRIVER_WINDOW, (
@@ -96,3 +117,42 @@ def test_deferrals_are_current():
         assert name in registry.QUERIES, f"deferred unknown query {name}"
         assert name not in window, f"deferred query {name} is IN the window"
         assert len(reason) > 40, f"deferral for {name} needs a real reason"
+
+
+def test_staleness_bound():
+    # The r5 freshness contract: no oracle-backed query's newest committed
+    # driver signal may be more than STALE_BOUND rounds old unless it sits
+    # in the CURRENT window (it refreshes this round) or is explicitly
+    # deferred. `rotation_report.py --emit-priority` generates a window
+    # satisfying this; the test makes hand-editing _PRIORITY below the
+    # bound impossible.
+    registry._ensure_loaded()
+    newest_round: dict[str, int] = {}
+    for p in _correctness_files():
+        rnd = int(p.stem.split("_r")[-1])
+        for name in json.loads(p.read_text()):
+            newest_round[name] = max(newest_round.get(name, 0), rnd)
+    assert newest_round, "no committed driver rounds"
+    max_round = max(newest_round.values())
+    ordered = list(registry.queries())
+    window = set(ordered[:registry.DRIVER_WINDOW])
+    too_stale = []
+    for name in ordered:
+        if registry.QUERIES[name].oracle is None:
+            continue  # rows-only: rotated on the same cadence, not bound
+        if name in window or name in registry.DEFERRED_VERIFICATION:
+            continue
+        age = max_round - newest_round.get(name, -10**6)
+        if age >= registry.STALE_BOUND:
+            too_stale.append((name, newest_round.get(name)))
+    assert not too_stale, (
+        f"oracle-backed queries whose newest driver signal is >= "
+        f"{registry.STALE_BOUND} rounds old and that are NOT in this "
+        f"round's window: {too_stale} — regenerate _PRIORITY with "
+        f"`python tools/rotation_report.py --emit-priority`")
+
+
+def test_sentinels_are_registered():
+    registry._ensure_loaded()
+    unknown = [n for n in registry.SENTINELS if n not in registry.QUERIES]
+    assert not unknown, f"SENTINELS naming unregistered queries: {unknown}"

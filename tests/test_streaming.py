@@ -222,10 +222,10 @@ def test_decontamination_job_matches_batch_operator(spark):
     with tempfile.TemporaryDirectory(prefix="kfps_decon_") as td:
         stream = _stream_from(spark, increment, td, n_files=2,
                               order_col="doc_id")
-        q = decontamination_job(stream, eval_docs, f"{td}/out", f"{td}/ckpt",
-                                n=4, available_now=True)
+        q, bloom = decontamination_job(stream, eval_docs, f"{td}/out",
+                                       f"{td}/ckpt", n=4, available_now=True)
         q.awaitTermination()
-        q.bloom.unpersist()  # the documented caller contract
+        bloom.unpersist()  # the documented caller contract
         hits = spark.read.option("basePath", f"{td}/out/contaminated") \
             .parquet(f"{td}/out/contaminated/epoch=*")
         accepted = spark.read.option("basePath", f"{td}/out/accepted") \

@@ -118,3 +118,26 @@ def test_source_overlap_join_keys_on_gram(spark):
     # the self-join must be an equi-join on the gram (hash-partitioned or
     # broadcast at this SF) — never a nested loop over pairs
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_q5_region_pruned_broadcast_and_date_pushdown(spark):
+    plan = plan_of(spark, "sql_q5_local_supplier")
+    # nation⋈region pre-joined and broadcast; no cartesian anywhere
+    assert plan.count("BroadcastHashJoin") >= 1
+    assert "CartesianProduct" not in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan   # date filter at scan
+    assert "EqualTo(r_name,ASIA)" in plan             # region filter at scan
+
+
+def test_q6_is_pure_scan_aggregate(spark):
+    plan = plan_of(spark, "sql_q6_forecast_revenue")
+    assert "Join" not in plan                         # no join of any kind
+    # pushdown reaches the scan (the PushedFilters list is TRUNCATED in
+    # toString, so pin its head + the full predicates on the Filter node)
+    assert "PushedFilters: [IsNotNull(l_shipdate)" in plan
+    for frag in (">= 0.05)", "<= 0.07)", "< 24.0)"):
+        assert frag in plan, frag
+    # column pruning: only the two measures + three filter columns are read
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>") in plan
+    assert "l_tax" not in plan

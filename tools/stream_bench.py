@@ -1,12 +1,20 @@
-"""Streaming-job throughput micro-bench (r4 verdict task 5).
+"""Streaming-job throughput micro-bench (r4 verdict task 5; stateful
+operators added r5 task 6).
 
-Measures per-epoch wall time and rows/s for the two foreachBatch pipeline
-jobs (incremental_dedup_job, decontamination_job) at TWO standing-corpus
-sizes with the SAME increment, using StreamingQueryProgress as the timing
-source. The claim under test: per-epoch cost scales with the increment,
-not the corpus — the corpus artifact (LSH index / Bloom bitmap) is built
-once and probed per batch, so a ~10x corpus should shift only the one-off
-build, not the per-epoch slope.
+Part 1 — foreachBatch pipeline jobs (incremental_dedup_job,
+decontamination_job) at TWO standing-corpus sizes with the SAME increment,
+using StreamingQueryProgress as the timing source. The claim under test:
+per-epoch cost scales with the increment, not the corpus — the corpus
+artifact (LSH index / Bloom bitmap) is built once and probed per batch, so
+a ~10x corpus should shift only the one-off build, not the per-epoch slope.
+
+Part 2 — the applyInPandasWithState operators behind the reference's
+actual jobs (streaming_sma_forecast <- ForecastsJob, streaming_pnl <-
+PnlAndExposureJob), driven over time-ordered file epochs at TWO input
+scales. The claim under test: per-epoch cost tracks the epoch's row count,
+flat across epochs — keyed state is a constant-size ring buffer / position
+struct per hub(+account), so accumulating history must not grow the
+per-row cost.
 
 Usage: python tools/stream_bench.py   (prints one JSON line per run)
 Numbers land in SCALE.md with the shared-box caveat.
@@ -35,12 +43,15 @@ from kafka_flink_processing_spark.streaming.jobs import (  # noqa: E402
 N_EPOCHS = 4
 
 
-def stream_epochs(spark, df, tmpdir, n_files):
+def stream_epochs(spark, df, tmpdir, n_files, ord_col="doc_id",
+                  subdir="src"):
     """Split df into n ordered parquet files and open a 1-file-per-trigger
-    stream (same construction as tests/test_streaming.py::_stream_from)."""
-    src = f"{tmpdir}/src"
+    stream (same construction as tests/test_streaming.py::_stream_from).
+    ord_col orders the split: doc_id for the corpus jobs, a ts-derived
+    ordinal for the stateful operators (state folds need time order)."""
+    src = f"{tmpdir}/{subdir}"
     os.makedirs(src, exist_ok=True)
-    df = df.withColumn("__ord", F.col("doc_id").cast("double"))
+    df = df.withColumn("__ord", F.col(ord_col).cast("double"))
     cuts = df.approxQuantile("__ord",
                              [i / n_files for i in range(1, n_files)], 0.0)
     lo = None
@@ -57,18 +68,63 @@ def stream_epochs(spark, df, tmpdir, n_files):
         "maxFilesPerTrigger", 1).parquet(f"{src}/f*")
 
 
+def run_stateful(spark, label, build, sources):
+    """Drive an applyInPandasWithState operator over N_EPOCHS time-ordered
+    file epochs and report per-epoch cost. `sources` maps subdir -> batch
+    DataFrame (split by ts so the keyed folds see arrival order);
+    `build(streams)` returns the output stream. The sink is a foreachBatch
+    count — one action per batch, so numInputRows here IS the true row
+    count (unlike the multi-action corpus jobs below)."""
+    per_epoch_out = []
+
+    def drain(batch, epoch):
+        per_epoch_out.append(batch.count())  # forces the fold end-to-end
+
+    with tempfile.TemporaryDirectory(prefix=f"kfps_sbench_{label}_") as td:
+        streams = {k: stream_epochs(spark, df, td, N_EPOCHS, ord_col="ts",
+                                    subdir=k)
+                   for k, df in sources.items()}
+        out = build(streams)
+        t0 = time.time()
+        q = (out.writeStream.foreachBatch(drain)
+             .option("checkpointLocation", f"{td}/ckpt")
+             .trigger(availableNow=True).start())
+        q.awaitTermination()
+        wall = time.time() - t0
+        prog = [json.loads(p.json) for p in q.recentProgress]
+    epochs = [{"rows": p["numInputRows"],
+               "sec": round(p["durationMs"]["triggerExecution"] / 1e3, 3)}
+              for p in prog if p["numInputRows"] > 0]
+    # epoch 1 carries python-worker spin-up + state-store init
+    steady = epochs[1:] if len(epochs) > 1 else epochs
+    steady_sec = sum(e["sec"] for e in steady)
+    steady_rows = sum(e["rows"] for e in steady)
+    print(json.dumps({
+        "job": label,
+        "input_rows": sum(e["rows"] for e in epochs),
+        "output_rows": sum(per_epoch_out),
+        "epochs": epochs,
+        "wall_sec": round(wall, 3),
+        "steady_rows_per_sec": round(steady_rows / steady_sec, 1)
+        if steady_sec else None,
+    }))
+
+
 def run_job(spark, job, corpus, increment, label):
     n_increment = increment.count()
     with tempfile.TemporaryDirectory(prefix=f"kfps_sbench_{label}_") as td:
         stream = stream_epochs(spark, increment, td, N_EPOCHS)
         t0 = time.time()
-        q = job(stream, corpus, f"{td}/out", f"{td}/ckpt",
-                available_now=True)
+        res = job(stream, corpus, f"{td}/out", f"{td}/ckpt",
+                  available_now=True)
+        # decontamination_job returns (query, cached-artifact); the other
+        # jobs return the bare query
+        q, artifact = res if isinstance(res, tuple) else (res, None)
         q.awaitTermination()
         wall = time.time() - t0
         prog = [json.loads(p.json) for p in q.recentProgress]
-        if getattr(q, "bloom", None) is not None:
-            q.bloom.unpersist()
+        if artifact is not None:
+            artifact.unpersist()
         # numInputRows per trigger counts SOURCE SCANS, not distinct docs:
         # the foreachBatch bodies run several actions over the batch (dup
         # write + accepted anti-join), each re-scanning the file source, so
@@ -122,6 +178,21 @@ def main():
                 lambda s, c, o, k, available_now: decontamination_job(
                     s, c, o, k, n=4, available_now=available_now),
                 eval_docs, increment, f"decontamination_{tag}")
+
+    # Part 2: the reference jobs' stateful operators at two input scales
+    from kafka_flink_processing_spark.plans.stateful import derive_market
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl,
+        streaming_sma_forecast,
+    )
+    for sf, tag in ((sf001, "sf0.01"), (sf01, "sf0.1")):
+        trades, prices = derive_market(spark, sf)
+        run_stateful(spark, f"forecast_sma_{tag}",
+                     lambda s: streaming_sma_forecast(s["prices"]),
+                     {"prices": prices})
+        run_stateful(spark, f"pnl_{tag}",
+                     lambda s: streaming_pnl(s["trades"], s["prices"]),
+                     {"trades": trades, "prices": prices})
 
 
 if __name__ == "__main__":
