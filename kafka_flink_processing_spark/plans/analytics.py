@@ -38,6 +38,7 @@ from kafka_flink_processing_spark.plans.extensions import (
     _codebook_values_sql,
     _COSINE_BASE_SQL,
     _DOT,
+    _H60,
     _minhash_bands_sql,
     _minhash_sig_sql,
     _QUALITY_SQL,
@@ -1002,3 +1003,142 @@ def ivf_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).cast("long").alias("n_hit"))
             .withColumn("recall_at_10",
                         F.col("n_hit").cast("double") / F.col("n_true")))
+
+
+@register(
+    "heavy_hitters_mg",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+          FROM t, unnest(range(1, len(words) - 1)) AS u(i)
+          WHERE len(words) >= 3)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM g GROUP BY g ORDER BY freq DESC, g LIMIT 100
+    """,
+    doc="exact top-100 word trigrams via the two-pass Misra-Gries heavy "
+        "hitter (operators/sketch.py): per-partition bounded-memory "
+        "sketch -> broadcast candidate filter -> exact recount. The "
+        "oracle is the plain full-universe top-100, which the sketch "
+        "path must reproduce EXACTLY (candidate superset guaranteed "
+        "while freq_100 > N/(C+1); C=16384 covers every driver SF with "
+        "headroom, see sketch.py sizing rule). This is the operator "
+        "that replaces the universe-sized shuffle of vocab_top_tokens "
+        "when the gram universe stops fitting — the exchange carries "
+        "only candidates x partitions partial counts.",
+)
+def heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_topk,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    # trigram ROWS (with duplicates — this is a counting stream, unlike
+    # the dedup shingle SETS), same raw-split word convention as _WORDS
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(words, i), F.element_at(words, i + 1),
+        F.element_at(words, i + 2)))
+    grams = docs.select(
+        F.explode(F.when(F.size(words) < 3,
+                         F.array().cast("array<string>"))
+                  .otherwise(gram)).alias("g"))
+    return heavy_hitters_topk(grams, k=100)
+
+
+_ES_SALT = "samp:"
+_ES_DENOM = float(1 << 60)
+_SAMPLE_PER_LANG = 32
+
+
+@register(
+    "weighted_sample_wor",
+    oracle=f"""
+    WITH k AS (
+      SELECT doc_id, lang,
+             ROUND(ln(({_H60.format(x="'samp:' || CAST(doc_id AS VARCHAR)")}
+                        + 1) / {_ES_DENOM})
+                   / (({_QUALITY_SQL}) + 0.01), 6) AS skey
+      FROM documents),
+    r AS (SELECT doc_id, lang, skey,
+                 ROW_NUMBER() OVER (PARTITION BY lang
+                                    ORDER BY skey DESC, doc_id) AS smp_rank
+          FROM k)
+    SELECT doc_id, lang, skey, CAST(smp_rank AS BIGINT) AS smp_rank
+    FROM r WHERE smp_rank <= {_SAMPLE_PER_LANG}
+    """,
+    doc="quality-weighted sampling WITHOUT replacement, 32 docs per "
+        "language: Efraimidis-Spirakis exponential-clock keys "
+        "ln(u)/w with u from the salted doc_id hash (the train_test_split "
+        "/ mix_temperature_sample determinism idiom — reproducible on any "
+        "cluster size, partition count, or retry; no rand()) and "
+        "w = quality + 0.01. Top-k by key IS a weighted WOR draw "
+        "(Efraimidis & Spirakis 2006), so high-quality docs are "
+        "proportionally likelier but every doc has positive probability — "
+        "the standard quality-weighted subsample for curation/eval-set "
+        "construction. Keys are rounded to 6dp with a doc_id tie-break so "
+        "the per-lang rank is cross-engine stable; per-group top-k plans "
+        "as WindowGroupLimit (partial top-N before the one exchange on "
+        "lang). Scale: O(1) state per group in the window operator, no "
+        "global sort.",
+)
+def weighted_sample_wor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    u = (md5_hash60(F.concat(F.lit(_ES_SALT),
+                             F.col("doc_id").cast("string"))) + 1) \
+        / F.lit(_ES_DENOM)
+    w = quality_score(F.col("text")) + 0.01
+    k = docs.select("doc_id", "lang",
+                    F.round(F.log(u) / w, 6).alias("skey"))
+    wr = Window.partitionBy("lang").orderBy(F.col("skey").desc(), "doc_id")
+    return (k.withColumn("smp_rank", F.row_number().over(wr).cast("long"))
+            .filter(F.col("smp_rank") <= _SAMPLE_PER_LANG))
+
+
+@register(
+    "corpus_entropy_by_source",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source, unnest(regexp_extract_all(lower(text), '{TOKEN_REGEX}'))
+               AS token
+      FROM documents),
+    c AS (SELECT source, token, COUNT(*) AS f FROM tok GROUP BY 1, 2),
+    a AS (SELECT source, CAST(SUM(f) AS BIGINT) AS n_tokens,
+                 CAST(COUNT(*) AS BIGINT) AS vocab_size,
+                 {dsum_sql('f * ln(f)', 6)} AS s
+          FROM c GROUP BY source)
+    SELECT source, n_tokens, vocab_size,
+           ln(n_tokens) - s / n_tokens AS entropy_nats,
+           (ln(n_tokens) - s / n_tokens) / ln(vocab_size) AS entropy_norm
+    FROM a
+    """,
+    doc="unigram Shannon entropy per source, H = ln N - (1/N)*sum(c*ln c) "
+        "— the lexical-diversity health metric (template spam and "
+        "boilerplate-heavy providers show depressed normalized entropy; "
+        "companion to vocab_zipf_slope's rank-frequency view). The "
+        "identity form needs only the per-(source, token) counts — one "
+        "map-side-combined aggregate, then a #sources-row reduction — "
+        "never a probability materialization. Cross-engine exactness: "
+        "the only transcendental sum (c*ln c) is 6dp-rounded into scaled "
+        "int64 (functions/exact.py); the outer ln/divisions are single "
+        "IEEE ops on identical inputs. entropy_norm = H/ln(vocab) in "
+        "[0,1] (every driver source has vocab_size > 1; a single-token "
+        "source would need a guard).",
+)
+def corpus_entropy_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "source",
+        F.explode(F.regexp_extract_all(F.lower("text"),
+                                       F.lit(TOKEN_REGEX), F.lit(0)))
+         .alias("token"))
+    c = tok.groupBy("source", "token").agg(F.count("*").alias("f"))
+    a = c.groupBy("source").agg(
+        F.sum("f").alias("n_tokens"),
+        F.count("*").alias("vocab_size"),
+        dsum(F.col("f") * F.log(F.col("f").cast("double")), 6).alias("s"))
+    h = F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens")
+    return a.select(
+        "source", "n_tokens", "vocab_size", h.alias("entropy_nats"),
+        (h / F.log(F.col("vocab_size").cast("double")))
+        .alias("entropy_norm"))

@@ -435,3 +435,70 @@ def time_range_moving_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
                 .alias("avg_5min"))
              .filter(~F.col("is_carry"))
              .drop("is_carry"))
+
+
+_ASOF_TOL_US = 2 * 3600 * 1_000_000  # 2-hour max quote staleness
+
+
+@register(
+    "da_rt_asof_tolerance",
+    oracle=f"""
+    WITH tagged AS (
+      SELECT event_id AS rt_id, {_HUB_SQL} AS hub, ts,
+             value AS lmp_rt, 1 AS is_left,
+             CAST(NULL AS DOUBLE) AS lmp_da,
+             CAST(NULL AS TIMESTAMP) AS da_ts, 0 AS tb
+      FROM events WHERE event_type = 'view'
+      UNION ALL
+      SELECT NULL, {_HUB_SQL}, ts, NULL, 0, value, ts, event_id
+      FROM events WHERE event_type = 'signup'
+    ), filled AS (
+      SELECT rt_id, hub, ts, lmp_rt, is_left,
+             LAST_VALUE(lmp_da IGNORE NULLS) OVER sw AS lmp_da,
+             LAST_VALUE(da_ts IGNORE NULLS) OVER sw AS da_ts
+      FROM tagged
+      WINDOW sw AS (PARTITION BY hub ORDER BY ts, is_left, tb
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT rt_id, hub, ts, lmp_rt,
+           epoch_us(ts) - epoch_us(da_ts) AS da_age_us,
+           CASE WHEN epoch_us(ts) - epoch_us(da_ts) <= {_ASOF_TOL_US}
+                THEN lmp_da END AS lmp_da_bounded,
+           CASE WHEN epoch_us(ts) - epoch_us(da_ts) <= {_ASOF_TOL_US}
+                THEN lmp_rt - lmp_da END AS basis
+    FROM filled WHERE is_left = 1
+    """,
+    doc="as-of join WITH a staleness tolerance: each RT tick takes the "
+        "latest DA price on its hub ONLY if that quote is at most 2 hours "
+        "old — the bounded-staleness form every market-data as-of API "
+        "exposes (pandas merge_asof's `tolerance`), and the honest one at "
+        "scale: an unbounded as-of happily carries a week-old quote "
+        "across a data gap and calls it a basis. Composed from the SAME "
+        "asof_join operator (operators/asof.py) by carrying the matched "
+        "row's timestamp as a second value column and null-gating on the "
+        "integer-microsecond age — no new shuffle, the one hub-keyed "
+        "window pass unchanged; the age test is exact int arithmetic.",
+)
+def da_rt_asof_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.asof import asof_join
+
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+    rt = (ev.filter(F.col("event_type") == "view")
+            .select(F.col("event_id").alias("rt_id"), hub.alias("hub"),
+                    "ts", F.col("value").alias("lmp_rt")))
+    da = (ev.filter(F.col("event_type") == "signup")
+            .select(hub.alias("hub"), "ts",
+                    F.col("value").alias("lmp_da"),
+                    F.col("ts").alias("da_ts"),
+                    F.col("event_id").alias("da_id")))
+    out = asof_join(rt, da, on=["hub"], order_col="ts",
+                    value_cols=["lmp_da", "da_ts"],
+                    right_order_tiebreak="da_id")
+    age = F.unix_micros(F.col("ts")) - F.unix_micros(F.col("da_ts"))
+    fresh = age <= _ASOF_TOL_US
+    return out.select(
+        "rt_id", "hub", "ts", "lmp_rt",
+        age.alias("da_age_us"),
+        F.when(fresh, F.col("lmp_da")).alias("lmp_da_bounded"),
+        F.when(fresh, F.col("lmp_rt") - F.col("lmp_da")).alias("basis"))

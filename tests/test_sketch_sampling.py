@@ -1,0 +1,198 @@
+"""Semantics tests for the r5 sketch/sampling/tolerance operators:
+Misra-Gries exactness + its guarantee boundary, Efraimidis-Spirakis key
+bit-parity with a Python recomputation, entropy identity, and the
+as-of-tolerance null gate — the fixture-level evidence the corpus-scale
+oracle can't isolate."""
+
+from __future__ import annotations
+
+import datetime as dt
+import hashlib
+import math
+
+import pandas as pd
+import pytest
+
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.operators.sketch import (
+    MG_CAPACITY,
+    _mg_fold,
+    heavy_hitters_topk,
+    mg_candidates,
+)
+
+SF = "/root/testdata/sf0.001"
+
+
+def _run(spark, name, sf=SF):
+    from kafka_flink_processing_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+    _ensure_loaded()
+    return QUERIES[name].spark(spark, sf)
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries
+# ---------------------------------------------------------------------------
+
+def test_mg_fold_keeps_heavy_items_at_tiny_capacity():
+    # 1000 'hot' + 1 each of 500 distinct cold items, capacity 8:
+    # freq(hot)=1000 > n/(C+1)=1500/9 -> hot MUST survive the fold.
+    stream = ["hot"] * 1000 + [f"cold{i}" for i in range(500)]
+    batches = [pd.DataFrame({"g": stream[i:i + 100]})
+               for i in range(0, len(stream), 100)]
+    counts = _mg_fold(iter(batches), "g", capacity=8)
+    assert "hot" in counts
+    assert len(counts) <= 8
+
+
+def test_mg_fold_exact_when_under_capacity():
+    stream = ["a"] * 5 + ["b"] * 3 + ["c"]
+    counts = _mg_fold(iter([pd.DataFrame({"g": stream})]), "g", capacity=10)
+    assert counts == {"a": 5, "b": 3, "c": 1}
+
+
+def test_heavy_hitters_topk_equals_exact_topk(spark):
+    # Adversarial: 2000 distinct singletons + 20 planted heavies, tiny
+    # per-partition capacity (64), 8 partitions. freq(heavy)=50 >
+    # N/(C+1) = 3000/65 ≈ 46 -> the two-pass result must be EXACTLY the
+    # full-universe top-20 despite the sketch dropping 97% of the universe.
+    rows = [(f"heavy{i:02d}",) for i in range(20) for _ in range(50)]
+    rows += [(f"single{i:04d}",) for i in range(2000)]
+    grams = spark.createDataFrame(rows, "g string").repartition(8)
+    got = heavy_hitters_topk(grams, k=20, capacity=64).collect()
+    assert [(r.g, r.freq) for r in got] == \
+        [(f"heavy{i:02d}", 50) for i in range(20)]
+
+
+def test_mg_candidates_bounded_per_partition(spark):
+    rows = [(f"t{i % 300}",) for i in range(3000)]
+    grams = spark.createDataFrame(rows, "g string").repartition(4)
+    per_part = (mg_candidates(grams, capacity=16)
+                .withColumn("p", F.spark_partition_id())
+                .groupBy("p").count().collect())
+    assert all(r["count"] <= 16 for r in per_part)
+
+
+def test_heavy_hitters_query_matches_plain_topk(spark):
+    # the registered query (C=16384) vs the unsketched full aggregation
+    got = [(r.g, r.freq) for r in _run(spark, "heavy_hitters_mg").collect()]
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    words = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(words) - 2)
+    gram = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(words, i), F.element_at(words, i + 1),
+        F.element_at(words, i + 2)))
+    exact = (docs.select(F.explode(F.when(F.size(words) < 3,
+                                          F.array().cast("array<string>"))
+                                   .otherwise(gram)).alias("g"))
+             .groupBy("g").agg(F.count("*").alias("freq"))
+             .orderBy(F.desc("freq"), "g").limit(100).collect())
+    assert got == [(r.g, r.freq) for r in exact]
+    assert MG_CAPACITY == 16384  # the documented sizing for the driver SFs
+
+
+# ---------------------------------------------------------------------------
+# Efraimidis-Spirakis weighted sampling
+# ---------------------------------------------------------------------------
+
+def _py_h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def test_weighted_sample_key_bit_parity(spark):
+    """Recompute the ES key for every sampled doc in Python from the md5
+    spec: u=(h60('samp:'+id)+1)/2^60, key=round(ln(u)/(quality+0.01), 6).
+    Bit-for-bit equality pins the whole determinism chain (hash, uniform,
+    log, rounding)."""
+    from kafka_flink_processing_spark.functions.text import quality_score
+
+    out = _run(spark, "weighted_sample_wor")
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    q = {r.doc_id: r.q for r in docs.select(
+        "doc_id", quality_score(F.col("text")).alias("q")).collect()}
+    for r in out.collect():
+        u = (_py_h60(f"samp:{r.doc_id}") + 1) / float(1 << 60)
+        want = round(math.log(u) / (q[r.doc_id] + 0.01), 6)
+        assert r.skey == want, r.doc_id
+
+
+def test_weighted_sample_counts_and_determinism(spark):
+    out1 = _run(spark, "weighted_sample_wor")
+    sizes = {r.lang: r.n for r in
+             spark.read.parquet(f"{SF}/documents.parquet")
+             .groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    per_lang = {r.lang: r.n for r in
+                out1.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert per_lang == {lg: min(32, n) for lg, n in sizes.items()}
+    # repeat run identical (no rand() anywhere)
+    out2 = _run(spark, "weighted_sample_wor")
+    assert sorted(map(tuple, out1.collect())) == \
+        sorted(map(tuple, out2.collect()))
+
+
+# ---------------------------------------------------------------------------
+# Entropy
+# ---------------------------------------------------------------------------
+
+def test_entropy_matches_python_identity(spark):
+    from collections import Counter
+
+    from kafka_flink_processing_spark.functions.text import TOKEN_REGEX
+    import re
+    tok_re = re.compile(TOKEN_REGEX)
+    docs = spark.read.parquet(f"{SF}/documents.parquet") \
+        .select("source", "text").collect()
+    by_src: dict[str, Counter] = {}
+    for r in docs:
+        by_src.setdefault(r.source, Counter()).update(
+            tok_re.findall(r.text.lower()))
+    for row in _run(spark, "corpus_entropy_by_source").collect():
+        c = by_src[row.source]
+        n = sum(c.values())
+        s = sum(int(round(f * math.log(f) * 10**6)) for f in c.values()) \
+            / 10.0**6
+        h = math.log(n) - s / n
+        assert row.n_tokens == n
+        assert row.vocab_size == len(c)
+        assert row.entropy_nats == h
+        assert row.entropy_norm == h / math.log(len(c))
+        assert 0.0 <= row.entropy_norm <= 1.0
+
+
+# ---------------------------------------------------------------------------
+# As-of tolerance
+# ---------------------------------------------------------------------------
+
+def test_asof_tolerance_null_gates_stale_quotes(spark):
+    import unittest.mock as mock
+
+    from kafka_flink_processing_spark.plans import temporal
+
+    T0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    H = dt.timedelta(hours=1)
+    # DA (signup) at t0 on user 0's hub; RT (view) at +1h (fresh),
+    # +2h (boundary: exactly the tolerance -> fresh), +2h1us (stale),
+    # and an RT with no prior DA at all (t0-1h).
+    rows = [
+        (1, T0, 0, "signup", 50.0),
+        (2, T0 + H, 0, "view", 55.0),
+        (3, T0 + 2 * H, 0, "view", 60.0),
+        (4, T0 + 2 * H + dt.timedelta(microseconds=1), 0, "view", 61.0),
+        (5, T0 - H, 0, "view", 40.0),
+    ]
+    ev = spark.createDataFrame(
+        [(eid, ts, uid, et, v, "{}") for eid, ts, uid, et, v in rows],
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string")
+    with mock.patch.object(temporal, "load_table", return_value=ev):
+        out = {r.rt_id: r for r in
+               temporal.da_rt_asof_tolerance(spark, "unused").collect()}
+    assert out[2].lmp_da_bounded == 50.0 and out[2].basis == 5.0
+    assert out[3].lmp_da_bounded == 50.0          # boundary inclusive
+    assert out[4].lmp_da_bounded is None and out[4].basis is None
+    assert out[4].da_age_us == 2 * 3600 * 1_000_000 + 1
+    assert out[5].lmp_da_bounded is None and out[5].da_age_us is None

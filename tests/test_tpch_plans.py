@@ -141,3 +141,28 @@ def test_q6_is_pure_scan_aggregate(spark):
     assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
             "l_discount:double,l_shipdate:timestamp_ntz>") in plan
     assert "l_tax" not in plan
+
+
+def test_heavy_hitters_sketch_then_broadcast_recount(spark):
+    plan = plan_of(spark, "heavy_hitters_mg")
+    # pass 1 is the Arrow-batched per-partition sketch; pass 2 filters the
+    # stream through the BROADCAST candidate set before any exchange, and
+    # the final top-k is a distributed partial top-k, not a global sort
+    assert "MapInPandas" in plan
+    assert "BroadcastHashJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_weighted_sample_plans_group_limit(spark):
+    plan = plan_of(spark, "weighted_sample_wor")
+    # per-lang top-32 must push the rank limit below the exchange
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_asof_tolerance_single_hub_exchange(spark):
+    plan = plan_of(spark, "da_rt_asof_tolerance")
+    # tagged union + ONE window pass: exactly one hash exchange on hub
+    assert plan.count("Exchange hashpartitioning(hub") == 1
+    assert "Join" not in plan  # the as-of is a union+window, never a join
