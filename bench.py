@@ -62,6 +62,17 @@ def main() -> None:
     spark = get_spark("bench")
     _ensure_loaded()
     headline = {name: spec for name, spec in QUERIES.items() if spec.bench}
+    # check the frozen comparison sets BEFORE spending bench passes, and
+    # with an explicit raise (a bare assert would vanish under python -O
+    # and let a subtotal silently shrink — the exact failure these sets
+    # exist to catch)
+    for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22)):
+        missing = frozen - set(headline)
+        if missing:
+            raise SystemExit(
+                f"{frozen_name} queries dropped from the bench headline "
+                f"(comparison subtotals would silently shrink): "
+                f"{sorted(missing)}")
 
     # warm the JVM + file listings once with the cheapest query, and spin up
     # the Python UDF workers (steady-state on a cluster; otherwise their
@@ -115,11 +126,6 @@ def main() -> None:
             times[name] = min(times.get(name, float("inf")), dt)
 
     rounded = {name: round(t, 3) for name, t in times.items()}
-    for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22)):
-        missing = frozen - set(times)
-        assert not missing, (
-            f"{frozen_name} queries dropped from the bench headline "
-            f"(comparison subtotals would silently shrink): {missing}")
     print(json.dumps({
         "metric": "headline_query_wall_time",
         "value": round(sum(times.values()), 3),

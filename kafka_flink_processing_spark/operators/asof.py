@@ -42,18 +42,26 @@ def asof_join(left: DataFrame,
         l_tag = l_tag.withColumn(v, F.lit(None).cast(right.schema[v].dataType))
     l_tag = l_tag.withColumn("__is_left", F.lit(1))
 
-    r_tag = right.select(
-        *[F.col(c) for c in on], F.col(order_col), *[F.col(v) for v in value_cols])
+    # carry the tiebreak column through the right-side projection (it is
+    # usually NOT a value column, and a select that drops it would silently
+    # degrade equal-(key, ts) right rows to partition-order tie-breaking —
+    # nondeterministic under repartitioning)
+    r_keep = list(on) + [order_col] + list(value_cols)
+    if right_order_tiebreak is not None and right_order_tiebreak not in r_keep:
+        r_keep.append(right_order_tiebreak)
+    r_tag = right.select(*[F.col(c) for c in r_keep])
+    if right_order_tiebreak is not None:
+        r_tag = r_tag.withColumn("__tb", F.col(right_order_tiebreak))
+        if right_order_tiebreak not in set(on) | {order_col} | set(value_cols):
+            r_tag = r_tag.drop(right_order_tiebreak)
+    else:
+        r_tag = r_tag.withColumn("__tb", F.lit(0))
     for c in left.columns:
         if c not in set(on) | {order_col} | set(value_cols):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     r_tag = r_tag.withColumn("__is_left", F.lit(0))
-    if right_order_tiebreak is not None:
-        r_tag = r_tag.withColumn("__tb", F.col(right_order_tiebreak)) if \
-            right_order_tiebreak in r_tag.columns else r_tag.withColumn("__tb", F.lit(0))
-    else:
-        r_tag = r_tag.withColumn("__tb", F.lit(0))
-    l_tag = l_tag.withColumn("__tb", F.lit(0))
+    l_tag = l_tag.withColumn("__tb", F.lit(0).cast(
+        r_tag.schema["__tb"].dataType))
 
     cols = l_tag.columns
     unioned = l_tag.select(cols).unionByName(r_tag.select(cols))

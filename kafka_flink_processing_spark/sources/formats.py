@@ -34,11 +34,17 @@ def roundtrip_scratch_dir(tag: str) -> str:
     Fixing the path (instead of mkdtemp per call) means every writer here
     — all mode("overwrite") — replaces the previous invocation's staging,
     capping scratch usage at one copy per tag for the session instead of
-    leaking a new dir per driver/bench run (r4 advice). Not safe for
-    concurrent invocations of the SAME tag; the round harnesses run
-    queries sequentially.
+    leaking a new dir per driver/bench run (r4 advice). The root is
+    uid-suffixed so another user's pre-existing /tmp entry can't wedge the
+    write with a permission error. Deliberately NOT safe for concurrent
+    invocations of the SAME tag in two processes of one user (the second
+    overwrite would pull staged files out from under the first's lazy
+    read-back) — the round harnesses run phases sequentially; a setup
+    that genuinely overlaps them should switch this to mkdtemp + atexit
+    cleanup and accept leak-on-SIGKILL.
     """
-    d = os.path.join(tempfile.gettempdir(), "kfps_scratch", tag)
+    uid = os.getuid() if hasattr(os, "getuid") else "na"
+    d = os.path.join(tempfile.gettempdir(), f"kfps_scratch_{uid}", tag)
     os.makedirs(d, exist_ok=True)
     return d
 

@@ -41,3 +41,19 @@ def test_asof_join_duplicate_right_ts_tiebreak(spark):
                     on=["k"], order_col="ts", value_cols=["px"],
                     right_order_tiebreak="rid")
     assert out.collect()[0].px == 2.0  # greatest tiebreak wins
+
+
+def test_asof_join_tiebreak_survives_adversarial_row_order(spark):
+    # r5 review fix: the tiebreak column used to be dropped by the right-
+    # side projection, so this test's "greatest tiebreak wins" held only by
+    # single-partition sort stability. Present the tied rows in DESCENDING
+    # tiebreak order across several partitions — only a real __tb sort key
+    # can still pick the greatest rid.
+    left = spark.createDataFrame([(1, "k", _ts(10))],
+                                 "lid long, k string, ts timestamp")
+    rows = [(rid, "k", _ts(10), float(rid)) for rid in range(50, 0, -1)]
+    right = spark.createDataFrame(
+        rows, "rid long, k string, ts timestamp, px double").repartition(8)
+    out = asof_join(left, right, on=["k"], order_col="ts",
+                    value_cols=["px"], right_order_tiebreak="rid")
+    assert out.collect()[0].px == 50.0

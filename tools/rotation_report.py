@@ -14,17 +14,22 @@ Usage:
       _PRIORITY block, generated from signal age (paste into registry.py).
 
 Generation rule (also enforced by tests/test_registry_guard.py::
-test_staleness_bound):
-  1. never-checked queries (new registrations), registration order;
+test_staleness_bound and test_window_prefers_unproven_queries):
+  1. UNPROVEN queries — no OK row ever: new registrations AND
+     failed-on-debut — in registration order;
   2. regressed queries (newest committed row FAILED after an earlier OK);
   3. oracle-backed queries whose newest signal is >= STALE_BOUND rounds
-     old (oldest signal first) — these MUST fit or the tool errors,
-     because the staleness test will fail for any left out;
+     old (oldest signal first). Groups 1-3 are BINDING — the tool errors
+     if they exceed the window, because a guard test would fail for any
+     left out;
   4. rows-only queries at the same staleness (weaker signal, same
-     freshness treatment, but droppable under window pressure);
+     rotation cadence, but explicitly the droppable tier under window
+     pressure — never silently traded against a binding entry);
   5. registry.SENTINELS not already included (one per long-stable
      operator family, regression tripwires);
   6. remaining slots fill oldest-signal-first.
+Reads COMMITTED CORRECTNESS files only (git-pinned, like the guard
+tests): a partial mid-round file must not mark queries fresh.
 """
 
 from __future__ import annotations
@@ -50,11 +55,29 @@ def _classify(row: dict) -> str:
     return "FAILED"
 
 
+def _correctness_files() -> list:
+    """COMMITTED CORRECTNESS files only (same git-pinning as
+    tests/test_registry_guard.py, and for the same reason: a partial,
+    untracked mid-round file must not masquerade as a finished round —
+    here it would mark half-recorded queries fresh and emit a window that
+    omits genuinely stale ones)."""
+    import subprocess
+    try:
+        out = subprocess.run(
+            ["git", "ls-files", "CORRECTNESS_r*.json"], cwd=REPO,
+            capture_output=True, text=True, check=True).stdout.split()
+        if out:
+            return [REPO / f for f in sorted(out)]
+    except (OSError, subprocess.CalledProcessError):
+        pass
+    return sorted(REPO.glob("CORRECTNESS_r*.json"))
+
+
 def _signals() -> tuple[dict[str, tuple[str, str]], set[str]]:
     """name -> (newest signal, round string); plus the ever-OK set."""
     newest: dict[str, tuple[str, str]] = {}
     ever_ok: set[str] = set()
-    for p in sorted(REPO.glob("CORRECTNESS_r*.json")):
+    for p in _correctness_files():
         rnd = p.stem.split("_r")[-1]
         for name, row in json.loads(p.read_text()).items():
             sig = _classify(row)
@@ -77,32 +100,41 @@ def emit_priority() -> None:
             return 10**6  # never checked: infinitely stale
         return max_round - int(newest[name][1])
 
-    never = [n for n in reg_order if n not in newest]
+    # "unproven" = no OK row ever: covers both never-checked registrations
+    # AND failed-on-debut queries (a FAILED-only history needs a re-check
+    # slot just as urgently — and test_window_prefers_unproven_queries
+    # requires both kinds inside the window)
+    unproven = [n for n in reg_order if n not in ever_ok]
     regressed = [n for n in reg_order
                  if newest.get(n, ("", ""))[0] == "FAILED" and n in ever_ok]
     oracle_backed = {n for n in reg_order
                      if registry.QUERIES[n].oracle is not None}
     stale = [n for n in reg_order
-             if n not in never and n not in regressed
+             if n not in unproven and n not in regressed
              and age(n) >= registry.STALE_BOUND]
-    # oldest first; oracle-backed before rows-only at equal age (the
-    # staleness TEST binds only oracle-backed; rows-only rotate on the
-    # same cadence but yield first under window pressure)
-    stale.sort(key=lambda n: (-age(n), n not in oracle_backed,
-                              reg_order.index(n)))
-    chosen: list[str] = []
-    for n in never + regressed + stale:
-        if n not in chosen:
-            chosen.append(n)
-    must = [n for n in chosen
-            if n in oracle_backed and n not in registry.DEFERRED_VERIFICATION]
-    if len(must) > window:
-        print(f"ERROR: {len(must)} oracle-backed queries need a slot this "
-              f"round but the window holds {window}. Either raise "
-              f"STALE_BOUND, defer explicitly in DEFERRED_VERIFICATION, "
-              f"or accept a staleness-test failure.", file=sys.stderr)
+    stale.sort(key=lambda n: (-age(n), reg_order.index(n)))
+    demand: list[str] = []
+    for n in unproven + regressed + stale:
+        if n not in demand:
+            demand.append(n)
+    # BINDING entries must fit or the guard tests fail on the pasted
+    # output: every unproven/regressed query (any oracle mode — the
+    # unproven-in-window test does not care), plus oracle-backed stale
+    # (the staleness test binds only those). Rows-only STALE entries are
+    # the droppable tier — they rotate on the same cadence but yield
+    # first under window pressure.
+    binding = [n for n in demand
+               if (n in unproven or n in regressed or n in oracle_backed)
+               and n not in registry.DEFERRED_VERIFICATION]
+    droppable = [n for n in demand if n not in binding]
+    if len(binding) > window:
+        print(f"ERROR: {len(binding)} queries need a slot this round "
+              f"(unproven/regressed + oracle-backed stale) but the window "
+              f"holds {window}. Either raise STALE_BOUND, defer explicitly "
+              f"in DEFERRED_VERIFICATION, or accept a guard-test failure.",
+              file=sys.stderr)
         sys.exit(1)
-    chosen = chosen[:window]
+    chosen = binding + droppable[:window - len(binding)]
     for n in registry.SENTINELS:        # family tripwires, then backfill
         if len(chosen) >= window:
             break
