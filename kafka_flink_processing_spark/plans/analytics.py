@@ -1142,3 +1142,68 @@ def corpus_entropy_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source", "n_tokens", "vocab_size", h.alias("entropy_nats"),
         (h / F.log(F.col("vocab_size").cast("double")))
         .alias("entropy_norm"))
+
+
+_SKEW_KEYSPACES = (
+    ("lineitem.l_orderkey", "lineitem", "l_orderkey"),
+    ("orders.o_custkey", "orders", "o_custkey"),
+    ("events.user_id", "events", "user_id"),
+)
+
+
+def _skew_leg_sql(i: int, name: str, table: str, key: str) -> str:
+    return f"""
+    SELECT '{name}' AS keyspace,
+           (SELECT CAST(SUM(c) AS BIGINT) FROM k{i}) AS n_rows,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM k{i}) AS n_keys,
+           CAST(c AS BIGINT) AS max_count,
+           CAST(key AS BIGINT) AS hot_key,
+           CAST(c * (SELECT COUNT(*) FROM k{i}) AS DOUBLE)
+             / (SELECT SUM(c) FROM k{i}) AS skew_ratio
+    FROM (SELECT *, ROW_NUMBER() OVER (ORDER BY c DESC, key) AS rn
+          FROM k{i}) WHERE rn = 1"""
+
+
+@register(
+    "key_skew_report",
+    oracle="WITH "
+           + ", ".join(
+               f"k{i} AS (SELECT CAST({key} AS BIGINT) AS key, "
+               f"COUNT(*) AS c FROM {table} GROUP BY 1)"
+               for i, (_, table, key) in enumerate(_SKEW_KEYSPACES))
+           + " UNION ALL ".join(
+               _skew_leg_sql(i, name, table, key)
+               for i, (name, table, key) in enumerate(_SKEW_KEYSPACES)),
+    doc="pre-join skew audit over the engine's hot join keys: per "
+        "keyspace, row count, distinct-key count, the hottest key and its "
+        "frequency, and skew_ratio = max_count / mean_count — the "
+        "diagnostic you read BEFORE choosing between a plain shuffle "
+        "join, AQE skew splitting, and explicit salting "
+        "(operators/skew.py) on a 100 TB fact table; ratios near 1 mean "
+        "uniform, large ratios mean the hot key dominates its partition. "
+        "Each keyspace is one map-side-combined count over the distinct "
+        "keys, reduced by a single aggregate with an ORDER-struct max_by "
+        "(max count, then smallest key — deterministic cross-engine); "
+        "the Spark side has NO global sort or window, and the whole "
+        "report is #keyspaces rows.",
+)
+def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    legs = []
+    for name, table, key in _SKEW_KEYSPACES:
+        c = (load_table(spark, table, sf_dir)
+             .select(F.col(key).cast("long").alias("key"))
+             .groupBy("key").agg(F.count("*").alias("c")))
+        tie = F.struct(F.col("c").alias("c"), (-F.col("key")).alias("nk"))
+        agg = c.agg(F.sum("c").alias("n_rows"),
+                    F.count("*").alias("n_keys"),
+                    F.max("c").alias("max_count"),
+                    F.max_by("key", tie).alias("hot_key"))
+        legs.append(agg.select(
+            F.lit(name).alias("keyspace"), "n_rows", "n_keys",
+            "max_count", "hot_key",
+            ((F.col("max_count") * F.col("n_keys")).cast("double")
+             / F.col("n_rows")).alias("skew_ratio")))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -2141,3 +2141,68 @@ def corpus_partitioned_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(md5_hash60(F.col("text")) % 1000000007).cast("long")
                   .alias("content_hash_sum"),
                  F.sum(F.length("text")).cast("long").alias("total_chars")))
+
+
+def _n_sweep_leg_sql(n: int) -> str:
+    """Per-n CTE trio for the decontamination n-sweep: distinct n-gram
+    rows, the eval gram set, per-train-doc hit counts."""
+    grams = " || ' ' || ".join(f"words[i+{k}]" for k in range(n))
+    return f"""
+  s{n} AS (SELECT doc_id, unnest(
+             CASE WHEN len(words) < {n} THEN []
+                  ELSE list_distinct([{grams}
+                                      for i in range(1, len(words)-{n - 2})])
+             END) AS sh
+           FROM t),
+  ev{n} AS (SELECT DISTINCT sh FROM s{n} WHERE doc_id % 13 = 0),
+  hit{n} AS (SELECT doc_id, COUNT(*) AS c FROM s{n} JOIN ev{n} USING (sh)
+             WHERE doc_id % 13 <> 0 GROUP BY 1)"""
+
+
+def _n_sweep_select_sql(n: int) -> str:
+    return (f"SELECT CAST({n} AS BIGINT) AS gram_n, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_contaminated_docs, "
+            f"CAST(COALESCE(SUM(c), 0) AS BIGINT) AS total_shared_grams "
+            f"FROM hit{n}")
+
+
+_N_SWEEP = (3, 4, 5)
+
+
+@register(
+    "decontamination_n_sweep",
+    oracle=f"""
+    WITH t AS ({_WORDS}),
+    {",".join(_n_sweep_leg_sql(n) for n in _N_SWEEP)}
+    {" UNION ALL ".join(_n_sweep_select_sql(n) for n in _N_SWEEP)}
+    """,
+    doc="decontamination aggressiveness curve: contaminated-doc count and "
+        "total shared grams at n-gram sizes 3/4/5 against the same eval "
+        "split as decontaminate_ngram — the tuning sweep you run BEFORE "
+        "committing an n to a 100 TB decontamination pass (small n "
+        "over-flags shared idioms, large n misses light paraphrase; the "
+        "curve's knee is the evidence for the choice, companion to "
+        "lsh_threshold_sweep and ivf_probe_sweep). Each leg is the "
+        "audited contamination_screen shape (broadcast eval grams, "
+        "map-side screen, per-doc-count exchange only) reduced to ONE "
+        "row, and the n=3/4 shingle tables come from the session-memoized "
+        "dedup index, so the sweep adds a single extra shingle pass.",
+)
+def decontamination_n_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    legs = []
+    for n in _N_SWEEP:
+        scr = contamination_screen(docs, F.col("doc_id") % 13 == 0, n=n)
+        legs.append(scr.agg(
+            F.count("*").alias("n_contaminated_docs"),
+            F.coalesce(F.sum("n_shared_grams"), F.lit(0)).cast("long")
+            .alias("total_shared_grams"))
+            .select(F.lit(n).cast("long").alias("gram_n"),
+                    "n_contaminated_docs", "total_shared_grams"))
+    out = legs[0]
+    for leg in legs[1:]:
+        out = out.unionByName(leg)
+    return out

@@ -166,3 +166,12 @@ def test_asof_tolerance_single_hub_exchange(spark):
     # tagged union + ONE window pass: exactly one hash exchange on hub
     assert plan.count("Exchange hashpartitioning(hub") == 1
     assert "Join" not in plan  # the as-of is a union+window, never a join
+
+
+def test_key_skew_report_no_global_sort(spark):
+    plan = plan_of(spark, "key_skew_report")
+    # each keyspace reduces via map-side-combined count + single-row
+    # max_by aggregate — the hottest-key pick must never be a global sort
+    assert "Exchange rangepartitioning" not in plan
+    assert "TakeOrderedAndProject" not in plan
+    assert plan.count("HashAggregate") >= 6  # partial+final per keyspace
