@@ -57,3 +57,49 @@ def test_asof_join_tiebreak_survives_adversarial_row_order(spark):
     out = asof_join(left, right, on=["k"], order_col="ts",
                     value_cols=["px"], right_order_tiebreak="rid")
     assert out.collect()[0].px == 50.0
+
+
+# --- r5: differential property test (the tiebreak bug found in review
+# would have been caught by this: random inputs with heavy ts collisions,
+# distributed result vs a straight-line Python spec) ---
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+def _asof_spec(left_rows, right_rows):
+    """{lid: px} per the operator contract: latest right row with same key
+    and right.ts <= left.ts; ties at equal ts resolved by greatest rid."""
+    out = {}
+    for lid, k, lts in left_rows:
+        best = None
+        for rid, rk, rts, px in right_rows:
+            if rk == k and rts <= lts:
+                if best is None or (rts, rid) > (best[0], best[1]):
+                    best = (rts, rid, px)
+        out[lid] = best[2] if best else None
+    return out
+
+
+@settings(max_examples=8, deadline=None)
+@given(st.lists(st.tuples(st.integers(0, 2),      # key
+                          st.integers(0, 5)),     # ts bucket (forces ties)
+                min_size=1, max_size=12),
+       st.lists(st.tuples(st.integers(0, 2),
+                          st.integers(0, 5),
+                          st.integers(0, 99)),    # px payload
+                min_size=1, max_size=12))
+def test_asof_join_matches_python_spec(spark, lefts, rights):
+    left_rows = [(i, f"k{k}", _ts(t)) for i, (k, t) in enumerate(lefts)]
+    right_rows = [(i, f"k{k}", _ts(t), float(px))
+                  for i, (k, t, px) in enumerate(rights)]
+    left = spark.createDataFrame(left_rows,
+                                 "lid long, k string, ts timestamp")
+    right = spark.createDataFrame(
+        right_rows, "rid long, k string, ts timestamp, px double") \
+        .repartition(4)  # adversarial: tie order must not matter
+    out = asof_join(left, right, on=["k"], order_col="ts",
+                    value_cols=["px"], right_order_tiebreak="rid")
+    got = {r.lid: r.px for r in out.collect()}
+    want = _asof_spec([(i, f"k{k}", _ts(t)) for i, (k, t) in enumerate(lefts)],
+                      right_rows)
+    assert got == want
