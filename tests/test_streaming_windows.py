@@ -81,3 +81,48 @@ def test_no_watermark_complete_mode_keeps_all_rows(spark, tmp_path):
     rows = {(r.window_start, r.hub): r.n_ticks
             for r in spark.table("cm_windows").collect()}
     assert rows == {(_t(0, 0), "H0"): 1, (_t(5, 0), "H1"): 1}
+
+
+def test_session_window_append_mode_merges_then_emits_and_drops_late(
+        spark, tmp_path):
+    """Session windows under a watermark (r5): ticks 25 min apart MERGE
+    into one session (gap 30 min); the session emits once the watermark
+    passes its end (last_ts + gap); a tick older than the watermark is
+    dropped, not retro-merged."""
+    from pyspark.sql import functions as F
+
+    src = str(tmp_path / "src")
+    # batch 1: two ticks 25 min apart -> ONE open session [00:00, 00:55)
+    _drop(spark, [(_t(0, 0), "H0", 10.0), (_t(0, 25), "H0", 20.0)], src, 1)
+
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/b*")
+    agg = (stream.withWatermark("ts", "10 minutes")
+           .groupBy(F.session_window("ts", "30 minutes").alias("w"), "hub")
+           .agg(F.count("*").alias("n_ticks"),
+                F.sum("price_mwh").alias("sum_price"))
+           .select("hub", F.col("w.start").alias("session_start"),
+                   F.col("w.end").alias("session_end"),
+                   "n_ticks", "sum_price"))
+    q = (agg.writeStream.format("memory").queryName("wm_sessions")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ckpt"))
+         .start())
+    try:
+        q.processAllAvailable()
+        # batch 2: tick at 02:00 -> watermark 01:50 > 00:55 closes it
+        _drop(spark, [(_t(2, 0), "H0", 30.0)], src, 2)
+        q.processAllAvailable()
+        # batch 3: late tick at 00:05 (behind the watermark) -> dropped
+        _drop(spark, [(_t(0, 5), "H0", 99.0)], src, 3)
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    rows = spark.table("wm_sessions").collect()
+    s0 = [r for r in rows if r.session_start == _t(0, 0)]
+    assert len(s0) == 1                       # merged, emitted exactly once
+    assert s0[0].n_ticks == 2                 # late 99.0 NOT retro-merged
+    assert s0[0].session_end == _t(0, 55)     # last_ts + gap
+    assert s0[0].sum_price == pytest.approx(30.0)
+    # the 02:00 session is still open -> not in append output
+    assert not [r for r in rows if r.session_start == _t(2, 0)]
