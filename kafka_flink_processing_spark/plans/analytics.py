@@ -1025,6 +1025,7 @@ def ivf_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "that replaces the universe-sized shuffle of vocab_top_tokens "
         "when the gram universe stops fitting — the exchange carries "
         "only candidates x partitions partial counts.",
+    bench=True,  # first benched r5: the Arrow sketch pass needs a floor
 )
 def heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.sketch import (
