@@ -1208,3 +1208,67 @@ def key_skew_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle=f"""
+    WITH {session_cte_sql('event_type')},
+    v AS (SELECT user_id, session_id, MIN(epoch_us(ts)) AS tv
+          FROM sess WHERE event_type = 'view' GROUP BY 1, 2),
+    p AS (SELECT s.user_id, s.session_id, MIN(epoch_us(s.ts)) AS tp
+          FROM sess s JOIN v ON s.user_id = v.user_id
+                             AND s.session_id = v.session_id
+          WHERE s.event_type = 'purchase' AND epoch_us(s.ts) > v.tv
+          GROUP BY 1, 2),
+    d AS (SELECT p.tp - v.tv AS dt FROM v
+          JOIN p ON v.user_id = p.user_id AND v.session_id = p.session_id),
+    r AS (SELECT dt, ROW_NUMBER() OVER (ORDER BY dt) AS rn,
+                 COUNT(*) OVER () AS n
+          FROM d)
+    SELECT CAST(MAX(n) AS BIGINT) AS n_converted,
+           CAST(SUM(dt) AS DOUBLE) / COUNT(*) AS median_us,
+           (SELECT CAST(MIN(dt) AS BIGINT) FROM d) AS min_us,
+           (SELECT CAST(MAX(dt) AS BIGINT) FROM d) AS max_us
+    FROM r WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    doc="in-session time-to-convert: for every session whose first view "
+        "is later followed by a purchase (same strict ordering as "
+        "session_funnel), the view->purchase latency in integer "
+        "microseconds, reduced to count/median/min/max — the funnel's "
+        "companion LATENCY metric (stage counts say how many convert, "
+        "this says how fast). Exact median via the rank-selection idiom "
+        "(median_value_by_type); durations are integer microsecond "
+        "differences so every statistic is cross-engine exact. Cost: the "
+        "ONE sessionizer exchange, two per-session min-aggregates that "
+        "co-partition with it, and a rank over the converted-session "
+        "durations (O(conversions), not O(events)).",
+)
+def funnel_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.sessionize import (
+        with_session_id,
+    )
+    ev = load_table(spark, "events", sf_dir)
+    sess = with_session_id(ev)
+    us = F.unix_micros(F.col("ts"))
+    v = (sess.filter(F.col("event_type") == "view")
+         .groupBy("user_id", "session_id").agg(F.min(us).alias("tv")))
+    p = (sess.filter(F.col("event_type") == "purchase")
+         .select("user_id", "session_id", us.alias("tp"))
+         .join(v, ["user_id", "session_id"])
+         .filter(F.col("tp") > F.col("tv"))
+         .groupBy("user_id", "session_id").agg(F.min("tp").alias("tp")))
+    d = p.join(v, ["user_id", "session_id"]) \
+         .select((F.col("tp") - F.col("tv")).alias("dt"))
+    w = Window.orderBy("dt")
+    ranked = (d.withColumn("rn", F.row_number().over(w))
+              .withColumn("n", F.count("*").over(
+                  Window.partitionBy(F.lit(1)))))
+    mid = ranked.filter(
+        (F.col("rn") == F.floor((F.col("n") + 1) / 2))
+        | (F.col("rn") == F.floor((F.col("n") + 2) / 2)))
+    stats = d.agg(F.min("dt").alias("min_us"), F.max("dt").alias("max_us"))
+    return (mid.agg(F.max("n").cast("long").alias("n_converted"),
+                    (F.sum("dt").cast("double") / F.count("*"))
+                    .alias("median_us"))
+            .crossJoin(F.broadcast(stats)))

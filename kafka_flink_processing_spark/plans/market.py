@@ -288,3 +288,30 @@ def trade_flow_net_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                        .otherwise(0)).cast("long").alias("sell_mw"),
                  F.sum(signed).cast("long").alias("net_mw"),
                  F.count("*").alias("n_trades")))
+
+
+@register(
+    "hourly_load_profile",
+    oracle=f"""
+    WITH {_TICKS_SQL}
+    SELECT hub, CAST(hour(ts) AS BIGINT) AS hour_of_day,
+           CAST(COUNT(*) AS BIGINT) AS n_ticks,
+           {dsum_sql('price_mwh')} / COUNT(*) AS avg_price,
+           MIN(price_mwh) AS min_price,
+           MAX(price_mwh) AS max_price
+    FROM ticks GROUP BY 1, 2
+    """,
+    doc="hour-of-day price seasonality per hub (the diurnal load-profile "
+        "curve a desk reads against the reference producer's own diurnal "
+        "term, producer.py:36-49): average/min/max price per (hub, "
+        "hour-of-day) across the whole history. One map-side-combined "
+        "aggregate to a fixed hubs x 24 output at any corpus size; the "
+        "mean is the exact scaled-int sum over one count division.",
+)
+def hourly_load_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    return (t.groupBy("hub", F.hour("ts").cast("long").alias("hour_of_day"))
+            .agg(F.count("*").alias("n_ticks"),
+                 (dsum("price_mwh") / F.count("*")).alias("avg_price"),
+                 F.min("price_mwh").alias("min_price"),
+                 F.max("price_mwh").alias("max_price")))
