@@ -1272,3 +1272,88 @@ def funnel_time_to_convert_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     (F.sum("dt").cast("double") / F.count("*"))
                     .alias("median_us"))
             .crossJoin(F.broadcast(stats)))
+
+
+# Count-min sketch parameters: d pairwise-independent hash rows of width w.
+# The hash family is an explicit affine map modulo a Mersenne prime (NOT an
+# engine hash builtin), so the Spark plan and the DuckDB oracle compute
+# bit-identical buckets — the sketch itself is oracle-checkable, unlike
+# most "approximate" operators.
+_CMS_P = 2_147_483_647          # 2^31 - 1
+_CMS_W = 512                    # buckets per row
+_CMS_HASHES = (                 # (j, a, b): classic LCG multipliers
+    (0, 1103515245, 12345),
+    (1, 214013, 2531011),
+    (2, 69069, 362437),
+    (3, 1664525, 1013904223),
+)
+_CMS_PROBE_MOD = 7              # deterministic probe subset: user_id % 7 = 0
+
+_CMS_HASH_SQL = ", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_HASHES)
+
+
+@register(
+    "cms_freq_estimate",
+    oracle=f"""
+    WITH h(j, a, b) AS (VALUES {_CMS_HASH_SQL}),
+    cells AS (SELECT h.j,
+                     ((h.a * (e.user_id % {_CMS_P}) + h.b) % {_CMS_P})
+                       % {_CMS_W} AS bucket
+              FROM events e, h),
+    sketch AS (SELECT j, bucket, CAST(COUNT(*) AS BIGINT) AS cnt
+               FROM cells GROUP BY 1, 2),
+    exact AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_n
+              FROM events WHERE user_id % {_CMS_PROBE_MOD} = 0 GROUP BY 1),
+    probes AS (SELECT e.user_id, e.exact_n, h.j,
+                      ((h.a * (e.user_id % {_CMS_P}) + h.b) % {_CMS_P})
+                        % {_CMS_W} AS bucket
+               FROM exact e, h)
+    SELECT p.user_id, p.exact_n, MIN(s.cnt) AS cms_n,
+           MIN(s.cnt) - p.exact_n AS overestimate
+    FROM probes p JOIN sketch s ON p.j = s.j AND p.bucket = s.bucket
+    GROUP BY 1, 2
+    """,
+    doc="count-min sketch frequency estimation, expressed ENTIRELY as "
+        "DataFrame algebra: d={d} affine-mod-prime hash rows of w={w} "
+        "buckets build the sketch in ONE map-side-combined aggregate over "
+        "the d-way exploded stream (the sketch is d*w = {cells} counters "
+        "regardless of corpus size — the merge across partitions IS the "
+        "partial aggregation, no custom accumulator needed); estimates "
+        "for a deterministic probe set join the probe buckets against the "
+        "BROADCAST sketch and take min-over-rows. The output carries "
+        "exact_n next to cms_n so the one-sided error (overestimate >= 0, "
+        "E[err] <= 2N/w) is measured, not assumed — and because the hash "
+        "family is explicit integer arithmetic, the whole sketch "
+        "hash-matches the SQL oracle exactly. The CMS complements "
+        "heavy_hitters_mg: MG answers 'which keys are frequent', CMS "
+        "answers point queries over keys you name, in bounded memory at "
+        "any scale. tests/test_sketch_sampling.py adds the error-bound "
+        "property check.".format(
+            d=len(_CMS_HASHES), w=_CMS_W,
+            cells=len(_CMS_HASHES) * _CMS_W),
+)
+def cms_freq_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir).select("user_id")
+    hashes = F.explode(F.array(*[
+        F.struct(F.lit(j).alias("j"), F.lit(a).alias("a"),
+                 F.lit(b).alias("b"))
+        for j, a, b in _CMS_HASHES])).alias("h")
+
+    def bucket() -> F.Column:
+        return ((F.col("h.a") * (F.col("user_id") % _CMS_P) + F.col("h.b"))
+                % _CMS_P) % _CMS_W
+
+    cells = ev.select("user_id", hashes).select(
+        F.col("h.j").alias("j"), bucket().alias("bucket"))
+    sketch = cells.groupBy("j", "bucket").agg(F.count("*").alias("cnt"))
+    exact = (ev.filter(F.col("user_id") % _CMS_PROBE_MOD == 0)
+             .groupBy("user_id").agg(F.count("*").alias("exact_n")))
+    probes = exact.select("user_id", "exact_n", hashes).select(
+        "user_id", "exact_n", F.col("h.j").alias("j"),
+        bucket().alias("bucket"))
+    return (probes.join(F.broadcast(sketch), ["j", "bucket"])
+            .groupBy("user_id", "exact_n")
+            .agg(F.min("cnt").alias("cms_n"))
+            .select("user_id", "exact_n", "cms_n",
+                    (F.col("cms_n") - F.col("exact_n"))
+                    .alias("overestimate")))

@@ -315,3 +315,228 @@ def hourly_load_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (dsum("price_mwh") / F.count("*")).alias("avg_price"),
                  F.min("price_mwh").alias("min_price"),
                  F.max("price_mwh").alias("max_price")))
+
+
+# --- r5 additions: forecast/risk depth + the two-stream join -------------
+
+_EWMA_N = 32        # bounded frame: EWMA over the last 32 ticks per hub
+_EWMA_SCALE = 10 ** 8  # per-term fixed-point scale for the order-free sum
+
+
+@register(
+    "ewma_price",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    fr AS (SELECT hub, ts, tick_id, price_mwh,
+                  list(price_mwh) OVER (PARTITION BY hub ORDER BY ts, tick_id
+                    ROWS BETWEEN {_EWMA_N - 1} PRECEDING AND CURRENT ROW) AS l
+           FROM ticks)
+    SELECT hub, ts, tick_id, price_mwh,
+           CAST(list_sum(list_transform(l, (v, i) ->
+                  CAST(ROUND(v * power(0.5, len(l) - i) * {_EWMA_SCALE})
+                       AS BIGINT))) AS DOUBLE) / {float(_EWMA_SCALE)}
+             / (2.0 * (1.0 - power(0.5, len(l)))) AS ewma
+    FROM fr
+    """,
+    doc="exponentially-weighted moving average price per hub over a "
+        "bounded {N}-tick frame (alpha=0.5) — the natural upgrade of the "
+        "reference's SMA forecast (ForecastsJob.java:76-88): recent ticks "
+        "dominate, but the frame bound keeps the operator a plain ROWS "
+        "window instead of an unbounded recurrence (an infinite-history "
+        "EWMA is a stateful fold; the bounded form is window algebra and "
+        "the weight below 0.5^31 is beneath the 8dp fixed-point floor "
+        "anyway). Cross-engine exactness: alpha=0.5 makes every weight an "
+        "exact power of two, each weighted term is rounded to scaled "
+        "int64 BEFORE summation (the functions/exact.py idiom applied "
+        "in-row via transform+aggregate), so the higher-order-function "
+        "sum is order-free integer math; the normalizer 2*(1-0.5^n) is a "
+        "closed form, not a second fold. One window shuffle on hub; "
+        "re-key by (hub, epoch) with a {N}-row overlap to shard "
+        "year-long hubs, same lever as max_drawdown.".format(N=_EWMA_N),
+)
+def ewma_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    w = (Window.partitionBy("hub").orderBy("ts", "tick_id")
+         .rowsBetween(-(_EWMA_N - 1), 0))
+    fr = t.withColumn("l", F.collect_list("price_mwh").over(w))
+    n = F.size(F.col("l"))
+    # 0-based transform index i -> weight 0.5^(n-1-i); DuckDB's 1-based
+    # (v, i) lambda renders the same exponent as len(l) - i.
+    terms = F.transform(
+        F.col("l"),
+        lambda v, i: F.round(v * F.pow(F.lit(0.5), n - 1 - i)
+                             * _EWMA_SCALE).cast("long"))
+    num = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
+    ewma = (num.cast("double") / float(_EWMA_SCALE)
+            / (2.0 * (1.0 - F.pow(F.lit(0.5), n))))
+    return fr.select("hub", "ts", "tick_id", "price_mwh",
+                     ewma.alias("ewma"))
+
+
+_BB_N = 20  # Bollinger frame: SMA(20) +/- 2 sigma
+
+
+@register(
+    "bollinger_bands",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    fr AS (SELECT hub, ts, tick_id, price_mwh,
+                  SUM(CAST(ROUND(price_mwh * 100) AS BIGINT))
+                    OVER w AS s1,
+                  SUM(CAST(ROUND(price_mwh * price_mwh * 10000) AS BIGINT))
+                    OVER w AS s2,
+                  COUNT(*) OVER w AS n
+           FROM ticks
+           WINDOW w AS (PARTITION BY hub ORDER BY ts, tick_id
+                        ROWS BETWEEN {_BB_N - 1} PRECEDING AND CURRENT ROW))
+    SELECT hub, ts, tick_id, price_mwh,
+           CAST(s1 AS DOUBLE) / (100.0 * n) AS mid_band,
+           sqrt(GREATEST(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                         / ((10000.0 * n) * (n - 1)), 0.0)) AS sd,
+           CAST(s1 AS DOUBLE) / (100.0 * n)
+             + 2.0 * sqrt(GREATEST(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / ((10000.0 * n) * (n - 1)), 0.0)) AS upper_band,
+           CAST(s1 AS DOUBLE) / (100.0 * n)
+             - 2.0 * sqrt(GREATEST(CAST(n * s2 - s1 * s1 AS DOUBLE)
+                          / ((10000.0 * n) * (n - 1)), 0.0)) AS lower_band
+    FROM fr WHERE n = {_BB_N}
+    """,
+    doc="Bollinger bands per hub: SMA({N}) +/- 2 sample-stddev over a "
+        "{N}-tick ROWS frame, emitted only for full frames (warm-up rows "
+        "dropped — a 3-tick 'band' is noise). The variance comes from the "
+        "identity (n*S2 - S1^2)/(n*(n-1)) computed ENTIRELY in scaled "
+        "int64 window sums (S1 at 1e2, S2 at 1e4 — the functions/exact.py "
+        "idiom as window aggregates), so the only floating-point ops are "
+        "one division and one sqrt on identical integers in both engines "
+        "— order-independent at any partition count, no Welford state "
+        "needed. GREATEST(.., 0) guards the constant-price frame where "
+        "rounding of S2 could land the numerator at -1. One window "
+        "shuffle on hub, same sharding lever as ewma_price.".format(
+            N=_BB_N),
+)
+def bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    w = (Window.partitionBy("hub").orderBy("ts", "tick_id")
+         .rowsBetween(-(_BB_N - 1), 0))
+    s1 = F.sum(F.round(F.col("price_mwh") * 100).cast("long")).over(w)
+    s2 = F.sum(F.round(F.col("price_mwh") * F.col("price_mwh") * 10000)
+               .cast("long")).over(w)
+    n = F.count(F.lit(1)).over(w)
+    fr = (t.withColumn("s1", s1).withColumn("s2", s2).withColumn("n", n)
+          .filter(F.col("n") == _BB_N))
+    mid = F.col("s1").cast("double") / (100.0 * F.col("n"))
+    var = (F.col("n") * F.col("s2") - F.col("s1") * F.col("s1")) \
+        .cast("double") / ((10000.0 * F.col("n")) * (F.col("n") - 1))
+    sd = F.sqrt(F.greatest(var, F.lit(0.0)))
+    return fr.select("hub", "ts", "tick_id", "price_mwh",
+                     mid.alias("mid_band"), sd.alias("sd"),
+                     (mid + 2.0 * sd).alias("upper_band"),
+                     (mid - 2.0 * sd).alias("lower_band"))
+
+
+@register(
+    "hub_spread_hourly",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    hourly AS (SELECT hub, date_trunc('hour', ts) AS spread_hour,
+                      {dsum_sql('price_mwh')} / COUNT(*) AS avg_price,
+                      CAST(COUNT(*) AS BIGINT) AS n_ticks
+               FROM ticks GROUP BY 1, 2)
+    SELECT a.hub AS hub_a, b.hub AS hub_b, a.spread_hour,
+           a.avg_price AS price_a, b.avg_price AS price_b,
+           a.avg_price - b.avg_price AS spread,
+           a.n_ticks AS n_ticks_a, b.n_ticks AS n_ticks_b
+    FROM hourly a JOIN hourly b
+      ON a.spread_hour = b.spread_hour AND a.hub < b.hub
+    """,
+    doc="hourly inter-hub basis: average price per (hub, hour), then the "
+        "hub-pair spread for every hub_a < hub_b pair in that hour — the "
+        "congestion/basis monitor a desk runs across locations. The join "
+        "input is the PRE-AGGREGATED hubs x hours table (bounded: #hubs x "
+        "history hours, independent of tick volume), so the self-join is "
+        "broadcast-sized at any corpus scale and the only full-data pass "
+        "is one map-side-combined aggregate; the pair fan-out is "
+        "hubs^2/2 per hour, bounded by the fixed hub count. Averages are "
+        "exact scaled-int sums over counts, the spread one double "
+        "subtraction on identical operands.",
+)
+def hub_spread_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    hourly = (t.groupBy("hub", F.date_trunc("hour", F.col("ts"))
+                        .alias("spread_hour"))
+              .agg((dsum("price_mwh") / F.count("*")).alias("avg_price"),
+                   F.count("*").alias("n_ticks")))
+    a = hourly.alias("a")
+    b = hourly.alias("b")
+    return (a.join(F.broadcast(b),
+                   (F.col("a.spread_hour") == F.col("b.spread_hour"))
+                   & (F.col("a.hub") < F.col("b.hub")))
+            .select(F.col("a.hub").alias("hub_a"),
+                    F.col("b.hub").alias("hub_b"),
+                    F.col("a.spread_hour").alias("spread_hour"),
+                    F.col("a.avg_price").alias("price_a"),
+                    F.col("b.avg_price").alias("price_b"),
+                    (F.col("a.avg_price") - F.col("b.avg_price"))
+                    .alias("spread"),
+                    F.col("a.n_ticks").alias("n_ticks_a"),
+                    F.col("b.n_ticks").alias("n_ticks_b")))
+
+
+_SLIPPAGE_TOL_S = 300  # a tick prices a trade for 5 minutes
+
+
+@register(
+    "streaming_slippage_join",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    {_TRADES_SQL}
+    SELECT t.trade_id, p.tick_id, t.hub,
+           t.ts AS trade_ts, p.ts AS tick_ts,
+           t.price_mwh AS trade_price, p.price_mwh AS tick_price,
+           t.price_mwh - p.price_mwh AS slippage
+    FROM trades t JOIN ticks p
+      ON t.hub = p.hub AND p.ts <= t.ts
+         AND p.ts >= t.ts - INTERVAL {_SLIPPAGE_TOL_S} SECONDS
+    """,
+    doc="native stream-stream interval join, registered and hash-matched "
+        "against the equivalent batch SQL: every (trade, tick) pair on "
+        "the same hub with the tick at most {S}s before the trade, plus "
+        "the per-pair slippage (trade price minus the tick it printed "
+        "through) — the Spark-idiomatic form of the reference's "
+        "connect+CoProcess correlation (PnlAndExposureJob.java:50-51), "
+        "where Spark's join state manager holds both sides bounded by "
+        "the 10-minute watermarks instead of hand-kept ValueState. The "
+        "event-time bound makes the buffered state O(tolerance x rate) "
+        "per hub, not O(history); tests/test_stream_stream_join.py "
+        "additionally property-checks the bound on synthetic fixtures. "
+        "Batch twin of the same condition is the range-join family "
+        "(operators/range_join.py).".format(S=_SLIPPAGE_TOL_S),
+)
+def streaming_slippage_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_multi,
+    )
+
+    def build(streams: dict[str, DataFrame]) -> DataFrame:
+        p = (streams["ticks"]
+             .select(F.col("tick_id"), F.col("ts").alias("tick_ts"),
+                     F.col("hub").alias("tick_hub"),
+                     F.col("price_mwh").alias("tick_price"))
+             .withWatermark("tick_ts", "10 minutes"))
+        t = (streams["trades"]
+             .select(F.col("trade_id"), F.col("ts").alias("trade_ts"),
+                     F.col("hub"), F.col("price_mwh").alias("trade_price"))
+             .withWatermark("trade_ts", "10 minutes"))
+        cond = ((F.col("hub") == F.col("tick_hub"))
+                & (F.col("tick_ts") <= F.col("trade_ts"))
+                & (F.col("tick_ts") >= F.col("trade_ts")
+                   - F.expr(f"INTERVAL {_SLIPPAGE_TOL_S} SECONDS")))
+        return (t.join(p, cond)
+                .select("trade_id", "tick_id", "hub", "trade_ts", "tick_ts",
+                        "trade_price", "tick_price",
+                        (F.col("trade_price") - F.col("tick_price"))
+                        .alias("slippage")))
+
+    return drain_streaming_multi(
+        {"ticks": _ticks(spark, sf_dir), "trades": _trades(spark, sf_dir)},
+        build, "slippage")

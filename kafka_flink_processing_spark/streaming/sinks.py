@@ -76,17 +76,31 @@ def drain_streaming_result(batch_df: DataFrame, build_stream, tag: str,
     returned DataFrame is only valid until the same tag is drained again —
     consume it before re-invoking, as every harness does.
     """
+    return drain_streaming_multi({"only": batch_df},
+                                 lambda s: build_stream(s["only"]),
+                                 tag, output_mode=output_mode)
+
+
+def drain_streaming_multi(batch_dfs: dict[str, "DataFrame"], build_streams,
+                          tag: str, output_mode: str = "append") -> DataFrame:
+    """Multi-source sibling of drain_streaming_result for queries that need
+    SEVERAL independent streams (stream-stream joins): each batch_df is
+    staged to its own single-file parquet dir and `build_streams` receives
+    `{key: stream_df}`. Same test-harness-only caveats and same leak
+    discipline (scratch tree removed, fixed sink table per tag)."""
     import shutil
     import tempfile
 
-    spark = batch_df.sparkSession
+    spark = next(iter(batch_dfs.values())).sparkSession
     work = tempfile.mkdtemp(prefix=f"kfps_{tag}_")
-    src = f"{work}/src"
-    batch_df.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema(batch_df.schema).parquet(src)
+    streams = {}
+    for key, df in batch_dfs.items():
+        src = f"{work}/src_{key}"
+        df.coalesce(1).write.mode("overwrite").parquet(src)
+        streams[key] = spark.readStream.schema(df.schema).parquet(src)
     name = f"{tag}_stream_result"
     spark.catalog.dropTempView(name)  # no-op when absent
-    run_available_now(build_stream(stream), name, f"{work}/ckpt",
+    run_available_now(build_streams(streams), name, f"{work}/ckpt",
                       output_mode=output_mode)
     shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)

@@ -1,0 +1,165 @@
+"""Fixture-level semantics for the r5 market/sketch additions: EWMA
+weights against a straight-line Python spec, Bollinger variance against
+numpy, hub-spread pairing, the CMS overestimate invariant, and the
+stream-stream interval join's time bound + batch parity."""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import tempfile
+
+import numpy as np
+
+from pyspark.sql import functions as F
+
+from kafka_flink_processing_spark.plans.analytics import (
+    _CMS_W,
+    cms_freq_estimate_q,
+)
+from kafka_flink_processing_spark.plans.market import (
+    _BB_N,
+    _EWMA_N,
+    _SLIPPAGE_TOL_S,
+    bollinger_bands_q,
+    ewma_price_q,
+    hub_spread_hourly_q,
+    streaming_slippage_join_q,
+)
+from tests.test_market import SEC, _event_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _ewma_spec(prices: list[float], n: int = _EWMA_N,
+               alpha: float = 0.5) -> list[float]:
+    """Straight-line bounded-frame EWMA: normalized weights
+    (1-alpha)^(L-1-i) over the trailing <=n prices (most recent heaviest).
+    Real-arithmetic spec — the engine's fixed-point form must agree to
+    well inside the 1e-8 term-rounding floor."""
+    out = []
+    for t in range(len(prices)):
+        frame = prices[max(0, t - n + 1): t + 1]
+        ws = [(1 - alpha) ** (len(frame) - 1 - i) for i in range(len(frame))]
+        out.append(sum(w * x for w, x in zip(ws, frame)) / sum(ws))
+    return out
+
+
+def test_ewma_matches_python_spec(spark):
+    # 40 ticks on one hub: exercises both the warm-up (frame < 32) and
+    # the saturated frame, including the frame dropping the oldest tick
+    prices = [100.0 + 7.0 * math.sin(i / 3.0) + (i % 5) for i in range(40)]
+    rows = [(i, 0, i * 10 * SEC, "view", p) for i, p in enumerate(prices)]
+    with tempfile.TemporaryDirectory(prefix="kfps_ewma_") as td:
+        _event_table(spark, td, rows)
+        got = {r.tick_id: r.ewma
+               for r in ewma_price_q(spark, td).collect()}
+    want = _ewma_spec(prices)
+    assert len(got) == len(prices)
+    for i, w in enumerate(want):
+        assert abs(got[i] - w) < 1e-6, (i, got[i], w)
+
+
+def test_ewma_weights_recent_ticks_heavier(spark):
+    # constant 100 then a jump to 200: EWMA must sit above the midpoint
+    # immediately after the jump (alpha=0.5 puts half the mass on the
+    # newest tick) while an SMA over the same frame would not
+    rows = [(i, 0, i * 10 * SEC, "view", 100.0) for i in range(32)]
+    rows.append((32, 0, 32 * 10 * SEC, "view", 200.0))
+    with tempfile.TemporaryDirectory(prefix="kfps_ewmaj_") as td:
+        _event_table(spark, td, rows)
+        got = {r.tick_id: r.ewma for r in ewma_price_q(spark, td).collect()}
+    # (1e-7, not exact: each scaled-int term rounds at 1e-8, and ~20
+    # half-up roundings on 100 * 2^-k terms accumulate a few 1e-8)
+    assert abs(got[31] - 100.0) < 1e-7
+    assert got[32] > 149.0  # ~150: half the mass on the jump tick
+
+
+def test_bollinger_matches_numpy(spark):
+    prices = [round(50.0 + 10.0 * math.sin(i / 4.0), 2) for i in range(30)]
+    rows = [(i, 0, i * 10 * SEC, "view", p) for i, p in enumerate(prices)]
+    with tempfile.TemporaryDirectory(prefix="kfps_bb_") as td:
+        _event_table(spark, td, rows)
+        out = {r.tick_id: r for r in bollinger_bands_q(spark, td).collect()}
+    # warm-up rows (frame < 20) are dropped
+    assert sorted(out) == list(range(_BB_N - 1, 30))
+    for t in range(_BB_N - 1, 30):
+        frame = np.array(prices[t - _BB_N + 1: t + 1])
+        mid, sd = frame.mean(), frame.std(ddof=1)
+        r = out[t]
+        assert abs(r.mid_band - mid) < 1e-6
+        assert abs(r.sd - sd) < 1e-4  # 2dp fixed-point floor on S2
+        assert abs(r.upper_band - (r.mid_band + 2 * r.sd)) < 1e-12
+        assert abs(r.lower_band - (r.mid_band - 2 * r.sd)) < 1e-12
+
+
+def test_bollinger_constant_price_sd_zero(spark):
+    # the GREATEST(.., 0) guard: constant prices must give sd exactly 0,
+    # never NaN from a rounding-negative variance
+    rows = [(i, 0, i * SEC, "view", 123.45) for i in range(25)]
+    with tempfile.TemporaryDirectory(prefix="kfps_bbc_") as td:
+        _event_table(spark, td, rows)
+        out = bollinger_bands_q(spark, td).collect()
+    assert out and all(r.sd == 0.0 and r.upper_band == r.lower_band
+                       for r in out)
+
+
+def test_hub_spread_pairs_and_sign(spark):
+    # two hubs, one hour: exactly one (hub_a < hub_b) pair, spread =
+    # avg(HUB0) - avg(HUB1)
+    rows = [
+        (1, 0, 0, "view", 100.0), (2, 0, 10 * SEC, "view", 110.0),  # HUB0
+        (3, 1, 0, "view", 90.0), (4, 1, 10 * SEC, "view", 95.0),    # HUB1
+    ]
+    with tempfile.TemporaryDirectory(prefix="kfps_spread_") as td:
+        _event_table(spark, td, rows)
+        out = hub_spread_hourly_q(spark, td).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.hub_a, r.hub_b) == ("HUB0", "HUB1")
+    assert r.price_a == 105.0 and r.price_b == 92.5
+    assert r.spread == 12.5
+    assert r.n_ticks_a == 2 and r.n_ticks_b == 2
+
+
+def test_cms_never_underestimates(spark):
+    sf_dir = SF
+    out = cms_freq_estimate_q(spark, sf_dir).collect()
+    assert out, "probe set must be non-empty"
+    total = sum(r.exact_n for r in out)  # lower bound on stream size N
+    for r in out:
+        assert r.cms_n >= r.exact_n          # CMS error is one-sided
+        assert r.overestimate == r.cms_n - r.exact_n
+    # Markov bound sanity at d=4: every estimate within N additive error
+    # would be astronomically unlucky to fail; use the loose per-row cap
+    # err <= N (true N >= probe total) scaled by the 2/w factor x slack 8
+    n_stream = spark.read.parquet(f"{sf_dir}/events.parquet").count()
+    cap = max(1, int(8 * 2 * n_stream / _CMS_W))
+    bad = [r for r in out if r.overestimate > cap]
+    assert not bad, (cap, bad)
+    assert total <= n_stream
+
+
+def test_slippage_join_matches_batch_and_time_bound(spark):
+    sf_dir = SF
+    out = streaming_slippage_join_q(spark, sf_dir)
+    rows = out.collect()
+    assert rows
+    tol = dt.timedelta(seconds=_SLIPPAGE_TOL_S)
+    for r in rows:
+        assert r.tick_ts <= r.trade_ts          # tick at or before trade
+        assert r.trade_ts - r.tick_ts <= tol    # within tolerance
+        assert abs(r.slippage - (r.trade_price - r.tick_price)) < 1e-12
+    # batch parity: the same interval join as plain DataFrame algebra
+    from kafka_flink_processing_spark.plans.market import _ticks, _trades
+    p = _ticks(spark, sf_dir).select(
+        "tick_id", F.col("ts").alias("tick_ts"),
+        F.col("hub").alias("tick_hub"), F.col("price_mwh"))
+    t = _trades(spark, sf_dir).select(
+        "trade_id", F.col("ts").alias("trade_ts"), "hub")
+    cond = ((F.col("hub") == F.col("tick_hub"))
+            & (F.col("tick_ts") <= F.col("trade_ts"))
+            & (F.col("tick_ts") >= F.col("trade_ts")
+               - F.expr(f"INTERVAL {_SLIPPAGE_TOL_S} SECONDS")))
+    batch = {(r.trade_id, r.tick_id) for r in t.join(p, cond).collect()}
+    assert {(r.trade_id, r.tick_id) for r in rows} == batch
