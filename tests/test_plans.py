@@ -218,3 +218,32 @@ def test_dup_span_redact_linear_no_pair_join(spark):
     # asserted functionally by the shared-index reuse in dup_span_stats,
     # not by string-matching the plan (flaky across test orderings).
     assert joins <= 4, plan
+
+
+def test_ewma_and_bollinger_are_single_window_shuffle(spark):
+    # both must plan ONE hashpartitioning exchange (the hub window) and
+    # never a global sort; the EWMA's higher-order transform/aggregate
+    # stays a projection over the collected frame, not a second exchange
+    for name in ("ewma_price", "bollinger_bands"):
+        plan = plan_of(spark, name)
+        assert plan.count("Exchange hashpartitioning") == 1, name
+        assert "Exchange rangepartitioning" not in plan, name
+        assert "CartesianProduct" not in plan, name
+
+
+def test_hub_spread_joins_preaggregates_broadcast(spark):
+    # the self-join input is the hubs x hours pre-aggregate: it must be
+    # broadcast (bounded size at any corpus), never a sort-merge of ticks
+    plan = plan_of(spark, "hub_spread_hourly")
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cms_sketch_is_broadcast_probe_no_big_shuffle(spark):
+    # the d*w-cell sketch must broadcast to the probe join; the only
+    # hash exchanges are the two bounded aggregations (sketch cells,
+    # probe exact counts + the final min-over-rows), never a sort-merge
+    plan = plan_of(spark, "cms_freq_estimate")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
