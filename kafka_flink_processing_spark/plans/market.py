@@ -540,3 +540,75 @@ def streaming_slippage_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return drain_streaming_multi(
         {"ticks": _ticks(spark, sf_dir), "trades": _trades(spark, sf_dir)},
         build, "slippage")
+
+
+@register(
+    "da_rt_daily_corr",
+    oracle=f"""
+    WITH rt AS (SELECT 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+                       date_trunc('hour', ts) AS h,
+                       {dsum_sql('value')} / COUNT(*) AS rt_avg
+                FROM events WHERE event_type = 'view' GROUP BY 1, 2),
+    da AS (SELECT 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+                  date_trunc('hour', ts) AS h,
+                  {dsum_sql('value')} / COUNT(*) AS da_avg
+           FROM events WHERE event_type = 'signup' GROUP BY 1, 2),
+    p AS (SELECT rt.hub, date_trunc('day', rt.h) AS day,
+                 rt.rt_avg AS x, da.da_avg AS y
+          FROM rt JOIN da ON rt.hub = da.hub AND rt.h = da.h),
+    m AS (SELECT hub, day, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                 {dsum_sql('x', 6)} AS sx, {dsum_sql('y', 6)} AS sy,
+                 {dsum_sql('x * y', 6)} AS sxy,
+                 {dsum_sql('x * x', 6)} AS sxx,
+                 {dsum_sql('y * y', 6)} AS syy
+          FROM p GROUP BY 1, 2)
+    SELECT hub, day, n_hours,
+           CASE WHEN n_hours >= 2
+                 AND (n_hours * sxx - sx * sx) > 0.0
+                 AND (n_hours * syy - sy * sy) > 0.0
+                THEN (n_hours * sxy - sx * sy)
+                     / (sqrt(n_hours * sxx - sx * sx)
+                        * sqrt(n_hours * syy - sy * sy))
+                ELSE NULL END AS corr_da_rt
+    FROM m
+    """,
+    doc="daily correlation between the real-time and day-ahead price "
+        "series per hub (the DA/RT coupling gauge behind "
+        "da_rt_asof_basis's row-level view, README.md:98-100): hourly "
+        "exact-average RT and DA prices are paired on (hub, hour), then "
+        "Pearson r per (hub, day) from the five moment sums, each "
+        "6dp-rounded into scaled int64 (functions/exact.py) so the "
+        "reduction is order-free; the final r is a handful of IEEE ops "
+        "on identical integers in both engines. Degenerate days "
+        "(fewer than 2 paired hours, or a constant side) yield NULL "
+        "rather than a 0/0. Scale: two map-side-combined hourly "
+        "aggregates (bounded hubs x hours output), an hour-keyed join "
+        "of those bounded tables, and one (hub, day) reduction — tick "
+        "volume is touched exactly twice, both times map-side.",
+)
+def da_rt_daily_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, "events", sf_dir)
+    hub = F.concat(F.lit("HUB"), (F.col("user_id") % 4).cast("string"))
+
+    def hourly(et: str, out: str) -> DataFrame:
+        return (ev.filter(F.col("event_type") == et)
+                .groupBy(hub.alias("hub"),
+                         F.date_trunc("hour", F.col("ts")).alias("h"))
+                .agg((dsum("value") / F.count("*")).alias(out)))
+
+    p = (hourly("view", "x").join(hourly("signup", "y"), ["hub", "h"])
+         .select("hub", F.date_trunc("day", F.col("h")).alias("day"),
+                 "x", "y"))
+    m = p.groupBy("hub", "day").agg(
+        F.count("*").alias("n_hours"),
+        dsum("x", 6).alias("sx"), dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"))
+    n = F.col("n_hours")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0),
+               cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return m.select("hub", "day", "n_hours", r.alias("corr_da_rt"))

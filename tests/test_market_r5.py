@@ -19,6 +19,7 @@ from kafka_flink_processing_spark.plans.analytics import (
 )
 from kafka_flink_processing_spark.plans.market import (
     _BB_N,
+    da_rt_daily_corr_q,
     _EWMA_N,
     _SLIPPAGE_TOL_S,
     bollinger_bands_q,
@@ -163,3 +164,48 @@ def test_slippage_join_matches_batch_and_time_bound(spark):
                - F.expr(f"INTERVAL {_SLIPPAGE_TOL_S} SECONDS")))
     batch = {(r.trade_id, r.tick_id) for r in t.join(p, cond).collect()}
     assert {(r.trade_id, r.tick_id) for r in rows} == batch
+
+
+def test_da_rt_corr_matches_numpy(spark):
+    # one hub, two days: day 1 has DA tracking RT (positive corr), day 2
+    # has DA moving against RT (negative corr); an hour with only one
+    # side present must not enter the pairing
+    rt, da = [], []
+    HOUR = 3600 * SEC
+    for h in range(6):  # day 1: y = x
+        rt.append((100 + h, 0, h * HOUR, "view", 50.0 + h))
+        da.append((200 + h, 0, h * HOUR + SEC, "signup", 10.0 + 2 * h))
+    for h in range(6):  # day 2: y = -x
+        off = 24 * HOUR + h * HOUR
+        rt.append((300 + h, 0, off, "view", 50.0 + h))
+        da.append((400 + h, 0, off + SEC, "signup", 30.0 - 2 * h))
+    # unpaired hours: RT-only and DA-only (must be excluded)
+    rt.append((500, 0, 10 * HOUR, "view", 99.0))
+    da.append((501, 0, 11 * HOUR, "signup", 77.0))
+    with tempfile.TemporaryDirectory(prefix="kfps_corr_") as td:
+        _event_table(spark, td, rt + da)
+        out = {r.day.day: r for r in
+               da_rt_daily_corr_q(spark, td).collect()}
+    assert sorted(out) == [1, 2]
+    assert out[1].n_hours == 6 and out[2].n_hours == 6
+    assert abs(out[1].corr_da_rt - 1.0) < 1e-6
+    assert abs(out[2].corr_da_rt - (-1.0)) < 1e-6
+
+
+def test_da_rt_corr_degenerate_days_null(spark):
+    # constant DA side (zero variance) and a single paired hour: both NULL
+    HOUR = 3600 * SEC
+    rows = [
+        # day 1: 3 paired hours, DA constant
+        (1, 0, 0 * HOUR, "view", 10.0), (2, 0, 0 * HOUR, "signup", 5.0),
+        (3, 0, 1 * HOUR, "view", 20.0), (4, 0, 1 * HOUR, "signup", 5.0),
+        (5, 0, 2 * HOUR, "view", 30.0), (6, 0, 2 * HOUR, "signup", 5.0),
+        # day 2: a single paired hour
+        (7, 0, 24 * HOUR, "view", 10.0), (8, 0, 24 * HOUR, "signup", 9.0),
+    ]
+    with tempfile.TemporaryDirectory(prefix="kfps_corrd_") as td:
+        _event_table(spark, td, rows)
+        out = {r.day.day: r for r in
+               da_rt_daily_corr_q(spark, td).collect()}
+    assert out[1].corr_da_rt is None   # constant side
+    assert out[2].corr_da_rt is None   # n_hours < 2
