@@ -730,6 +730,26 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count("*").alias("n_users")))
 
 
+def _dense_hourly_counts(events: DataFrame) -> DataFrame:
+    """(event_type, hour, n_events) over the DENSIFIED per-type hour axis
+    (sequence over [first, last] hour, zero-filled) — shared by the
+    trailing-mean and MAD anomaly screens so both see outage hours as
+    real zero rows."""
+    h = (events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
+                        "event_type")
+         .agg(F.count("*").alias("n_events")))
+    bounds = h.groupBy("event_type").agg(F.min("hour").alias("h0"),
+                                         F.max("hour").alias("h1"))
+    grid = bounds.select(
+        "event_type",
+        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
+         .alias("hour"))
+    return (grid.join(h, ["event_type", "hour"], "left")
+            .select("event_type", "hour",
+                    F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
+                    .alias("n_events")))
+
+
 @register(
     "event_hourly_anomaly",
     oracle="""
@@ -774,19 +794,7 @@ def retention_cohorts_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def event_hourly_anomaly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, "events", sf_dir)
-    h = (events.groupBy(F.date_trunc("hour", F.col("ts")).alias("hour"),
-                        "event_type")
-         .agg(F.count("*").alias("n_events")))
-    bounds = h.groupBy("event_type").agg(F.min("hour").alias("h0"),
-                                         F.max("hour").alias("h1"))
-    grid = bounds.select(
-        "event_type",
-        F.explode(F.sequence("h0", "h1", F.expr("INTERVAL 1 HOUR")))
-         .alias("hour"))
-    full_h = (grid.join(h, ["event_type", "hour"], "left")
-              .select("event_type", "hour",
-                      F.coalesce(F.col("n_events"), F.lit(0)).cast("long")
-                      .alias("n_events")))
+    full_h = _dense_hourly_counts(events)
     tw = (Window.partitionBy("event_type").orderBy("hour")
           .rowsBetween(-24, -1))
     w = (full_h.withColumn("prev_sum", F.sum("n_events").over(tw))
@@ -1357,3 +1365,104 @@ def cms_freq_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("user_id", "exact_n", "cms_n",
                     (F.col("cms_n") - F.col("exact_n"))
                     .alias("overestimate")))
+
+
+# The per-type median/MAD rank-selection idiom: one dense CTE shared with
+# event_hourly_anomaly's oracle, then two integer order-statistic passes.
+_MAD_DENSE_SQL = """
+    h AS (SELECT date_trunc('hour', ts) AS hour, event_type,
+                 CAST(COUNT(*) AS BIGINT) AS n_events
+          FROM events GROUP BY 1, 2),
+    bounds AS (SELECT event_type, MIN(hour) AS h0, MAX(hour) AS h1
+               FROM h GROUP BY 1),
+    grid AS (SELECT event_type,
+                    unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour
+             FROM bounds),
+    full_h AS (SELECT g.event_type, g.hour,
+                      CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events
+               FROM grid g LEFT JOIN h
+                 ON g.event_type = h.event_type AND g.hour = h.hour)
+"""
+
+
+@register(
+    "event_rate_mad_outliers",
+    oracle=f"""
+    WITH {_MAD_DENSE_SQL},
+    r1 AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY n_events, hour) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM full_h),
+    med AS (SELECT event_type,
+                   SUM(CASE WHEN rn = (n + 1) // 2 THEN n_events END)
+                   + SUM(CASE WHEN rn = (n + 2) // 2 THEN n_events END)
+                     AS med2
+            FROM r1 GROUP BY 1),
+    dev AS (SELECT f.event_type, f.hour, f.n_events, m.med2,
+                   ABS(2 * f.n_events - m.med2) AS d
+            FROM full_h f JOIN med m ON f.event_type = m.event_type),
+    r2 AS (SELECT *,
+                  ROW_NUMBER() OVER (PARTITION BY event_type
+                                     ORDER BY d, hour) AS rn,
+                  COUNT(*) OVER (PARTITION BY event_type) AS n
+           FROM dev),
+    mad AS (SELECT event_type,
+                   SUM(CASE WHEN rn = (n + 1) // 2 THEN d END)
+                   + SUM(CASE WHEN rn = (n + 2) // 2 THEN d END) AS mad2
+            FROM r2 GROUP BY 1)
+    SELECT v.event_type, v.hour, v.n_events,
+           CAST(v.med2 AS DOUBLE) / 2.0 AS median_rate,
+           CAST(a.mad2 AS DOUBLE) / 4.0 AS mad,
+           CAST(v.d AS DOUBLE) / 2.0
+             > 3.0 * 1.4826 * (CAST(a.mad2 AS DOUBLE) / 4.0) AS is_outlier
+    FROM dev v JOIN mad a ON v.event_type = a.event_type
+    """,
+    doc="robust hourly-rate outlier screen per event type: each dense-grid "
+        "hourly count against the TYPE'S EXACT median and median-absolute-"
+        "deviation, flagged at |x - med| > 3 * 1.4826 * MAD (the robust "
+        "z-score; 1.4826 scales MAD to sigma under normality). Complements "
+        "event_hourly_anomaly's trailing-mean ratio: the MAD baseline is "
+        "immune to the very outliers/outages it is hunting, where a "
+        "mean/stddev screen masks itself. Exact order statistics via the "
+        "rank-selection idiom with doubled-integer medians (med2 = a + b "
+        "over the two middle ranks, so a .5 median never touches a float "
+        "until the final report columns) — every comparison is integer or "
+        "a single IEEE op on identical integers in both engines; "
+        "(n_events, hour) / (d, hour) tie-breaks keep the ranks "
+        "deterministic. A zero-MAD type (over half its hours identical) "
+        "flags ANY deviation — standard MAD behavior, documented not "
+        "hidden. Scale: the grid is wall-clock hours x types (bounded by "
+        "time, not corpus rows); two rank windows + two broadcast-sized "
+        "per-type joins over it — the only corpus-sized pass is the "
+        "hourly pre-aggregate, map-side combined.",
+)
+def event_rate_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, "events", sf_dir)
+    full_h = _dense_hourly_counts(events)
+
+    def rank_select(df: DataFrame, val: str, out: str) -> DataFrame:
+        """sum of the two middle-rank values of `val` per event_type
+        (= 2x the exact median, kept integer)."""
+        wr = Window.partitionBy("event_type").orderBy(val, "hour")
+        wn = Window.partitionBy("event_type")
+        r = (df.withColumn("rn", F.row_number().over(wr))
+             .withColumn("n", F.count("*").over(wn)))
+        p1 = F.floor((F.col("n") + 1) / 2)
+        p2 = F.floor((F.col("n") + 2) / 2)
+        return r.groupBy("event_type").agg(
+            (F.sum(F.when(F.col("rn") == p1, F.col(val)))
+             + F.sum(F.when(F.col("rn") == p2, F.col(val)))).alias(out))
+
+    med = rank_select(full_h, "n_events", "med2")
+    dev = (full_h.join(F.broadcast(med), "event_type")
+           .withColumn("d", F.abs(2 * F.col("n_events") - F.col("med2"))))
+    mad = rank_select(dev, "d", "mad2")
+    out = dev.join(F.broadcast(mad), "event_type")
+    madv = F.col("mad2").cast("double") / 4.0
+    return out.select(
+        "event_type", "hour", "n_events",
+        (F.col("med2").cast("double") / 2.0).alias("median_rate"),
+        madv.alias("mad"),
+        (F.col("d").cast("double") / 2.0 > 3.0 * 1.4826 * madv)
+        .alias("is_outlier"))

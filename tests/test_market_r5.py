@@ -27,7 +27,7 @@ from kafka_flink_processing_spark.plans.market import (
     hub_spread_hourly_q,
     streaming_slippage_join_q,
 )
-from tests.test_market import SEC, _event_table
+from tests.test_market import SEC, T0, _event_table
 
 SF = "/root/testdata/sf0.001"
 
@@ -209,3 +209,63 @@ def test_da_rt_corr_degenerate_days_null(spark):
                da_rt_daily_corr_q(spark, td).collect()}
     assert out[1].corr_da_rt is None   # constant side
     assert out[2].corr_da_rt is None   # n_hours < 2
+
+
+def test_mad_outliers_match_python(spark):
+    # one event type, a stable band of counts with one huge spike and one
+    # zero-outage hour; verify exact median/MAD and the flag rule against
+    # a straight-line Python computation over the SAME dense grid
+    import statistics
+
+    from kafka_flink_processing_spark.plans.analytics import (
+        event_rate_mad_outliers_q,
+    )
+    HOUR = 3600 * SEC
+    counts = [5, 6, 5, 7, 6, 5, 80, 6, 5, 7]  # hour 6 spikes; no gap yet
+    rows = []
+    eid = 0
+    for h, c in enumerate(counts):
+        for k in range(c):
+            rows.append((eid, 0, h * HOUR + k * SEC, "view", 1.0))
+            eid += 1
+    # hour 10 empty (gap), hour 11 has 6 events -> grid fills hour 10 = 0
+    for k in range(6):
+        rows.append((eid, 0, 11 * HOUR + k * SEC, "view", 1.0))
+        eid += 1
+    with tempfile.TemporaryDirectory(prefix="kfps_mad_") as td:
+        _event_table(spark, td, rows)
+        out = {int((r.hour - T0).total_seconds() // 3600): r for r in
+               event_rate_mad_outliers_q(spark, td).collect()}
+    grid = counts + [0, 6]
+    med = statistics.median(grid)
+    mad = statistics.median(sorted(abs(c - med) for c in grid))
+    assert sorted(out) == list(range(12))
+    for h, c in enumerate(grid):
+        r = out[h]
+        assert r.n_events == c
+        assert r.median_rate == med
+        assert r.mad == mad
+        assert r.is_outlier == (abs(c - med) > 3 * 1.4826 * mad), (h, c)
+    assert out[6].is_outlier           # the spike
+    assert not out[0].is_outlier
+
+
+def test_mad_zero_flags_any_deviation(spark):
+    # >half the hours share one count -> MAD = 0: any deviating hour flags
+    from kafka_flink_processing_spark.plans.analytics import (
+        event_rate_mad_outliers_q,
+    )
+    HOUR = 3600 * SEC
+    rows = []
+    eid = 0
+    for h in range(7):
+        for k in range(4):  # constant 4/hour
+            rows.append((eid, 0, h * HOUR + k * SEC, "view", 1.0))
+            eid += 1
+    rows.append((eid, 0, 7 * HOUR, "view", 1.0))  # hour 7: count 1
+    with tempfile.TemporaryDirectory(prefix="kfps_madz_") as td:
+        _event_table(spark, td, rows)
+        out = {int((r.hour - T0).total_seconds() // 3600): r for r in
+               event_rate_mad_outliers_q(spark, td).collect()}
+    assert out[0].mad == 0.0
+    assert out[7].is_outlier and not out[0].is_outlier
