@@ -1466,3 +1466,76 @@ def event_rate_mad_outliers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         madv.alias("mad"),
         (F.col("d").cast("double") / 2.0 > 3.0 * 1.4826 * madv)
         .alias("is_outlier"))
+
+
+@register(
+    "embedding_pca_variance",
+    oracle=None,  # eigendecomposition is not SQL-expressible; rows-only +
+                  # the numpy differential test in tests/test_market_r5.py
+    doc="PCA explained-variance spectrum of the embedding corpus — the "
+        "diagnostic that sizes dimensionality reduction before ANN "
+        "compression (how many components carry 95% of the variance "
+        "decides the OPQ/PCA target dim). Distributed exactly like "
+        "large-scale PCA is done in practice: ONE Arrow mapInPandas pass "
+        "emits per-batch partial (count, sum-vector, d x d Gramian) rows "
+        "— O(d^2) floats per batch, independent of batch row count — a "
+        "posexplode + groupBy(pos) reduces the partials map-side-combined "
+        "(never a d^2-per-ROW fan-out), and only the d x d covariance "
+        "(64 x 64 here) reaches the driver for numpy eigh. The collect "
+        "is O(d^2) — the same bounded-driver-state class as the k-means "
+        "K x d partial sums, correct at any corpus size. Output: one row "
+        "per component with eigenvalue, explained ratio, and the "
+        "cumulative curve.",
+)
+def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, "embeddings", sf_dir).select("embedding")
+
+    def partials(batches):
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            X = np.vstack(pdf["embedding"].to_numpy()).astype("float64")
+            g = X.T @ X
+            yield pd.DataFrame({
+                "n": [len(X)],
+                "s": [X.sum(axis=0).tolist()],
+                "g": [g.ravel().tolist()],
+            })
+
+    # persist the tiny partials table (O(partitions) rows) so the three
+    # reductions below read it instead of re-running the corpus pass
+    part = emb.mapInPandas(
+        partials, schema="n long, s array<double>, g array<double>").persist()
+    try:
+        # map-side-combined reduction of the partial vectors: (pos, value)
+        # rows, summed per position — the shuffle carries
+        # O(partitions * d^2) rows, never O(corpus)
+        svec = (part.select(F.posexplode("s").alias("pos", "v"))
+                .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+        gvec = (part.select(F.posexplode("g").alias("pos", "v"))
+                .groupBy("pos").agg(F.sum("v").alias("v")).collect())
+        n_total = part.agg(F.sum("n")).collect()[0][0]
+    finally:
+        part.unpersist()
+    d = len(svec)
+    s = np.zeros(d)
+    for r in svec:
+        s[r.pos] = r.v
+    g = np.zeros(d * d)
+    for r in gvec:
+        g[r.pos] = r.v
+    g = g.reshape(d, d)
+    mu = s / n_total
+    cov = (g - n_total * np.outer(mu, mu)) / (n_total - 1)
+    evals = np.linalg.eigvalsh(cov)[::-1]          # descending
+    evals = np.clip(evals, 0.0, None)              # fp eigh can dip < 0
+    total = float(evals.sum())
+    cum = np.cumsum(evals) / total
+    rows = [(int(i), float(evals[i]), float(evals[i] / total),
+             float(cum[i])) for i in range(d)]
+    return spark.createDataFrame(
+        rows, "component long, eigenvalue double, explained_ratio double, "
+              "cumulative_ratio double")

@@ -356,6 +356,58 @@ def dedup_clusters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components(pairs, docs.select("doc_id"))
 
 
+_N_FOLDS = 5
+
+
+@register(
+    "cluster_aware_folds",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES.replace('WITH ', '', 1).format(
+        sig=_minhash_sig_sql().strip().lstrip(), bands='{bands}')}
+    ,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS canonical_id
+                 FROM reach GROUP BY a)
+    SELECT doc_id, canonical_id,
+           {_H60.format(x="'fold:' || CAST(canonical_id AS VARCHAR)")}
+             % {_N_FOLDS} AS fold
+    FROM clusters
+    """.format(bands=_minhash_bands_sql()),
+    doc="leakage-safe k-fold assignment ({k} folds): the fold is the "
+        "salted hash of the doc's near-dup CLUSTER canonical id, not of "
+        "the doc itself — so every member of a MinHash-LSH connected "
+        "component lands in the SAME fold and a model can never see a "
+        "near-duplicate of its eval data at train time (the "
+        "cross-validation form of split_leakage_audit's finding; "
+        "train_test_split hashes raw doc_id and is exactly the splitter "
+        "this guards against for near-dup-heavy corpora). Deterministic "
+        "on any cluster size/retry like every split here. Cost on top of "
+        "the audited dedup_clusters shape: one hash projection — the "
+        "closure itself is the same iterative min-label propagation "
+        "(one shuffle join per round, rounds = component diameter)."
+        .format(k=_N_FOLDS),
+)
+def cluster_aware_folds_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    from kafka_flink_processing_spark.operators.cluster import (
+        connected_components,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, docs.select("doc_id"))
+    fold = md5_hash60(F.concat(F.lit("fold:"),
+                               F.col("canonical_id").cast("string"))) \
+        % _N_FOLDS
+    return cc.select("doc_id", "canonical_id", fold.alias("fold"))
+
+
 def _simhash_sql() -> str:
     sums = ", ".join(
         f"SUM(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS s{j}"

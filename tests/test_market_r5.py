@@ -269,3 +269,41 @@ def test_mad_zero_flags_any_deviation(spark):
                event_rate_mad_outliers_q(spark, td).collect()}
     assert out[0].mad == 0.0
     assert out[7].is_outlier and not out[0].is_outlier
+
+
+def test_pca_variance_matches_numpy(spark):
+    from kafka_flink_processing_spark.plans.analytics import (
+        embedding_pca_variance_q,
+    )
+    out = embedding_pca_variance_q(spark, SF).collect()
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").collect()
+    X = np.vstack([r.embedding for r in emb]).astype("float64")
+    want = np.linalg.eigvalsh(np.cov(X, rowvar=False))[::-1]
+    want = np.clip(want, 0.0, None)
+    got = sorted(out, key=lambda r: r.component)
+    assert len(got) == X.shape[1]
+    for i, r in enumerate(got):
+        assert abs(r.eigenvalue - want[i]) < 1e-8 * max(1.0, want[0]), i
+    assert abs(got[-1].cumulative_ratio - 1.0) < 1e-9
+    ratios = [r.explained_ratio for r in got]
+    assert all(ratios[i] >= ratios[i + 1] - 1e-12
+               for i in range(len(ratios) - 1))
+
+
+def test_cluster_aware_folds_no_leakage(spark):
+    from kafka_flink_processing_spark.plans.extensions import (
+        _N_FOLDS,
+        cluster_aware_folds_q,
+        dedup_minhash_lsh_q,
+    )
+    folds = {r.doc_id: r for r in cluster_aware_folds_q(spark, SF).collect()}
+    pairs = dedup_minhash_lsh_q(spark, SF).collect()
+    assert pairs, "fixture corpus must contain near-dup pairs"
+    for p in pairs:  # every near-dup pair shares a fold — the whole point
+        assert folds[p.doc_a].fold == folds[p.doc_b].fold, (p.doc_a, p.doc_b)
+        assert folds[p.doc_a].canonical_id == folds[p.doc_b].canonical_id
+    counts = [0] * _N_FOLDS
+    for r in folds.values():
+        assert 0 <= r.fold < _N_FOLDS
+        counts[r.fold] += 1
+    assert all(c > 0 for c in counts)  # hash spreads folds at 500 docs
