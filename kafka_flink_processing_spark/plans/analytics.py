@@ -1520,6 +1520,12 @@ def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_total = part.agg(F.sum("n")).collect()[0][0]
     finally:
         part.unpersist()
+    schema = ("component long, eigenvalue double, explained_ratio double, "
+              "cumulative_ratio double")
+    if n_total is None or n_total < 2:
+        # empty (or single-vector) corpus: no covariance to decompose —
+        # empty result, same schema (the repo-wide empty-input contract)
+        return spark.createDataFrame([], schema)
     d = len(svec)
     s = np.zeros(d)
     for r in svec:
@@ -1536,6 +1542,4 @@ def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = np.cumsum(evals) / total
     rows = [(int(i), float(evals[i]), float(evals[i] / total),
              float(cum[i])) for i in range(d)]
-    return spark.createDataFrame(
-        rows, "component long, eigenvalue double, explained_ratio double, "
-              "cumulative_ratio double")
+    return spark.createDataFrame(rows, schema)
