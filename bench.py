@@ -43,6 +43,11 @@ R4_22 = CORE16 | frozenset({
     "dedup_incremental_minhash", "dup_span_redact", "ohlc_bars",
     "pnl_positions_hybrid",
 })
+# R5_25 = the set benched through most of r5 (BENCH_r05's floor set);
+# frozen when the late-r5 pack (ewma/bollinger/CMS) joined the headline.
+R5_25 = R4_22 | frozenset({
+    "sql_q5_local_supplier", "sql_q6_forecast_revenue", "heavy_hitters_mg",
+})
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -66,7 +71,8 @@ def main() -> None:
     # with an explicit raise (a bare assert would vanish under python -O
     # and let a subtotal silently shrink — the exact failure these sets
     # exist to catch)
-    for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22)):
+    for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22),
+                                ("R5_25", R5_25)):
         missing = frozen - set(headline)
         if missing:
             raise SystemExit(
@@ -134,6 +140,7 @@ def main() -> None:
         # frozen-set subtotals: compare these across rounds, not `value`
         "core16_subtotal": round(sum(times[q] for q in CORE16), 3),
         "r4_22_subtotal": round(sum(times[q] for q in R4_22), 3),
+        "r5_25_subtotal": round(sum(times[q] for q in R5_25), 3),
         "sf": sf_from_dir(sf_dir),
     }))
 

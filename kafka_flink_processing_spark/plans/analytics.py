@@ -1335,10 +1335,11 @@ _CMS_HASH_SQL = ", ".join(f"({j}, {a}, {b})" for j, a, b in _CMS_HASHES)
         "hash-matches the SQL oracle exactly. The CMS complements "
         "heavy_hitters_mg: MG answers 'which keys are frequent', CMS "
         "answers point queries over keys you name, in bounded memory at "
-        "any scale. tests/test_sketch_sampling.py adds the error-bound "
-        "property check.".format(
+        "any scale. tests/test_market_r5.py adds the one-sided error-"
+        "bound property check.".format(
             d=len(_CMS_HASHES), w=_CMS_W,
             cells=len(_CMS_HASHES) * _CMS_W),
+    bench=True,  # first benched r5: sketch-build + broadcast-probe floor
 )
 def cms_freq_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, "events", sf_dir).select("user_id")

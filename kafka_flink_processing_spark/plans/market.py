@@ -353,6 +353,7 @@ _EWMA_SCALE = 10 ** 8  # per-term fixed-point scale for the order-free sum
         "closed form, not a second fold. One window shuffle on hub; "
         "re-key by (hub, epoch) with a {N}-row overlap to shard "
         "year-long hubs, same lever as max_drawdown.".format(N=_EWMA_N),
+    bench=True,  # first benched r5: higher-order-frame window floor
 )
 def ewma_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _ticks(spark, sf_dir)
@@ -413,6 +414,7 @@ _BB_N = 20  # Bollinger frame: SMA(20) +/- 2 sigma
         "rounding of S2 could land the numerator at -1. One window "
         "shuffle on hub, same sharding lever as ewma_price.".format(
             N=_BB_N),
+    bench=True,  # first benched r5: scaled-int window-sum floor
 )
 def bollinger_bands_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _ticks(spark, sf_dir)
