@@ -679,3 +679,34 @@ def contamination_screen(docs: DataFrame, eval_cond, n: int = 4,
             .select("doc_id", "n_shared_grams", "n_grams",
                     (F.col("n_shared_grams").cast("double")
                      / F.col("n_grams")).alias("contamination_ratio")))
+
+
+def containment_pairs(docs: DataFrame, n: int = 3, threshold: float = 0.5,
+                      id_col: str = "doc_id", text_col: str = "text",
+                      max_df: int | None = NGRAM_MAX_DF) -> DataFrame:
+    """All pairs whose n-gram CONTAINMENT — |A∩B| / min(|A|, |B|) — meets
+    the threshold, alongside their Jaccard for contrast.
+
+    Containment is the asymmetric near-dup measure Jaccard misses: a short
+    document pasted verbatim inside a long one has tiny Jaccard (the union
+    is dominated by the long doc) but containment ~1.0 — exactly the
+    quote/boilerplate/sub-document duplication a training-corpus dedup
+    pass must catch (the reference has no dedup at all; this extends the
+    ngram_jaccard_pairs family it would need at scale).
+
+    Same machinery and cost shape as ngram_jaccard_pairs: the memoized
+    shingle index, the df-capped inverted-index self-join, pre-aggregated
+    intersection counts — no O(n^2) cross join anywhere.
+    """
+    ds = _doc_shingles(docs, id_col, text_col, n)  # cached + primed by memo
+    sizes = ds.select("doc_id", F.size("sh").alias("n_sh"))
+    inter = _jaccard_intersections(ds, False, max_df)
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("n_a"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("n_b"))
+    return (inter.join(sa, "doc_a").join(sb, "doc_b")
+                 .withColumn("containment", F.col("n_common")
+                             / F.least(F.col("n_a"), F.col("n_b")))
+                 .withColumn("jaccard", F.col("n_common")
+                             / (F.col("n_a") + F.col("n_b") - F.col("n_common")))
+                 .filter(F.col("containment") >= threshold)
+                 .select("doc_a", "doc_b", "containment", "jaccard"))

@@ -1544,3 +1544,102 @@ def embedding_pca_variance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(int(i), float(evals[i]), float(evals[i] / total),
              float(cum[i])) for i in range(d)]
     return spark.createDataFrame(rows, schema)
+
+
+# ---------------------------------------------------------------------------
+# r5 late pack B: retrieval scoring
+# ---------------------------------------------------------------------------
+
+# A fixed curation query: score every document against these terms. In a
+# production curation run the term list is the "high-quality-like" probe
+# set (or one list per domain); it is always small and broadcast.
+_BM25_TERMS = ("join", "window", "stream", "hash", "batch")
+_BM25_K1 = 1.5   # exact in binary, so k1-arithmetic is cross-engine exact
+_BM25_B = 0.75   # likewise
+_BM25_SCALE = 10 ** 6  # per-term fixed-point scale for the order-free sum
+
+_BM25_TERMS_SQL = ", ".join(f"'{t}'" for t in _BM25_TERMS)
+
+
+@register(
+    "bm25_rank",
+    oracle=f"""
+    WITH w AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+    dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM w),
+    st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                  CAST(SUM(dl) AS BIGINT) AS tot_dl FROM dl),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM w),
+    tf AS (SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM tok WHERE term IN ({_BM25_TERMS_SQL}) GROUP BY 1, 2),
+    df AS (SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+    s AS (SELECT tf.doc_id, tf.tf, df.df, dl.dl, st.n_docs, st.tot_dl
+          FROM tf JOIN df USING (term)
+          JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st),
+    t AS (SELECT doc_id,
+                 ((n_docs - df + 0.5) / (df + 0.5))
+                 * ((tf * {_BM25_K1 + 1.0})
+                    / (tf + {_BM25_K1} * (1.0 - {_BM25_B} + {_BM25_B}
+                         * (dl / (CAST(tot_dl AS DOUBLE) / n_docs)))))
+                   AS term_score
+          FROM s)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_terms,
+           CAST(SUM(CAST(ROUND(term_score * {_BM25_SCALE}) AS BIGINT))
+                AS DOUBLE) / {float(_BM25_SCALE)} AS score
+    FROM t GROUP BY 1
+    """,
+    doc="BM25 relevance score of every document against a fixed probe "
+        "term set (k1=1.5, b=0.75) — the retrieval-quality filter of a "
+        "curation pipeline: rank the corpus by affinity to a target "
+        "domain, keep (or up-sample) the head. idf uses the RAW odds "
+        "ratio (N - df + 0.5)/(df + 0.5), NOT its logarithm — monotone "
+        "in the textbook log-idf so ranking is unchanged, and it keeps "
+        "the score inside rational IEEE arithmetic (ln is the one libm "
+        "call whose last ulp differs between the JVM and DuckDB — the "
+        "same decision tfidf_top_terms documents). Every per-(doc, term) "
+        "score is rounded to scaled int64 BEFORE the per-doc sum, so the "
+        "reduction is order-free. Scale: the Spark plan never explodes "
+        "tokens and never shuffles doc-sized data — per-doc dl and "
+        "per-probe-term tf are computed MAP-SIDE as array algebra "
+        "(size(filter(w, ...)) per term, a fixed |terms|-wide column "
+        "block), the ONLY exchange is the one-row corpus-stats aggregate "
+        "(n_docs, tot_dl, df per term), which broadcasts back, and the "
+        "score is row-local arithmetic over the tf columns. Two narrow "
+        "passes over the token arrays total (stats + score); at 100 TB "
+        "persist the doc_id+dl+tf projection (~50 B/doc, the memo "
+        "pattern operators/dedup.py uses for shingles) to make it one. "
+        "The oracle keeps the relational explode/join form — same "
+        "arithmetic, engine-idiomatic shape for each side.",
+)
+def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nt = len(_BM25_TERMS)
+    docs = (load_table(spark, "documents", sf_dir)
+            .select("doc_id", F.split("text", " ").alias("w")))
+    tf_cols = [F.expr(f"size(filter(w, x -> x = '{t}'))").cast("long")
+                .alias(f"tf{i}") for i, t in enumerate(_BM25_TERMS)]
+    per = docs.select("doc_id", F.size("w").cast("long").alias("dl"),
+                      *tf_cols)
+    stats = per.agg(F.count("*").alias("n_docs"),
+                    F.sum("dl").alias("tot_dl"),
+                    *[F.sum((F.col(f"tf{i}") > 0).cast("long"))
+                       .alias(f"df{i}") for i in range(nt)])
+    s = per.crossJoin(F.broadcast(stats))
+    # identical expression tree to the oracle: idf * (tf*(k1+1) / denom),
+    # each per-term score rounded to scaled int64 before the row-local sum
+    avgdl = F.col("tot_dl").cast("double") / F.col("n_docs")
+
+    def ts_i(i: int):
+        tf, df = F.col(f"tf{i}"), F.col(f"df{i}")
+        idf = (F.col("n_docs") - df + 0.5) / (df + 0.5)
+        denom = tf + _BM25_K1 * (1.0 - _BM25_B
+                                 + _BM25_B * (F.col("dl") / avgdl))
+        score = idf * ((tf * (_BM25_K1 + 1.0)) / denom)
+        return F.when(tf > 0, F.round(score * _BM25_SCALE).cast("long")) \
+                .otherwise(F.lit(0).cast("long"))
+
+    n_terms = sum(((F.col(f"tf{i}") > 0).cast("long") for i in range(nt)),
+                  F.lit(0).cast("long"))
+    total = sum((ts_i(i) for i in range(nt)), F.lit(0).cast("long"))
+    return (s.filter(n_terms > 0)
+             .select("doc_id", n_terms.alias("n_terms"),
+                     (total.cast("double")
+                      / float(_BM25_SCALE)).alias("score")))

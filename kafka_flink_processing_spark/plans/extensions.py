@@ -38,6 +38,7 @@ from kafka_flink_processing_spark.operators.dedup import (
     BLOOM_K,
     BLOOM_M_BITS,
     NGRAM_MAX_DF,
+    containment_pairs,
     exact_dedup,
     minhash_lsh_pairs,
     ngram_jaccard_pairs,
@@ -269,6 +270,39 @@ def dedup_exact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def dedup_ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ngram_jaccard_pairs(load_table(spark, "documents", sf_dir),
                                n=3, threshold=0.6)
+
+
+@register(
+    "dedup_containment_pairs",
+    oracle=f"""
+    {_SHINGLES3},
+    sizes AS (SELECT doc_id, len(sh) AS n FROM ds),
+    ex0 AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    kept AS (SELECT sh FROM (SELECT sh, COUNT(*) AS df FROM ex0 GROUP BY sh)
+             WHERE df <= {NGRAM_MAX_DF}),
+    ex AS (SELECT ex0.doc_id, ex0.sh FROM ex0 JOIN kept USING (sh)),
+    inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+              FROM ex a JOIN ex b ON a.sh = b.sh AND a.doc_id < b.doc_id
+              GROUP BY 1, 2)
+    SELECT doc_a, doc_b,
+           n_common / least(sa.n, sb.n) AS containment,
+           n_common / (sa.n + sb.n - n_common) AS jaccard
+    FROM inter
+    JOIN sizes sa ON doc_a = sa.doc_id
+    JOIN sizes sb ON doc_b = sb.doc_id
+    WHERE n_common / least(sa.n, sb.n) >= 0.5
+    """,
+    doc="asymmetric n-gram CONTAINMENT near-dup pairs — |A∩B|/min(|A|,|B|) "
+        ">= 0.5 — the sub-document-duplication catch Jaccard structurally "
+        "misses (a short doc pasted into a long one has Jaccard ~|short|/"
+        "|long| but containment ~1.0; Jaccard's own column rides along for "
+        "the contrast). Same inverted-index machinery, memoized shingles, "
+        f"and df<={NGRAM_MAX_DF} cap as dedup_ngram_jaccard — the pair set "
+        "is O(sum df^2 over kept shingles) at any corpus size.",
+)
+def dedup_containment_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return containment_pairs(load_table(spark, "documents", sf_dir),
+                             n=3, threshold=0.5)
 
 
 def _minhash_bands_sql() -> str:

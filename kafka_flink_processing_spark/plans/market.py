@@ -614,3 +614,188 @@ def da_rt_daily_corr_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0),
                cov / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select("hub", "day", "n_hours", r.alias("corr_da_rt"))
+
+
+# --- r5 late pack B: frame statistics, regime intervals, cross-hub corr --
+
+_MED_N = 21  # rolling-median frame: current tick + 20 preceding
+
+
+@register(
+    "rolling_median_price",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    fr AS (SELECT hub, ts, tick_id, price_mwh,
+                  list_sort(list(price_mwh) OVER (
+                    PARTITION BY hub ORDER BY ts, tick_id
+                    ROWS BETWEEN {_MED_N - 1} PRECEDING AND CURRENT ROW)) AS l
+           FROM ticks)
+    SELECT hub, ts, tick_id, price_mwh,
+           (l[CAST(floor((len(l) + 1) / 2) AS BIGINT)]
+            + l[CAST(floor(len(l) / 2) AS BIGINT) + 1]) / 2.0 AS med_price
+    FROM fr
+    """,
+    doc="exact rolling median price per hub over a bounded "
+        f"{_MED_N}-tick frame — the robust companion to the reference's "
+        "SMA forecast (ForecastsJob.java:76-88): a median shrugs off the "
+        "spike ticks that drag a mean, so desks read it as the 'true' "
+        "level during volatile hours. Exactness: no approximate "
+        "percentile sketch — the frame is sorted and the two middle "
+        "elements averaged ((a+b)/2.0 is one IEEE op on identical "
+        "doubles in both engines), so the value-hash matches bit-for-bit "
+        "and the result is partition-order-independent (ties broken by "
+        "tick_id in the frame ORDER). Scale: ONE window shuffle on hub; "
+        "per-row cost is O(k log k) on the bounded k=21 frame (the sort "
+        "is in-row array algebra, never a shuffle); re-key by (hub, "
+        "epoch) with a k-row overlap to shard year-long hubs — the same "
+        "lever ewma_price documents.",
+)
+def rolling_median_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    w = (Window.partitionBy("hub").orderBy("ts", "tick_id")
+         .rowsBetween(-(_MED_N - 1), 0))
+    l = F.array_sort(F.collect_list("price_mwh").over(w))
+    fr = t.withColumn("l", l)
+    n = F.size(F.col("l"))
+    lo = F.element_at(F.col("l"), F.floor((n + 1) / 2).cast("int"))
+    hi = F.element_at(F.col("l"), F.floor(n / 2).cast("int") + 1)
+    return fr.select("hub", "ts", "tick_id", "price_mwh",
+                     ((lo + hi) / 2.0).alias("med_price"))
+
+
+_BAND_MWH = 10.0  # price-regime band width for the SCD-2 intervals
+
+
+@register(
+    "scd2_price_intervals",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    b AS (SELECT hub, ts, tick_id,
+                 CAST(floor(price_mwh / {_BAND_MWH}) AS BIGINT) AS band
+          FROM ticks),
+    c AS (SELECT hub, ts, tick_id, band,
+                 CASE WHEN lag(band) OVER (PARTITION BY hub
+                                           ORDER BY ts, tick_id) IS DISTINCT
+                           FROM band THEN 1 ELSE 0 END AS chg
+          FROM b),
+    i AS (SELECT hub, ts, band, chg,
+                 CAST(SUM(chg) OVER (PARTITION BY hub ORDER BY ts, tick_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                      AS BIGINT) AS island,
+                 CAST(row_number() OVER (PARTITION BY hub
+                                         ORDER BY ts, tick_id)
+                      AS BIGINT) AS rn,
+                 CAST(COUNT(*) OVER (PARTITION BY hub) AS BIGINT) AS n_hub
+          FROM c),
+    starts AS (SELECT hub, island, band, ts AS valid_from, rn, n_hub
+               FROM i WHERE chg = 1)
+    SELECT hub, island, band, valid_from,
+           lead(valid_from) OVER (PARTITION BY hub ORDER BY island)
+             AS valid_until,
+           COALESCE(lead(rn) OVER (PARTITION BY hub ORDER BY island),
+                    n_hub + 1) - rn AS n_ticks
+    FROM starts
+    """,
+    doc="SCD-2 validity intervals for the per-hub price regime (price "
+        f"bucketed into {_BAND_MWH:.0f}-MWh bands): the classic "
+        "gaps-and-islands shape — lag() flags a regime change, a running "
+        "sum of flags numbers the islands, each chg=1 row IS its run's "
+        "start row, and lead() closes every interval with the next run's "
+        "start (NULL = still current) and sizes it from row-number "
+        "deltas. This is the slowly-changing-dimension materialization "
+        "the reference's Postgres side would build with the identical "
+        "SQL (README.md:83-101 reads latest state; this is its full "
+        "history form). Determinism: bands are integers, the (ts, "
+        "tick_id) ORDER is a total order, so island numbering is "
+        "partition-order-independent. Scale: deliberately NO "
+        "run-collapsing groupBy — every step is a window over the SAME "
+        "hub partitioning (the run aggregate would re-shuffle tick-sized "
+        "data on (hub, island)), so the whole query is ONE hub-hash "
+        "exchange end-to-end (pinned in tests/test_plans_r5b.py) and the "
+        "lead() pass runs on the run-start subset (output-sized). A "
+        "year-long hub shards by (hub, epoch) with one overlap row "
+        "carried across the epoch seam to stitch boundary islands.",
+)
+def scd2_price_intervals_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    band = F.floor(F.col("price_mwh") / _BAND_MWH).cast("long")
+    wo = Window.partitionBy("hub").orderBy("ts", "tick_id")
+    wh = Window.partitionBy("hub")
+    b = t.select("hub", "ts", "tick_id", band.alias("band"))
+    chg = F.when(F.lag("band").over(wo).eqNullSafe(F.col("band")), 0) \
+           .otherwise(1)
+    i = (b.withColumn("chg", chg)
+          .withColumn("island", F.sum("chg").over(
+              wo.rowsBetween(Window.unboundedPreceding, 0)))
+          .withColumn("rn", F.row_number().over(wo).cast("long"))
+          .withColumn("n_hub", F.count("*").over(wh)))
+    starts = (i.filter(F.col("chg") == 1)
+               .select("hub", "island", "band",
+                       F.col("ts").alias("valid_from"), "rn", "n_hub"))
+    wi = Window.partitionBy("hub").orderBy("island")
+    n_ticks = (F.coalesce(F.lead("rn").over(wi), F.col("n_hub") + 1)
+               - F.col("rn"))
+    return starts.select("hub", "island", "band", "valid_from",
+                         F.lead("valid_from").over(wi).alias("valid_until"),
+                         n_ticks.alias("n_ticks"))
+
+
+@register(
+    "hub_price_corr_matrix",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    d AS (SELECT hub, date_trunc('day', ts) AS day,
+                 {dsum_sql('price_mwh')} / COUNT(*) AS p
+          FROM ticks GROUP BY 1, 2),
+    pr AS (SELECT a.hub AS hub_a, b.hub AS hub_b, a.p AS x, b.p AS y
+           FROM d a JOIN d b ON a.day = b.day AND a.hub < b.hub),
+    m AS (SELECT hub_a, hub_b, CAST(COUNT(*) AS BIGINT) AS n_days,
+                 {dsum_sql('x', 6)} AS sx, {dsum_sql('y', 6)} AS sy,
+                 {dsum_sql('x * y', 6)} AS sxy,
+                 {dsum_sql('x * x', 6)} AS sxx,
+                 {dsum_sql('y * y', 6)} AS syy
+          FROM pr GROUP BY 1, 2)
+    SELECT hub_a, hub_b, n_days,
+           CASE WHEN n_days >= 2
+                 AND (n_days * sxx - sx * sx) > 0.0
+                 AND (n_days * syy - sy * sy) > 0.0
+                THEN (n_days * sxy - sx * sy)
+                     / (sqrt(n_days * sxx - sx * sx)
+                        * sqrt(n_days * syy - sy * sy))
+                ELSE NULL END AS corr
+    FROM m
+    """,
+    doc="pairwise Pearson correlation of daily average prices across ALL "
+        "hub pairs — the congestion/coupling matrix a desk reads to see "
+        "which hubs move together (generalizes da_rt_daily_corr's "
+        "two-series form to the full hub x hub grid). Exactness: the "
+        "daily averages are exact scaled-int sums over counts; the five "
+        "moment sums are 6dp-rounded into int64 so every reduction is "
+        "order-free; degenerate pairs (under 2 shared days or a constant "
+        "side) yield NULL. Scale: tick volume is touched ONCE by a "
+        "map-side-combined (hub, day) aggregate whose output is bounded "
+        "by hubs x days — the self-join and the (hub_a, hub_b) reduction "
+        "run on that tiny grid, so the pair blow-up is hubs^2 x days, "
+        "never ticks^2; with many hubs the grid self-join broadcasts "
+        "(AQE picks this up at runtime from the aggregate's size).",
+)
+def hub_price_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    d = (t.groupBy("hub", F.date_trunc("day", F.col("ts")).alias("day"))
+          .agg((dsum("price_mwh") / F.count("*")).alias("p")))
+    a = d.select(F.col("hub").alias("hub_a"), "day", F.col("p").alias("x"))
+    b = d.select(F.col("hub").alias("hub_b"), "day", F.col("p").alias("y"))
+    pr = a.join(b, "day").filter(F.col("hub_a") < F.col("hub_b"))
+    m = pr.groupBy("hub_a", "hub_b").agg(
+        F.count("*").alias("n_days"),
+        dsum("x", 6).alias("sx"), dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"))
+    n = F.col("n_days")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0),
+               cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return m.select("hub_a", "hub_b", "n_days", r.alias("corr"))
