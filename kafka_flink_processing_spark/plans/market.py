@@ -799,3 +799,118 @@ def hub_price_corr_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     r = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0),
                cov / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select("hub_a", "hub_b", "n_days", r.alias("corr"))
+
+
+# --- r5 late pack C: forecast backtest + execution quality ---------------
+
+_SMA_N = 5  # backtest the reference's own short SMA horizon
+
+
+def _tick_lag_chain_avg(n: int) -> str:
+    """The lag-chain SMA over ticks — same left-to-right form (and thus
+    the same IEEE addition order) as plans/stateful.py::_lag_chain_avg,
+    re-keyed to the tick derivation."""
+    terms = [f"COALESCE(LAG(price_mwh, {k}) OVER w, 0.0)"
+             for k in range(n - 1, 0, -1)]
+    terms.append("price_mwh")
+    return (f"({' + '.join(terms)})"
+            f" / CAST(LEAST(ROW_NUMBER() OVER w, {n}) AS DOUBLE)")
+
+
+@register(
+    "forecast_backtest_sma",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    f AS (SELECT hub, ts, tick_id, price_mwh,
+                 {_tick_lag_chain_avg(_SMA_N)} AS sma,
+                 LEAD(price_mwh) OVER w AS actual_next
+          FROM ticks WINDOW w AS (PARTITION BY hub ORDER BY ts, tick_id)),
+    e AS (SELECT hub, actual_next - sma AS err FROM f
+          WHERE actual_next IS NOT NULL)
+    SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_forecasts,
+           {dsum_sql('err', 4)} / COUNT(*) AS bias,
+           {dsum_sql('abs(err)', 4)} / COUNT(*) AS mae,
+           sqrt({dsum_sql('err * err', 4)} / COUNT(*)) AS rmse
+    FROM e GROUP BY 1
+    """,
+    doc="walk-forward backtest of the reference's own SMA(5) forecast "
+        "(ForecastsJob.java:76-88 emits forecast_next = sma5; this "
+        "measures how good that forecast actually is): each tick's sma5 "
+        "is scored against the NEXT tick's realized price, aggregated "
+        "per hub into bias / MAE / RMSE — the accuracy report a desk "
+        "reads before trusting the forecast column. Walk-forward = no "
+        "leakage: the frame ends at the current row, the target is "
+        "strictly later. Exactness: the sma is the SAME left-to-right "
+        "lag-chain form forecast_sma's oracle proves cross-engine "
+        "bit-exact; err/|err|/err^2 are rounded to 4dp scaled int64 "
+        "per-row so the hub sums are order-free; sqrt of an identical "
+        "double is exact. Scale: ONE hub-keyed window exchange computes "
+        "sma and lead in the same pass, then a map-side-combined "
+        "aggregate reduces to 4 rows; shard year-long hubs by (hub, "
+        "epoch) with a 5-row overlap, exactly as ewma_price documents. "
+        "At extreme row counts re-scale the int64 accumulators (or "
+        "pre-aggregate per shard) before the global sum.",
+)
+def forecast_backtest_sma_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    wo = Window.partitionBy("hub").orderBy("ts", "tick_id")
+    sma = F.avg("price_mwh").over(wo.rowsBetween(-(_SMA_N - 1), 0))
+    f = t.select("hub", sma.alias("sma"),
+                 F.lead("price_mwh").over(wo).alias("actual_next"))
+    e = (f.filter(F.col("actual_next").isNotNull())
+          .select("hub", (F.col("actual_next") - F.col("sma")).alias("err")))
+    n = F.count("*")
+    return (e.groupBy("hub")
+             .agg(n.alias("n_forecasts"),
+                  (dsum("err", 4) / n).alias("bias"),
+                  (dsum(F.abs(F.col("err")), 4) / n).alias("mae"),
+                  F.sqrt(dsum(F.col("err") * F.col("err"), 4) / n)
+                   .alias("rmse")))
+
+
+@register(
+    "vwap_execution_quality",
+    oracle=f"""
+    WITH {_TRADES_SQL},
+    v AS (SELECT hub, date_trunc('day', ts) AS day,
+                 {dsum_sql('mw * price_mwh', 2)} / CAST(SUM(mw) AS BIGINT)
+                   AS vwap
+          FROM trades GROUP BY 1, 2),
+    d AS (SELECT t.hub, t.side, t.price_mwh - v.vwap AS dev
+          FROM trades t JOIN v ON t.hub = v.hub
+                              AND date_trunc('day', t.ts) = v.day)
+    SELECT hub, side, CAST(COUNT(*) AS BIGINT) AS n_trades,
+           {dsum_sql('dev', 4)} / COUNT(*) AS mean_dev,
+           {dsum_sql('abs(dev)', 4)} / COUNT(*) AS mean_abs_dev
+    FROM d GROUP BY 1, 2
+    """,
+    doc="per-(hub, side) execution quality: each trade's price deviation "
+        "from its own (hub, day) VWAP, averaged signed and absolute — "
+        "the slippage-vs-benchmark report a desk runs nightly (BUY above "
+        "VWAP / SELL below VWAP = paying up; the reference ships trades "
+        "to Postgres, where this is the natural read, README.md:83-101). "
+        "Exactness: the VWAP quotient is the same exact-decimal form "
+        "vwap_hub_day proves; deviations round to 4dp scaled int64 "
+        "per-row so the (hub, side) sums are order-free. Scale: trades "
+        "are touched twice — once by the map-side-combined (hub, day) "
+        "VWAP aggregate (output bounded by hubs x days) and once by the "
+        "enrichment join, which BROADCASTS that tiny grid back onto the "
+        "trade scan (no trade-sized shuffle; pinned in "
+        "tests/test_plans_r5b.py) — then one map-side-combined "
+        "aggregate to hubs x 2 rows.",
+)
+def vwap_execution_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    day = F.date_trunc("day", F.col("ts")).alias("day")
+    v = (t.groupBy("hub", day)
+          .agg((dsum(F.col("mw") * F.col("price_mwh"), 2)
+                / F.sum("mw")).alias("vwap")))
+    d = (t.select("hub", "side", "price_mwh", day)
+          .join(F.broadcast(v), ["hub", "day"])
+          .select("hub", "side",
+                  (F.col("price_mwh") - F.col("vwap")).alias("dev")))
+    n = F.count("*")
+    return (d.groupBy("hub", "side")
+             .agg(n.alias("n_trades"),
+                  (dsum("dev", 4) / n).alias("mean_dev"),
+                  (dsum(F.abs(F.col("dev")), 4) / n).alias("mean_abs_dev")))

@@ -295,3 +295,79 @@ def test_containment_brute_force_parity(spark):
             if c >= 0.5:
                 want[(a, b)] = c
     assert got == want
+
+
+# ------------------------------------------------------- forecast backtest
+
+
+def test_forecast_backtest_matches_pandas(spark):
+    from kafka_flink_processing_spark.plans.market import (
+        _SMA_N,
+        forecast_backtest_sma_q,
+    )
+    prices = [round(100.0 + 10.0 * math.sin(i / 3.0), 2) for i in range(50)]
+    rows = [(i, 0, i * 60 * SEC, "view", p) for i, p in enumerate(prices)]
+    with tempfile.TemporaryDirectory(prefix="kfps_bt_") as td:
+        _event_table(spark, td, rows)
+        got = forecast_backtest_sma_q(spark, td).collect()
+    assert len(got) == 1 and got[0].hub == "HUB0"
+    s = pd.Series(prices)
+    err = (s.shift(-1) - s.rolling(_SMA_N, min_periods=1).mean()).dropna()
+    scaled = (err * 1e4).round()
+    n = len(err)
+    assert got[0].n_forecasts == n == len(prices) - 1
+    assert abs(got[0].bias - scaled.sum() / 1e4 / n) < 1e-9
+    assert abs(got[0].mae - scaled.abs().sum() / 1e4 / n) < 1e-9
+    assert abs(got[0].rmse
+               - math.sqrt((err ** 2 * 1e4).round().sum() / 1e4 / n)) < 1e-9
+
+
+def test_forecast_backtest_perfect_forecast_scores_zero(spark):
+    # a constant price series is perfectly forecast by its own SMA:
+    # bias/mae/rmse must be exactly 0.0, n_forecasts = ticks - 1
+    from kafka_flink_processing_spark.plans.market import (
+        forecast_backtest_sma_q,
+    )
+    rows = [(i, 1, i * SEC, "click", 42.0) for i in range(30)]
+    with tempfile.TemporaryDirectory(prefix="kfps_btz_") as td:
+        _event_table(spark, td, rows)
+        got = forecast_backtest_sma_q(spark, td).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r.n_forecasts, r.bias, r.mae, r.rmse) == (29, 0.0, 0.0, 0.0)
+
+
+# ------------------------------------------------------ execution quality
+
+
+def test_vwap_execution_quality_matches_spec(spark):
+    # one hub, one day, hand-sized trades: mw cycles 5/10/25/50 by
+    # event_id % 4, side = BUY for purchase/signup, SELL for error
+    from kafka_flink_processing_spark.plans.market import (
+        vwap_execution_quality_q,
+    )
+    rows = [(0, 0, 0 * SEC, "purchase", 100.0),     # BUY mw=5
+            (1, 0, 1 * SEC, "error", 90.0),         # SELL mw=10
+            (2, 0, 2 * SEC, "signup", 110.0),       # BUY mw=25
+            (3, 0, 3 * SEC, "error", 95.0)]         # SELL mw=50
+    mws = [5, 10, 25, 50]
+    prices = [100.0, 90.0, 110.0, 95.0]
+    vwap = (sum(round(m * p * 100) for m, p in zip(mws, prices)) / 100.0
+            / sum(mws))
+    with tempfile.TemporaryDirectory(prefix="kfps_xq_") as td:
+        _event_table(spark, td, rows)
+        got = {(r.hub, r.side): r
+               for r in vwap_execution_quality_q(spark, td).collect()}
+    assert set(got) == {("HUB0", "BUY"), ("HUB0", "SELL")}
+
+    def spec(idx):
+        devs = [round((prices[i] - vwap) * 1e4) / 1e4 for i in idx]
+        n = len(devs)
+        return (n, sum(devs) / n, sum(abs(d) for d in devs) / n)
+
+    for side, idx in (("BUY", [0, 2]), ("SELL", [1, 3])):
+        n, mean_dev, mean_abs = spec(idx)
+        r = got[("HUB0", side)]
+        assert r.n_trades == n
+        assert abs(r.mean_dev - mean_dev) < 1e-9
+        assert abs(r.mean_abs_dev - mean_abs) < 1e-9

@@ -56,9 +56,31 @@ def test_bm25_never_explodes_tokens_or_shuffles_docs(spark):
 
 def test_containment_rides_the_inverted_index_not_a_cross_join(spark):
     # same machinery as dedup_ngram_jaccard: df-capped inverted-index
-    # self-join (broadcast at this SF), one shingle explode, and the
-    # doc-size joins on the O(pairs) output — never an all-pairs product
+    # self-join (broadcast at this SF) and the doc-size joins on the
+    # O(pairs) output — never an all-pairs product. No Generate count:
+    # the shingle explode sits under the memoized cache, so whether it
+    # prints inline or inside an InMemoryRelation depends on test order
+    # (same warm/cold ambiguity test_plans.py documents for
+    # dup_span_redact).
     plan = plan_of(spark, "dedup_containment_pairs")
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
-    assert plan.count("Generate") == 1
+
+
+def test_backtest_reuses_the_window_exchange_for_the_agg(spark):
+    # the sma/lead window and the per-hub error aggregate share the hub
+    # key: the whole backtest must plan as ONE hub-hash exchange
+    plan = plan_of(spark, "forecast_backtest_sma")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 1
+    assert "HashAggregate" in plan
+
+
+def test_execution_quality_broadcasts_the_vwap_grid(spark):
+    # trades shuffle only for the two map-side-combined aggregates; the
+    # (hub, day) VWAP grid joins back as a broadcast, never a sort-merge
+    plan = plan_of(spark, "vwap_execution_quality")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
