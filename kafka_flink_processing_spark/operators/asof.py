@@ -60,7 +60,11 @@ def asof_join(left: DataFrame,
         if c not in set(on) | {order_col} | set(value_cols):
             r_tag = r_tag.withColumn(c, F.lit(None).cast(left.schema[c].dataType))
     r_tag = r_tag.withColumn("__is_left", F.lit(0))
-    l_tag = l_tag.withColumn("__tb", F.lit(0).cast(
+    # typed NULL, not lit(0).cast(...): an int-to-date/timestamp/string
+    # cast can yield NULL-or-error under ANSI mode; a typed NULL is always
+    # castable and sorts consistently (left __tb never competes with right
+    # rows anyway — ties split on __is_left first) (r5 advice)
+    l_tag = l_tag.withColumn("__tb", F.lit(None).cast(
         r_tag.schema["__tb"].dataType))
 
     cols = l_tag.columns

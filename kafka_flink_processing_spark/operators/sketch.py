@@ -28,6 +28,15 @@ guarantees exactness at every SF; at 100 TB you size C from the corpus
 profile (or fall back to count-min + heap when freq_k is unknowable,
 trading exactness for fixed memory).
 
+The precondition is additionally VALIDATED AT RUN TIME (r5 advice): the
+fold tracks its exact decrement total d_p (any gram absent from a
+partition's summary has true partition count <= d_p), the merge stage
+sums D = Σ_p d_p — a bound at least as tight as N/(C+1) — and the final
+projection raises through `F.raise_error` if any reported top-k row has
+freq <= D. A mis-sized capacity therefore fails the job loudly at
+collect time instead of silently returning a wrong top-k that would only
+surface later as a driver hash mismatch.
+
 Reference parity: the reference has no sketch operators at all (its
 read-side top-k is Postgres `ORDER BY ... LIMIT`, README.md:83-101);
 this is engine-native scale infrastructure.
@@ -46,13 +55,17 @@ MG_CAPACITY = 16384
 
 
 def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
-             capacity: int) -> dict[str, int]:
+             capacity: int) -> tuple[dict[str, int], int]:
     """Fold a partition's batches into one Misra-Gries dict (<= capacity
-    entries). Per batch: vectorized value_counts, then the mergeable-MG
-    overflow step — subtract the (capacity+1)-th largest count from all
-    and drop the non-positive — which preserves the n_p/(C+1) error
-    bound (Agarwal et al., Mergeable Summaries)."""
+    entries) plus the partition's exact decrement total d_p. Per batch:
+    vectorized value_counts, then the mergeable-MG overflow step —
+    subtract the (capacity+1)-th largest count from all and drop the
+    non-positive — which preserves the n_p/(C+1) error bound (Agarwal et
+    al., Mergeable Summaries). Any gram ABSENT from the returned dict has
+    a true partition count <= the returned d_p (each overflow lowered
+    every counter, present or virtual, by exactly `thresh`)."""
     counts: dict[str, int] = {}
+    dropped = 0
     for pdf in batches:
         for g, c in pdf[col].value_counts().items():
             counts[g] = counts.get(g, 0) + int(c)
@@ -62,8 +75,27 @@ def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
             # (capacity+1)-th largest = index len-capacity-1 ascending
             thresh = np.partition(vals, len(vals) - capacity - 1)[
                 len(vals) - capacity - 1]
+            dropped += int(thresh)
             counts = {g: c - thresh for g, c in counts.items() if c > thresh}
-    return counts
+    return counts, dropped
+
+
+def _mg_scan(grams: DataFrame, col: str = "g",
+             capacity: int = MG_CAPACITY) -> DataFrame:
+    """Pass 1 with the exactness evidence attached: per input partition,
+    <= capacity candidate rows (`col`, NULL) plus exactly ONE marker row
+    (NULL, d_p) carrying the partition's decrement total — emitted even
+    when the overflow step dropped every candidate, so the merged bound
+    D = Σ_p d_p never under-counts a partition."""
+
+    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        counts, dropped = _mg_fold(batches, col, capacity)
+        if counts or dropped:  # empty partition yields nothing
+            yield pd.DataFrame(
+                {col: list(counts.keys()) + [None],
+                 "__mg_d": [None] * len(counts) + [dropped]})
+
+    return grams.mapInPandas(fold, schema=f"{col} string, __mg_d long")
 
 
 def mg_candidates(grams: DataFrame, col: str = "g",
@@ -71,25 +103,48 @@ def mg_candidates(grams: DataFrame, col: str = "g",
     """Per-partition Misra-Gries candidate grams (pass 1). Output: one
     `g` column, <= capacity rows per input partition, duplicates across
     partitions possible (dedup happens in the recount's build side)."""
-
-    def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts = _mg_fold(batches, col, capacity)
-        if counts:
-            yield pd.DataFrame({col: list(counts.keys())})
-
-    return grams.mapInPandas(fold, schema=f"{col} string")
+    return (_mg_scan(grams, col, capacity)
+            .filter(F.col(col).isNotNull()).select(col))
 
 
 def heavy_hitters_topk(grams: DataFrame, k: int = 100,
                        col: str = "g",
                        capacity: int = MG_CAPACITY) -> DataFrame:
     """Exact top-k (gram, freq) without shuffling the gram universe:
-    MG candidates -> broadcast the distinct candidate set -> recount only
+    MG candidates -> broadcast the merged candidate set -> recount only
     candidate rows (the one exchange carries candidates x partitions
-    partial counts, never the universe) -> TakeOrderedAndProject."""
-    cands = mg_candidates(grams, col, capacity).distinct()
-    return (grams.join(F.broadcast(cands), col)  # filter BEFORE exchange
-            .groupBy(col)
-            .agg(F.count("*").alias("freq"))
-            .orderBy(F.desc("freq"), col)
-            .limit(k))
+    partial counts, never the universe) -> TakeOrderedAndProject.
+
+    The returned plan embeds the exactness guard (module docstring): every
+    reported row's recounted freq must exceed the merged MG bound D, else
+    the projection raises at collect time — sizing failures are loud."""
+
+    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cands: set = set()
+        d = 0
+        for pdf in batches:
+            mask = pdf[col].notna()
+            cands.update(pdf.loc[mask, col])
+            d += int(pdf.loc[~mask, "__mg_d"].sum())
+        if cands:
+            yield pd.DataFrame({col: sorted(cands), "__mg_bound": d})
+
+    # single-partition merge of the tiny pass-1 output: candidate union +
+    # the global bound D. The repartition(1) exchange carries <= (C+1)
+    # rows per input partition — the same candidates-x-partitions cost the
+    # recount exchange already pays; the gram universe itself never moves.
+    merged = (_mg_scan(grams, col, capacity).repartition(1)
+              .mapInPandas(merge, schema=f"{col} string, __mg_bound long"))
+    counted = (grams.join(F.broadcast(merged), col)  # filter BEFORE exchange
+               .groupBy(col, "__mg_bound")  # bound is constant: free rider
+               .agg(F.count("*").alias("freq")))
+    top = counted.orderBy(F.desc("freq"), col).limit(k)
+    return top.select(
+        col,
+        F.when(F.col("freq") <= F.col("__mg_bound"),
+               F.raise_error(F.concat(
+                   F.lit("heavy_hitters_topk exactness precondition "
+                         "violated: reported freq "), F.col("freq"),
+                   F.lit(" <= MG decrement bound "), F.col("__mg_bound"),
+                   F.lit(f" — raise capacity (current {capacity})"))))
+         .otherwise(F.col("freq")).alias("freq"))

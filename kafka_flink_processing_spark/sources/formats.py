@@ -42,11 +42,36 @@ def roundtrip_scratch_dir(tag: str) -> str:
     read-back) — the round harnesses run phases sequentially; a setup
     that genuinely overlaps them should switch this to mkdtemp + atexit
     cleanup and accept leak-on-SIGKILL.
+
+    Hostile-/tmp hardening (r5 advice): the uid suffix only prevents
+    ACCIDENTAL collisions — on a shared box another local user could
+    pre-create the root (or plant a symlink) and capture or wedge the
+    staged writes. The root is therefore created 0o700 and verified to be
+    a non-symlink directory OWNED BY US; on any mismatch we fall back to
+    a fresh mkdtemp root for the session (losing only the one-copy-per-tag
+    reuse, never correctness).
     """
     uid = os.getuid() if hasattr(os, "getuid") else "na"
-    d = os.path.join(tempfile.gettempdir(), f"kfps_scratch_{uid}", tag)
+    global _SCRATCH_ROOT
+    if _SCRATCH_ROOT is None:
+        root = os.path.join(tempfile.gettempdir(), f"kfps_scratch_{uid}")
+        try:
+            os.makedirs(root, mode=0o700, exist_ok=True)
+            st = os.lstat(root)
+            import stat as _stat
+            if not _stat.S_ISDIR(st.st_mode) or (
+                    hasattr(os, "getuid") and st.st_uid != os.getuid()):
+                raise OSError("scratch root not an owned directory")
+            os.chmod(root, 0o700)  # pre-existing dir: close it down too
+        except OSError:
+            root = tempfile.mkdtemp(prefix=f"kfps_scratch_{uid}_")
+        _SCRATCH_ROOT = root
+    d = os.path.join(_SCRATCH_ROOT, tag)
     os.makedirs(d, exist_ok=True)
     return d
+
+
+_SCRATCH_ROOT: str | None = None
 
 
 def write_jsonl(df: DataFrame, path: str) -> None:

@@ -93,16 +93,18 @@ def drain_streaming_multi(batch_dfs: dict[str, "DataFrame"], build_streams,
 
     spark = next(iter(batch_dfs.values())).sparkSession
     work = tempfile.mkdtemp(prefix=f"kfps_{tag}_")
-    streams = {}
-    for key, df in batch_dfs.items():
-        src = f"{work}/src_{key}"
-        df.coalesce(1).write.mode("overwrite").parquet(src)
-        streams[key] = spark.readStream.schema(df.schema).parquet(src)
-    name = f"{tag}_stream_result"
-    spark.catalog.dropTempView(name)  # no-op when absent
-    run_available_now(build_streams(streams), name, f"{work}/ckpt",
-                      output_mode=output_mode)
-    shutil.rmtree(work, ignore_errors=True)
+    try:  # r5 advice: a failed stage/drain must not leak the scratch tree
+        streams = {}
+        for key, df in batch_dfs.items():
+            src = f"{work}/src_{key}"
+            df.coalesce(1).write.mode("overwrite").parquet(src)
+            streams[key] = spark.readStream.schema(df.schema).parquet(src)
+        name = f"{tag}_stream_result"
+        spark.catalog.dropTempView(name)  # no-op when absent
+        run_available_now(build_streams(streams), name, f"{work}/ckpt",
+                          output_mode=output_mode)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
     return spark.table(name)
 
 

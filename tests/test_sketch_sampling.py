@@ -44,15 +44,20 @@ def test_mg_fold_keeps_heavy_items_at_tiny_capacity():
     stream = ["hot"] * 1000 + [f"cold{i}" for i in range(500)]
     batches = [pd.DataFrame({"g": stream[i:i + 100]})
                for i in range(0, len(stream), 100)]
-    counts = _mg_fold(iter(batches), "g", capacity=8)
+    counts, dropped = _mg_fold(iter(batches), "g", capacity=8)
     assert "hot" in counts
     assert len(counts) <= 8
+    # d_p is the real under-count bound: hot's sketch count is exact
+    # minus at most the decrement total
+    assert 1000 - dropped <= counts["hot"] <= 1000
 
 
 def test_mg_fold_exact_when_under_capacity():
     stream = ["a"] * 5 + ["b"] * 3 + ["c"]
-    counts = _mg_fold(iter([pd.DataFrame({"g": stream})]), "g", capacity=10)
+    counts, dropped = _mg_fold(iter([pd.DataFrame({"g": stream})]), "g",
+                               capacity=10)
     assert counts == {"a": 5, "b": 3, "c": 1}
+    assert dropped == 0  # never overflowed: the summary is exact
 
 
 def test_heavy_hitters_topk_equals_exact_topk(spark):
@@ -66,6 +71,17 @@ def test_heavy_hitters_topk_equals_exact_topk(spark):
     got = heavy_hitters_topk(grams, k=20, capacity=64).collect()
     assert [(r.g, r.freq) for r in got] == \
         [(f"heavy{i:02d}", 50) for i in range(20)]
+
+
+def test_heavy_hitters_raises_when_capacity_too_small(spark):
+    # r5 advice: a mis-sized capacity must fail LOUDLY, not return a
+    # silently wrong top-k. Near-uniform stream (no item clears the MG
+    # decrement bound) + capacity 4 -> every reported freq <= D -> the
+    # plan-embedded guard raises at collect time with the sizing hint.
+    rows = [(f"u{i:03d}",) for i in range(400) for _ in range(3)]
+    grams = spark.createDataFrame(rows, "g string").repartition(4)
+    with pytest.raises(Exception, match="exactness precondition"):
+        heavy_hitters_topk(grams, k=5, capacity=4).collect()
 
 
 def test_mg_candidates_bounded_per_partition(spark):
