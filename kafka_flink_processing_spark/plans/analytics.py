@@ -1643,3 +1643,59 @@ def bm25_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .select("doc_id", n_terms.alias("n_terms"),
                      (total.cast("double")
                       / float(_BM25_SCALE)).alias("score")))
+
+
+# --- r6: single-pass column profiler -------------------------------------
+
+_PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_shipdate"]
+
+
+def _profile_leg_sql(col: str) -> str:
+    v = f"epoch({col})" if col == "l_shipdate" else col
+    return (f"SELECT '{col}' AS column_name, "
+            f"CAST(COUNT(*) AS BIGINT) AS n_rows, "
+            f"CAST(COUNT(*) - COUNT({col}) AS BIGINT) AS n_null, "
+            f"CAST(COUNT(DISTINCT {col}) AS BIGINT) AS n_distinct, "
+            f"CAST(MIN({v}) AS DOUBLE) AS min_val, "
+            f"CAST(MAX({v}) AS DOUBLE) AS max_val FROM lineitem")
+
+
+@register(
+    "column_profile",
+    oracle=" UNION ALL ".join(_profile_leg_sql(c) for c in _PROFILE_COLS),
+    doc="single-pass data-profiling report over the fact table's measure "
+        "columns: per column, row/null/EXACT-distinct counts and min/max "
+        "(timestamps profiled as epoch seconds so the value columns stay "
+        "one double type) — the schema-drift / data-quality audit a "
+        "pipeline runs before trusting a new drop of upstream data. "
+        "Scale shape: ONE aggregate with four exact count-distincts; "
+        "Spark plans that as an Expand (x5 rows: one replica per "
+        "distinct group + one for the plain min/max/count leg) feeding "
+        "a partially-aggregated exchange keyed by (gid, value) — well "
+        "distributed, deduped map-side, and bounded by the per-column "
+        "NDVs rather than the row count. That x5 expand is the "
+        "documented price of EXACTNESS in one pass; the cheap "
+        "alternative (approx_count_distinct, no expand) drops the "
+        "oracle guarantee, and per-column separate passes re-scan the "
+        "fact table four times. The final stack() to long form runs on "
+        "a single 1-row result.",
+)
+def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir)
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in _PROFILE_COLS:
+        v = F.col(c).cast("double")
+        aggs += [F.count(F.col(c)).alias(f"nn_{c}"),
+                 F.countDistinct(F.col(c)).alias(f"nd_{c}"),
+                 F.min(v).alias(f"mn_{c}"),
+                 F.max(v).alias(f"mx_{c}")]
+    row = li.agg(*aggs)
+    stacked = ", ".join(
+        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}"
+        for c in _PROFILE_COLS)
+    return (row.selectExpr(
+                "n_rows",
+                f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
+                f"(column_name, n_null, n_distinct, min_val, max_val)")
+            .select("column_name", "n_rows", "n_null", "n_distinct",
+                    "min_val", "max_val"))

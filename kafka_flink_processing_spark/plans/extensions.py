@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
 from kafka_flink_processing_spark.functions.constants import (
     LSH_PLANES,
     MINHASH_COEFFS,
@@ -2292,3 +2293,141 @@ def decontamination_n_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         out = out.unionByName(leg)
     return out
+
+
+# --- r6: split-drift + novelty diagnostics --------------------------------
+
+_DRIFT_MIN_TOTAL = 50  # test only tokens with enough pooled mass for a
+                       # meaningful expected count (classic chi^2 rule)
+
+
+@register(
+    "token_drift_chi2",
+    oracle=f"""
+    WITH s AS (SELECT doc_id, text,
+                 CASE WHEN {_H60.format(
+                     x="'split:' || CAST(doc_id AS VARCHAR)")} % 100 < 95
+                      THEN 'train' ELSE 'holdout' END AS split
+               FROM documents),
+    tok AS (SELECT split, unnest(string_split(text, ' ')) AS token FROM s),
+    c AS (SELECT token,
+                 SUM(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS o_train,
+                 SUM(CASE WHEN split = 'holdout' THEN 1 ELSE 0 END)
+                   AS o_holdout
+          FROM tok GROUP BY 1),
+    k AS (SELECT * FROM c WHERE o_train + o_holdout >= {_DRIFT_MIN_TOTAL}),
+    t AS (SELECT SUM(o_train) AS t_train, SUM(o_holdout) AS t_hold FROM k),
+    x AS (SELECT token, o_train, o_holdout,
+                 (CAST(o_train + o_holdout AS DOUBLE) * t_train)
+                   / (t_train + t_hold) AS e_train,
+                 (CAST(o_train + o_holdout AS DOUBLE) * t_hold)
+                   / (t_train + t_hold) AS e_hold
+          FROM k, t)
+    SELECT token, CAST(o_train AS BIGINT) AS o_train,
+           CAST(o_holdout AS BIGINT) AS o_holdout,
+           ((o_train - e_train) * (o_train - e_train) / e_train)
+           + ((o_holdout - e_hold) * (o_holdout - e_hold) / e_hold)
+             AS chi2_contrib
+    FROM x
+    ORDER BY chi2_contrib DESC, token
+    LIMIT 50
+    """,
+    doc="train/holdout token-distribution drift: two-sample chi-squared "
+        "contribution per token over THE engine's own 95/5 salted-hash "
+        "split (same 'split:' salt as train_test_split, so this audits "
+        "the split users actually get), top-50 drifted tokens. A "
+        "well-mixed hash split should show only sampling noise; a large "
+        "contribution flags a token whose distribution the split "
+        "accidentally skewed — the held-out-set sanity check run before "
+        "trusting any eval on the holdout. Exactness: all counts are "
+        "integers; expected counts and chi^2 are IDENTICAL IEEE "
+        "expression trees over those exact integers in both engines "
+        "(no transcendentals — chi-squared, unlike KL/G-test, needs no "
+        "log). Scale: one token-keyed exchange with map-side combine "
+        "(the same universe-shuffle class as vocab_top_tokens; the MG "
+        "sketch in operators/sketch.py is the documented escape when "
+        "the vocab stops fitting), then the totals reduce to ONE "
+        "broadcast row and the top-50 is TakeOrderedAndProject.",
+)
+def token_drift_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    docs = load_table(spark, "documents", sf_dir)
+    bucket = (md5_hash60(F.concat(F.lit("split:"),
+                                  F.col("doc_id").cast("string"))) % 100)
+    s = docs.select(
+        F.when(bucket < 95, "train").otherwise("holdout").alias("split"),
+        F.explode(F.split(F.col("text"), " ")).alias("token"))
+    c = s.groupBy("token").agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+         .alias("o_train"),
+        F.sum(F.when(F.col("split") == "holdout", 1).otherwise(0))
+         .alias("o_holdout"))
+    k = c.filter(F.col("o_train") + F.col("o_holdout") >= _DRIFT_MIN_TOTAL)
+    t = k.agg(F.sum("o_train").alias("t_train"),
+              F.sum("o_holdout").alias("t_hold"))
+    x = k.crossJoin(F.broadcast(t))
+    pooled = (F.col("o_train") + F.col("o_holdout")).cast("double")
+    n_tot = F.col("t_train") + F.col("t_hold")
+    e_train = (pooled * F.col("t_train")) / n_tot
+    e_hold = (pooled * F.col("t_hold")) / n_tot
+    chi2 = (((F.col("o_train") - e_train) * (F.col("o_train") - e_train)
+             / e_train)
+            + ((F.col("o_holdout") - e_hold) * (F.col("o_holdout") - e_hold)
+               / e_hold))
+    return (x.select("token", "o_train", "o_holdout",
+                     chi2.alias("chi2_contrib"))
+            .orderBy(F.desc("chi2_contrib"), "token")
+            .limit(50))
+
+
+@register(
+    "ngram_novelty_by_source",
+    oracle=f"""
+    {_SHINGLES3},
+    ex AS (SELECT doc_id, unnest(sh) AS sh FROM ds),
+    first AS (SELECT sh, MIN(doc_id) AS first_doc FROM ex GROUP BY 1),
+    pd AS (SELECT e.doc_id,
+                  SUM(CASE WHEN e.doc_id = f.first_doc
+                           THEN 1 ELSE 0 END) AS novel,
+                  COUNT(*) AS n
+           FROM ex e JOIN first f USING (sh) GROUP BY 1)
+    SELECT d.source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+           {dsum_sql('novel / n', 6)} / COUNT(*) AS avg_doc_novelty,
+           CAST(SUM(novel) AS DOUBLE) / SUM(n) AS novel_gram_share
+    FROM pd JOIN documents d USING (doc_id)
+    GROUP BY 1
+    """,
+    doc="per-source n-gram novelty under arrival order (doc_id): a "
+        "trigram is NOVEL if no earlier document contains it; reports "
+        "the mean per-doc novelty ratio and the pooled novel-gram share "
+        "per source — the freshness/redundancy audit that tells a "
+        "curation pipeline which feed still contributes new content and "
+        "which is re-crawling boilerplate (docs under 3 words carry no "
+        "trigrams and are excluded). Exactness: first-occurrence is an "
+        "exact MIN over doc_id; per-doc ratios round to 6dp scaled "
+        "int64 before the per-source mean so the reduction is "
+        "order-free; the pooled share is a double ratio of exact "
+        "integer sums. Scale: the memoized shingle cache feeds ONE "
+        "gram-keyed exchange whose map-side MIN partial bounds the "
+        "shuffle by distinct grams per partition (boilerplate grams "
+        "stay — they are precisely the non-novel signal), then "
+        "everything reduces on doc-sized relations; no pair joins.",
+)
+def ngram_novelty_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import _doc_shingles
+    docs = load_table(spark, "documents", sf_dir)
+    ds = _doc_shingles(docs, "doc_id", "text", 3)
+    ex = ds.select("doc_id", F.explode("sh").alias("sh"))
+    first = ex.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    pd_ = (ex.join(first, "sh")
+           .groupBy("doc_id")
+           .agg(F.sum(F.when(F.col("doc_id") == F.col("first_doc"), 1)
+                      .otherwise(0)).alias("novel"),
+                F.count("*").alias("n")))
+    return (pd_.join(docs.select("doc_id", "source"), "doc_id")
+            .groupBy("source")
+            .agg(F.count("*").alias("n_docs"),
+                 (dsum(F.col("novel") / F.col("n"), 6) / F.count("*"))
+                 .alias("avg_doc_novelty"),
+                 (F.sum("novel").cast("double") / F.sum("n"))
+                 .alias("novel_gram_share")))

@@ -914,3 +914,154 @@ def vwap_execution_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
              .agg(n.alias("n_trades"),
                   (dsum("dev", 4) / n).alias("mean_dev"),
                   (dsum(F.abs(F.col("dev")), 4) / n).alias("mean_abs_dev")))
+
+
+# --- r6 pack: microstructure regressions (OLS via sufficient statistics) --
+
+# Distributed closed-form OLS: every regression below reduces its input to
+# the five moment sums (n, Σx, Σy, Σxy, Σx²[, Σy²]) with ONE map-side-
+# combined aggregate, then evaluates slope/corr on the tiny grouped result.
+# This is the 100 TB linear-model pattern — no iteration, no driver-side
+# data, and the moment sums are 6dp scaled-int64 (functions/exact.dsum) so
+# the reduction is order-free and hash-identical across engines.
+
+
+@register(
+    "kyle_lambda_price_impact",
+    oracle=f"""
+    WITH {_TRADES_SQL},
+    seq AS (SELECT hub,
+                   CASE WHEN side = 'BUY' THEN mw ELSE -mw END AS x,
+                   price_mwh - LAG(price_mwh) OVER w AS y
+            FROM trades WINDOW w AS (PARTITION BY hub ORDER BY ts, trade_id)),
+    m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 {dsum_sql('x', 0)} AS sx, {dsum_sql('y', 6)} AS sy,
+                 {dsum_sql('x * y', 6)} AS sxy,
+                 {dsum_sql('x * x', 0)} AS sxx,
+                 {dsum_sql('y * y', 6)} AS syy
+          FROM seq WHERE y IS NOT NULL GROUP BY 1)
+    SELECT hub, n_obs,
+           CASE WHEN n_obs >= 2 AND (n_obs * sxx - sx * sx) > 0.0
+                THEN (n_obs * sxy - sx * sy) / (n_obs * sxx - sx * sx)
+                ELSE NULL END AS lambda_impact,
+           CASE WHEN n_obs >= 2 AND (n_obs * sxx - sx * sx) > 0.0
+                 AND (n_obs * syy - sy * sy) > 0.0
+                THEN ((n_obs * sxy - sx * sy) * (n_obs * sxy - sx * sy))
+                     / ((n_obs * sxx - sx * sx) * (n_obs * syy - sy * sy))
+                ELSE NULL END AS r2
+    FROM m
+    """,
+    doc="Kyle's lambda per hub: OLS slope of trade-to-trade price change "
+        "on signed order flow (BUY +mw / SELL -mw) — the price-impact "
+        "coefficient a desk uses to cost a planned position against "
+        "the reference's trades stream (producer.py:36-70's side/mw "
+        "fields exist exactly for this read). Exactness: x is integer "
+        "mw, y a 6dp-rounded price diff; all five moments are scaled-"
+        "int64 sums cast to double BEFORE the slope algebra, so Spark "
+        "and DuckDB evaluate identical IEEE expressions (no int64 "
+        "overflow: DuckDB would widen to int128 where Spark wraps). "
+        "Scale: one hub-keyed exchange for the LAG, then a map-side-"
+        "combined moment aggregate to hubs rows; with few hubs the "
+        "re-key lever is (hub, day) sub-regressions, same as "
+        "ewma_price's documented epoch re-key.",
+)
+def kyle_lambda_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("hub").orderBy("ts", "trade_id")
+    seq = (t.select(
+            "hub",
+            F.when(F.col("side") == "BUY", F.col("mw"))
+             .otherwise(-F.col("mw")).alias("x"),
+            (F.col("price_mwh")
+             - F.lag("price_mwh").over(w)).alias("y"))
+           .filter(F.col("y").isNotNull()))
+    m = seq.groupBy("hub").agg(
+        F.count("*").alias("n_obs"),
+        dsum("x", 0).alias("sx"), dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"))
+    n = F.col("n_obs")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    lam = F.when((n >= 2) & (vx > 0.0), cov / vx)
+    r2 = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0), (cov * cov) / (vx * vy))
+    return m.select("hub", "n_obs", lam.alias("lambda_impact"),
+                    r2.alias("r2"))
+
+
+@register(
+    "lead_lag_hub_beta",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    d AS (SELECT hub, date_trunc('hour', ts) AS h,
+                 {dsum_sql('price_mwh')} / COUNT(*) AS p
+          FROM ticks GROUP BY 1, 2),
+    r AS (SELECT a.hub, a.h, a.p - b.p AS ret
+          FROM d a JOIN d b ON a.hub = b.hub
+                           AND a.h = b.h + INTERVAL 1 HOUR),
+    pr AS (SELECT a.hub AS hub_lead, b.hub AS hub_lag,
+                  a.ret AS x, b.ret AS y
+           FROM r a JOIN r b ON b.h = a.h + INTERVAL 1 HOUR
+                            AND a.hub <> b.hub),
+    m AS (SELECT hub_lead, hub_lag, CAST(COUNT(*) AS BIGINT) AS n_hours,
+                 {dsum_sql('x', 6)} AS sx, {dsum_sql('y', 6)} AS sy,
+                 {dsum_sql('x * y', 6)} AS sxy,
+                 {dsum_sql('x * x', 6)} AS sxx,
+                 {dsum_sql('y * y', 6)} AS syy
+          FROM pr GROUP BY 1, 2)
+    SELECT hub_lead, hub_lag, n_hours,
+           CASE WHEN n_hours >= 2 AND (n_hours * sxx - sx * sx) > 0.0
+                THEN (n_hours * sxy - sx * sy) / (n_hours * sxx - sx * sx)
+                ELSE NULL END AS beta,
+           CASE WHEN n_hours >= 2 AND (n_hours * sxx - sx * sx) > 0.0
+                 AND (n_hours * syy - sy * sy) > 0.0
+                THEN (n_hours * sxy - sx * sy)
+                     / (sqrt(n_hours * sxx - sx * sx)
+                        * sqrt(n_hours * syy - sy * sy))
+                ELSE NULL END AS corr
+    FROM m
+    """,
+    doc="directional lead-lag coupling: regress hub B's NEXT-hour price "
+        "move on hub A's current-hour move, for every ordered hub pair — "
+        "the predictive (who-moves-first) complement to "
+        "hub_price_corr_matrix's contemporaneous daily correlation. "
+        "Hourly returns come from consecutive-hour self-joins (a gap "
+        "hour contributes nothing, rather than silently differencing "
+        "across it). Exactness: hourly means are exact scaled-int sums "
+        "over counts; moment sums 6dp int64; sqrt only on identical "
+        "doubles. Scale: ticks are touched ONCE by the map-side-combined "
+        "(hub, hour) aggregate; every later join/aggregate runs on the "
+        "hubs x hours grid (broadcast-sized; AQE picks the broadcast), "
+        "so the pair blow-up is hubs^2 x hours, never ticks^2.",
+)
+def lead_lag_hub_beta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    d = (t.groupBy("hub", F.date_trunc("hour", F.col("ts")).alias("h"))
+          .agg((dsum("price_mwh") / F.count("*")).alias("p")))
+    prev = d.select(F.col("hub").alias("hub"),
+                    (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h"),
+                    F.col("p").alias("p_prev"))
+    r = (d.join(prev, ["hub", "h"])
+          .select("hub", "h", (F.col("p") - F.col("p_prev")).alias("ret")))
+    a = r.select(F.col("hub").alias("hub_lead"),
+                 (F.col("h") + F.expr("INTERVAL 1 HOUR")).alias("h"),
+                 F.col("ret").alias("x"))
+    b = r.select(F.col("hub").alias("hub_lag"), "h", F.col("ret").alias("y"))
+    pr = a.join(b, "h").filter(F.col("hub_lead") != F.col("hub_lag"))
+    m = pr.groupBy("hub_lead", "hub_lag").agg(
+        F.count("*").alias("n_hours"),
+        dsum("x", 6).alias("sx"), dsum("y", 6).alias("sy"),
+        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum(F.col("x") * F.col("x"), 6).alias("sxx"),
+        dsum(F.col("y") * F.col("y"), 6).alias("syy"))
+    n = F.col("n_hours")
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    cov = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    beta = F.when((n >= 2) & (vx > 0.0), cov / vx)
+    corr = F.when((n >= 2) & (vx > 0.0) & (vy > 0.0),
+                  cov / (F.sqrt(vx) * F.sqrt(vy)))
+    return m.select("hub_lead", "hub_lag", "n_hours",
+                    beta.alias("beta"), corr.alias("corr"))

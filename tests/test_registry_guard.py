@@ -152,6 +152,24 @@ def test_staleness_bound():
         f"`python tools/rotation_report.py --emit-priority`")
 
 
+def test_stale_bound_feasible():
+    # Pigeonhole feasibility (r6): each round refreshes at most
+    # DRIVER_WINDOW signals and every oracle-backed query needs one at
+    # least every STALE_BOUND rounds, so the bound is satisfiable only
+    # while DRIVER_WINDOW * STALE_BOUND >= #registered queries. r5's
+    # bound of 2 silently crossed this line (capacity 100 vs 162
+    # queries) and forced a rolling deferral treadmill; this test makes
+    # registration growth past capacity an explicit bound/window
+    # decision instead.
+    registry._ensure_loaded()
+    capacity = registry.DRIVER_WINDOW * registry.STALE_BOUND
+    assert capacity >= len(registry.QUERIES), (
+        f"staleness contract infeasible: window {registry.DRIVER_WINDOW} x "
+        f"bound {registry.STALE_BOUND} = {capacity} slots per cycle < "
+        f"{len(registry.QUERIES)} registered queries — raise STALE_BOUND "
+        f"(or split the window) before registering more")
+
+
 def test_sentinels_are_registered():
     registry._ensure_loaded()
     unknown = [n for n in registry.SENTINELS if n not in registry.QUERIES]
