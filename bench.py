@@ -131,6 +131,20 @@ def main() -> None:
             dt = time.time() - t0
             times[name] = min(times.get(name, float("inf")), dt)
 
+    # The two applyInPandas fold queries converge over ~8 reps (Python
+    # worker reuse + Arrow path warm-up), not the ~2 the suite passes
+    # provide — their 3-pass min samples a shallow warm-up depth and
+    # wobbled +/-45% across rounds (r5 verdict; isolated 10-rep evidence
+    # in SCALE.md §PnL-fold variance). Extra BACK-TO-BACK reps are correct
+    # here, unlike for contention noise: the noise source is warm-up
+    # depth, which back-to-back repetition monotonically burns down.
+    for name in ("pnl_positions_fold", "pnl_positions_hybrid"):
+        if name in headline:
+            for _ in range(5):
+                t0 = time.time()
+                force(headline[name].spark(spark, sf_dir))
+                times[name] = min(times[name], time.time() - t0)
+
     rounded = {name: round(t, 3) for name, t in times.items()}
     print(json.dumps({
         "metric": "headline_query_wall_time",

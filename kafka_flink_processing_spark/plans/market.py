@@ -487,6 +487,29 @@ def hub_spread_hourly_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SLIPPAGE_TOL_S = 300  # a tick prices a trade for 5 minutes
 
 
+def slippage_join_build(streams: dict[str, DataFrame]) -> DataFrame:
+    """The watermarked stream-stream interval join itself, shared by the
+    registered query and tools/stream_bench.py's state-growth probe."""
+    p = (streams["ticks"]
+         .select(F.col("tick_id"), F.col("ts").alias("tick_ts"),
+                 F.col("hub").alias("tick_hub"),
+                 F.col("price_mwh").alias("tick_price"))
+         .withWatermark("tick_ts", "10 minutes"))
+    t = (streams["trades"]
+         .select(F.col("trade_id"), F.col("ts").alias("trade_ts"),
+                 F.col("hub"), F.col("price_mwh").alias("trade_price"))
+         .withWatermark("trade_ts", "10 minutes"))
+    cond = ((F.col("hub") == F.col("tick_hub"))
+            & (F.col("tick_ts") <= F.col("trade_ts"))
+            & (F.col("tick_ts") >= F.col("trade_ts")
+               - F.expr(f"INTERVAL {_SLIPPAGE_TOL_S} SECONDS")))
+    return (t.join(p, cond)
+            .select("trade_id", "tick_id", "hub", "trade_ts", "tick_ts",
+                    "trade_price", "tick_price",
+                    (F.col("trade_price") - F.col("tick_price"))
+                    .alias("slippage")))
+
+
 @register(
     "streaming_slippage_join",
     oracle=f"""
@@ -519,29 +542,9 @@ def streaming_slippage_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         drain_streaming_multi,
     )
 
-    def build(streams: dict[str, DataFrame]) -> DataFrame:
-        p = (streams["ticks"]
-             .select(F.col("tick_id"), F.col("ts").alias("tick_ts"),
-                     F.col("hub").alias("tick_hub"),
-                     F.col("price_mwh").alias("tick_price"))
-             .withWatermark("tick_ts", "10 minutes"))
-        t = (streams["trades"]
-             .select(F.col("trade_id"), F.col("ts").alias("trade_ts"),
-                     F.col("hub"), F.col("price_mwh").alias("trade_price"))
-             .withWatermark("trade_ts", "10 minutes"))
-        cond = ((F.col("hub") == F.col("tick_hub"))
-                & (F.col("tick_ts") <= F.col("trade_ts"))
-                & (F.col("tick_ts") >= F.col("trade_ts")
-                   - F.expr(f"INTERVAL {_SLIPPAGE_TOL_S} SECONDS")))
-        return (t.join(p, cond)
-                .select("trade_id", "tick_id", "hub", "trade_ts", "tick_ts",
-                        "trade_price", "tick_price",
-                        (F.col("trade_price") - F.col("tick_price"))
-                        .alias("slippage")))
-
     return drain_streaming_multi(
         {"ticks": _ticks(spark, sf_dir), "trades": _trades(spark, sf_dir)},
-        build, "slippage")
+        slippage_join_build, "slippage")
 
 
 @register(
