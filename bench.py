@@ -48,6 +48,11 @@ R4_22 = CORE16 | frozenset({
 R5_25 = R4_22 | frozenset({
     "sql_q5_local_supplier", "sql_q6_forecast_revenue", "heavy_hitters_mg",
 })
+# R6_28 = the full r5-final headline (BENCH_r05 = its floor); frozen when
+# the r6 pack (kyle_lambda / column_profile / token_drift) joined.
+R6_28 = R5_25 | frozenset({
+    "ewma_price", "bollinger_bands", "cms_freq_estimate",
+})
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -72,7 +77,7 @@ def main() -> None:
     # and let a subtotal silently shrink — the exact failure these sets
     # exist to catch)
     for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22),
-                                ("R5_25", R5_25)):
+                                ("R5_25", R5_25), ("R6_28", R6_28)):
         missing = frozen - set(headline)
         if missing:
             raise SystemExit(
@@ -155,6 +160,7 @@ def main() -> None:
         "core16_subtotal": round(sum(times[q] for q in CORE16), 3),
         "r4_22_subtotal": round(sum(times[q] for q in R4_22), 3),
         "r5_25_subtotal": round(sum(times[q] for q in R5_25), 3),
+        "r6_28_subtotal": round(sum(times[q] for q in R6_28), 3),
         "sf": sf_from_dir(sf_dir),
     }))
 

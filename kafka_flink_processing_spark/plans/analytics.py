@@ -1679,6 +1679,7 @@ def _profile_leg_sql(col: str) -> str:
         "oracle guarantee, and per-column separate passes re-scan the "
         "fact table four times. The final stack() to long form runs on "
         "a single 1-row result.",
+    bench=True,  # joined the headline r6: first-round floor rule (BASELINE.md)
 )
 def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)

@@ -2348,6 +2348,7 @@ _DRIFT_MIN_TOTAL = 50  # test only tokens with enough pooled mass for a
         "sketch in operators/sketch.py is the documented escape when "
         "the vocab stops fitting), then the totals reduce to ONE "
         "broadcast row and the top-50 is TakeOrderedAndProject.",
+    bench=True,  # joined the headline r6: first-round floor rule (BASELINE.md)
 )
 def token_drift_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.text import md5_hash60

@@ -967,6 +967,7 @@ def vwap_execution_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "combined moment aggregate to hubs rows; with few hubs the "
         "re-key lever is (hub, day) sub-regressions, same as "
         "ewma_price's documented epoch re-key.",
+    bench=True,  # joined the headline r6: first-round floor rule (BASELINE.md)
 )
 def kyle_lambda_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades(spark, sf_dir)

@@ -247,3 +247,57 @@ def test_cms_sketch_is_broadcast_probe_no_big_shuffle(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_kyle_lambda_single_hub_exchange(spark):
+    # the OLS-via-sufficient-statistics pattern: ONE hub exchange serves
+    # both the LAG window and the (map-side combined) moment aggregate;
+    # the slope algebra is a projection on hubs rows
+    plan = plan_of(spark, "kyle_lambda_price_impact")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Exchange rangepartitioning" not in plan
+    assert "In(event_type, [error,purchase,signup]" in plan  # pushdown
+
+
+def test_lead_lag_runs_on_preaggregated_grid(spark):
+    # ticks are touched once by the (hub, hour) aggregate; all three
+    # later joins run on the grid and must be broadcast at this SF,
+    # never a sort-merge of ticks
+    plan = plan_of(spark, "lead_lag_hub_beta")
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+
+
+def test_column_profile_single_pass_expand(spark):
+    # exactness-in-one-pass contract: the four exact count-distincts plan
+    # as ONE Expand over ONE scan (not four scans), the distinct exchange
+    # is keyed by (gid, value), and only the four profiled columns are
+    # read from the 11-column fact table
+    plan = plan_of(spark, "column_profile")
+    assert plan.count("Expand") == 1
+    assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
+    assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
+            "l_discount:double,l_shipdate:timestamp_ntz>") in plan
+    assert "l_tax" not in plan
+
+
+def test_token_drift_totals_broadcast_topk_pushed(spark):
+    # the two totals reduce to ONE broadcast row (nested-loop join of a
+    # 1-row side, never a shuffle of the token relation against it) and
+    # the top-50 is a distributed partial top-k
+    plan = plan_of(spark, "token_drift_chi2")
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_novelty_no_pair_blowup(spark):
+    # first-occurrence novelty is MIN-per-gram + join-back — loose pin
+    # only (the memoized shingle cache changes plan shape warm vs cold,
+    # see dup_span_redact note above): no cartesian product and no
+    # global sort at any cache temperature
+    plan = plan_of(spark, "ngram_novelty_by_source")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
