@@ -1700,3 +1700,107 @@ def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f"(column_name, n_null, n_distinct, min_val, max_val)")
             .select("column_name", "n_rows", "n_null", "n_distinct",
                     "min_val", "max_val"))
+
+
+# --- r6 late: RFM customer segmentation ----------------------------------
+
+_RFM_QS = (0.2, 0.4, 0.6, 0.8)
+
+
+def _rfm_cut_sql(col: str, prefix: str) -> str:
+    """Quintile cutoffs of a per-customer measure, percentile_disc
+    semantics (value at rank ceil(q*n), custkey tie-break) — the same
+    rank-selection idiom as exact_quantiles_value."""
+    cases = ", ".join(
+        f"MIN(CASE WHEN rn = CAST(CEIL({q} * n) AS BIGINT) THEN {col} END)"
+        f" AS {prefix}{int(q * 100)}" for q in _RFM_QS)
+    return (f"(SELECT {cases} FROM (SELECT {col}, o_custkey, "
+            f"ROW_NUMBER() OVER (ORDER BY {col}, o_custkey) AS rn, "
+            f"COUNT(*) OVER () AS n FROM cust))")
+
+
+@register(
+    "rfm_customer_segments",
+    oracle=f"""
+    WITH mx AS (SELECT MAX(o_orderdate) AS as_of FROM orders),
+    cust AS (SELECT o_custkey, MAX(o_orderdate) AS last_order,
+                    COUNT(*) AS freq,
+                    {dsum_sql('o_totalprice', 2)} AS monetary
+             FROM orders GROUP BY 1),
+    cust2 AS (SELECT c.*, date_diff('day', last_order, as_of) AS rec_days
+              FROM cust c, mx),
+    rcut AS {_rfm_cut_sql('rec_days', 'r').replace('FROM cust', 'FROM cust2')},
+    fcut AS {_rfm_cut_sql('freq', 'f')},
+    mcut AS {_rfm_cut_sql('monetary', 'm')},
+    scored AS (SELECT
+        5 - ((rec_days > r20)::INT + (rec_days > r40)::INT
+             + (rec_days > r60)::INT + (rec_days > r80)::INT) AS r_score,
+        1 + ((freq > f20)::INT + (freq > f40)::INT
+             + (freq > f60)::INT + (freq > f80)::INT) AS f_score,
+        1 + ((monetary > m20)::INT + (monetary > m40)::INT
+             + (monetary > m60)::INT + (monetary > m80)::INT) AS m_score,
+        monetary, rec_days
+      FROM cust2, rcut, fcut, mcut)
+    SELECT r_score, f_score, m_score,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           {dsum_sql('monetary', 2)} / COUNT(*) AS avg_monetary,
+           CAST(SUM(rec_days) AS DOUBLE) / COUNT(*) AS avg_recency_days
+    FROM scored GROUP BY 1, 2, 3
+    """,
+    doc="RFM (recency/frequency/monetary) customer segmentation: "
+        "per-customer aggregates from orders, data-driven quintile "
+        "cutoffs per measure (exact rank-selection, percentile_disc "
+        "semantics with custkey tie-break — the exact_quantiles_value "
+        "idiom), scores 1-5 (5 best: most recent / most frequent / "
+        "highest spend), reduced to the <=125-cell segment grid with "
+        "per-segment size, mean spend, and mean recency — the classic "
+        "marketing-analytics read the reference would run in Postgres. "
+        "Exactness: money through dsum; cutoff comparisons on exact "
+        "values; day arithmetic integer. Scale: ONE custkey exchange "
+        "for the per-customer aggregate; the cutoff windows sort the "
+        "CUSTOMER relation (orders never), and at customer counts "
+        "where a single-partition sort hurts, the documented swap is "
+        "the approx-digest cutoff (same posture as "
+        "exact_quantiles_value's certification-vs-production split); "
+        "scoring is a broadcast of one 12-number row onto the customer "
+        "scan and the final aggregate is map-side-combined to <=125 "
+        "rows.",
+)
+def rfm_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, "orders", sf_dir)
+    asof = orders.agg(F.max("o_orderdate").alias("as_of"))
+    cust = (orders.groupBy("o_custkey")
+            .agg(F.max("o_orderdate").alias("last_order"),
+                 F.count("*").alias("freq"),
+                 dsum("o_totalprice", 2).alias("monetary"))
+            .crossJoin(F.broadcast(asof))
+            .withColumn("rec_days", F.datediff("as_of", "last_order")))
+
+    def cuts(col: str, prefix: str) -> DataFrame:
+        w = Window.orderBy(F.col(col), F.col("o_custkey"))
+        ranked = cust.select(
+            col, "o_custkey", F.row_number().over(w).alias("rn"),
+            F.count("*").over(Window.partitionBy()).alias("n"))
+        return ranked.agg(*[
+            F.min(F.when(F.col("rn") == F.ceil(F.lit(q) * F.col("n")),
+                         F.col(col))).alias(f"{prefix}{int(q * 100)}")
+            for q in _RFM_QS])
+
+    cut_row = (cuts("rec_days", "r").crossJoin(cuts("freq", "f"))
+               .crossJoin(cuts("monetary", "m")))
+
+    def bumps(col: str, prefix: str) -> F.Column:
+        return sum((F.col(col) > F.col(f"{prefix}{int(q * 100)}"))
+                   .cast("int") for q in _RFM_QS)
+
+    scored = (cust.crossJoin(F.broadcast(cut_row))
+              .select((5 - bumps("rec_days", "r")).alias("r_score"),
+                      (1 + bumps("freq", "f")).alias("f_score"),
+                      (1 + bumps("monetary", "m")).alias("m_score"),
+                      "monetary", "rec_days"))
+    n = F.count("*")
+    return (scored.groupBy("r_score", "f_score", "m_score")
+            .agg(n.alias("n_customers"),
+                 (dsum("monetary", 2) / n).alias("avg_monetary"),
+                 (F.sum("rec_days").cast("double") / n)
+                 .alias("avg_recency_days")))

@@ -2432,3 +2432,69 @@ def ngram_novelty_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  .alias("avg_doc_novelty"),
                  (F.sum("novel").cast("double") / F.sum("n"))
                  .alias("novel_gram_share")))
+
+
+_LIFT_MIN_PAIR = 20  # collocation must occur enough to matter
+
+
+@register(
+    "bigram_lift_top",
+    oracle=f"""
+    WITH t AS (SELECT string_split(text, ' ') AS w FROM documents),
+    tok AS (SELECT unnest(w) AS tok FROM t),
+    u AS (SELECT tok, COUNT(*) AS c FROM tok GROUP BY 1),
+    n AS (SELECT SUM(c) AS n_tokens FROM u),
+    bg AS (SELECT unnest(
+             CASE WHEN len(w) < 2 THEN []
+                  ELSE [w[i] || ' ' || w[i+1] for i in range(1, len(w))]
+             END) AS bigram FROM t),
+    b AS (SELECT bigram, COUNT(*) AS n_pair FROM bg GROUP BY 1
+          HAVING COUNT(*) >= {_LIFT_MIN_PAIR})
+    SELECT bigram, n_pair,
+           (CAST(n_tokens AS DOUBLE) * n_pair)
+             / (CAST(u1.c AS DOUBLE) * CAST(u2.c AS DOUBLE)) AS lift
+    FROM b, n
+    JOIN u u1 ON u1.tok = string_split(bigram, ' ')[1]
+    JOIN u u2 ON u2.tok = string_split(bigram, ' ')[2]
+    ORDER BY lift DESC, bigram
+    LIMIT 50
+    """,
+    doc="top collocations by pointwise lift: P(w1 w2) / (P(w1) P(w2)) "
+        "= N * c(w1,w2) / (c(w1) * c(w2)) for bigrams with count >= "
+        f"{_LIFT_MIN_PAIR} — the tokenizer-merge / stop-phrase signal a "
+        "corpus pipeline mines (lift is the log-free PMI: exp(PMI) — "
+        "same ranking, no transcendentals, so it stays oracle-exact as "
+        "a ratio of integer counts). Scale: one bigram-keyed and one "
+        "token-keyed map-side-combined count; the unigram relation "
+        "joins back onto the FILTERED bigram table (>= min count — "
+        "vocab-bounded, broadcast at test SF, a plain shuffle join at "
+        "trillion-token scale where the MG sketch caps the candidate "
+        "set first); the top-50 is a partial top-k, never a global "
+        "sort.",
+)
+def bigram_lift_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    w = F.split(F.col("text"), " ")
+    idx = F.sequence(F.lit(1), F.size(w) - 1)
+    pair = F.transform(idx, lambda i: F.concat_ws(
+        " ", F.element_at(w, i), F.element_at(w, i + 1)))
+    bigrams = docs.select(F.explode(
+        F.when(F.size(w) < 2, F.array().cast("array<string>"))
+         .otherwise(pair)).alias("bigram"))
+    tok = docs.select(F.explode(w).alias("tok"))
+    u = tok.groupBy("tok").agg(F.count("*").alias("c"))
+    n = u.agg(F.sum("c").alias("n_tokens"))
+    b = (bigrams.groupBy("bigram").agg(F.count("*").alias("n_pair"))
+         .filter(F.col("n_pair") >= _LIFT_MIN_PAIR))
+    u1 = u.select(F.col("tok").alias("w1"), F.col("c").alias("c1"))
+    u2 = u.select(F.col("tok").alias("w2"), F.col("c").alias("c2"))
+    parts = F.split(F.col("bigram"), " ")
+    j = (b.withColumn("w1", F.element_at(parts, 1))
+          .withColumn("w2", F.element_at(parts, 2))
+          .join(u1, "w1").join(u2, "w2")
+          .crossJoin(F.broadcast(n)))
+    lift = ((F.col("n_tokens").cast("double") * F.col("n_pair"))
+            / (F.col("c1").cast("double") * F.col("c2").cast("double")))
+    return (j.select("bigram", "n_pair", lift.alias("lift"))
+            .orderBy(F.desc("lift"), "bigram")
+            .limit(50))

@@ -195,3 +195,55 @@ def test_ngram_novelty_hand_ratios(spark):
     assert b.n_docs == 1                    # the 2-word doc is excluded
     assert abs(b.avg_doc_novelty - 2 / 3) < 1e-6   # 6dp-fixed ratio
     assert abs(b.novel_gram_share - 2 / 3) < 1e-9
+
+
+# ------------------------------------------------------------ rfm / lift
+
+
+def test_rfm_segments_hand_scores(spark):
+    # customer k: freq=k, monetary=100k, last order base+k days -> every
+    # quintile cutoff and score computable by hand; scores = (k, k, k)
+    rows = []
+    okey = 0
+    base = dt.datetime(2024, 1, 1)
+    for k in range(1, 6):
+        for i in range(k):
+            okey += 1
+            rows.append((okey, k, "O", 100.0 * k / k,
+                         base + dt.timedelta(days=k if i == k - 1 else 0),
+                         "1-URGENT"))
+    schema = ("o_orderkey long, o_custkey long, o_orderstatus string, "
+              "o_totalprice double, o_orderdate timestamp, "
+              "o_orderpriority string")
+    from kafka_flink_processing_spark.plans.analytics import (
+        rfm_customer_segments_q,
+    )
+    with tempfile.TemporaryDirectory(prefix="kfps_rfm_") as td:
+        spark.createDataFrame(rows, schema).write.mode("overwrite") \
+            .parquet(f"{td}/orders.parquet")
+        got = {(r.r_score, r.f_score, r.m_score): r
+               for r in rfm_customer_segments_q(spark, td).collect()}
+    # customer k spends 100.0 per order -> monetary = 100k, ascending in
+    # k like freq; recency 5-k days, so all three scores equal k
+    assert set(got) == {(k, k, k) for k in range(1, 6)}
+    for k in range(1, 6):
+        seg = got[(k, k, k)]
+        assert seg.n_customers == 1
+        assert abs(seg.avg_monetary - 100.0 * k) < 1e-9
+        assert abs(seg.avg_recency_days - (5 - k)) < 1e-9
+
+
+def test_bigram_lift_hand_counts(spark):
+    # 30 docs "p q" (perfect collocation) + 40 docs "x x x" (self-pairs):
+    # N=180 tokens; lift(p q) = 180*30/(30*30) = 6; lift(x x) =
+    # 180*80/(120*120) = 1
+    from kafka_flink_processing_spark.plans.extensions import (
+        bigram_lift_top_q,
+    )
+    rows = [(i, "p q", "en", "s", 3) for i in range(30)]
+    rows += [(100 + i, "x x x", "en", "s", 5) for i in range(40)]
+    with tempfile.TemporaryDirectory(prefix="kfps_lift_") as td:
+        _doc_table(spark, td, rows)
+        got = [(r.bigram, r.n_pair, r.lift)
+               for r in bigram_lift_top_q(spark, td).collect()]
+    assert got == [("p q", 30, 6.0), ("x x", 80, 1.0)]
