@@ -32,3 +32,46 @@ def test_write_corpus_partitioned_and_size_capped(spark, tmp_path):
     plan = (back.filter(back.lang == "en")._jdf.queryExecution()
             .executedPlan().toString())
     assert "PartitionFilters: [isnotnull(lang" in plan
+
+
+def test_scratch_root_owned_and_private():
+    # r5 advice hardening: the shared scratch root must be a non-symlink
+    # directory owned by us with mode 0700 (hostile-/tmp posture); the
+    # helper falls back to mkdtemp when that can't be guaranteed
+    import os
+    import stat
+
+    from kafka_flink_processing_spark.sources.formats import (
+        roundtrip_scratch_dir,
+    )
+    d = roundtrip_scratch_dir("permcheck")
+    root = os.path.dirname(d)
+    st = os.lstat(root)
+    assert stat.S_ISDIR(st.st_mode)
+    if hasattr(os, "getuid"):
+        assert st.st_uid == os.getuid()
+    assert stat.S_IMODE(st.st_mode) == 0o700
+
+
+def test_drain_streaming_multi_cleans_scratch_on_failure(spark):
+    # r5 advice: a failing build must not leak the staged copy/checkpoint
+    import glob
+    import tempfile
+
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_multi,
+    )
+    before = set(glob.glob(f"{tempfile.gettempdir()}/kfps_failtag_*"))
+    df = spark.range(3).selectExpr("id", "timestamp'2024-01-01' as ts")
+
+    def bad_build(streams):
+        raise RuntimeError("synthetic build failure")
+
+    try:
+        drain_streaming_multi({"only": df}, bad_build, "failtag")
+    except RuntimeError:
+        pass
+    else:
+        raise AssertionError("expected the synthetic failure to propagate")
+    after = set(glob.glob(f"{tempfile.gettempdir()}/kfps_failtag_*"))
+    assert after == before, f"leaked scratch dirs: {after - before}"
