@@ -247,3 +247,40 @@ def test_bigram_lift_hand_counts(spark):
         got = [(r.bigram, r.n_pair, r.lift)
                for r in bigram_lift_top_q(spark, td).collect()]
     assert got == [("p q", 30, 6.0), ("x x", 80, 1.0)]
+
+
+# ------------------------------------------------- determinism properties
+
+
+def test_r6_queries_partition_and_order_invariant(spark):
+    # The engine bans partition-order nondeterminism; the r6 regressions
+    # must produce BIT-IDENTICAL results when the input arrives shuffled
+    # and the shuffle width changes (the cross-cluster determinism claim
+    # at fixture scale).
+    import random
+
+    rng = np.random.RandomState(3)
+    rows = []
+    for i in range(60):
+        et = ["view", "click", "purchase", "error", "signup"][i % 5]
+        rows.append((500 + i, i % 3, i * 37 * SEC, et,
+                     round(float(40 + rng.uniform(-5, 5)), 2)))
+    shuffled = rows[:]
+    random.Random(9).shuffle(shuffled)
+
+    def run(fixture_rows, parts):
+        with tempfile.TemporaryDirectory(prefix="kfps_det_") as td:
+            _event_table(spark, td, fixture_rows)
+            old = spark.conf.get("spark.sql.shuffle.partitions")
+            spark.conf.set("spark.sql.shuffle.partitions", str(parts))
+            try:
+                k = sorted(map(tuple, kyle_lambda_q(spark, td).collect()))
+                l = sorted(map(tuple,
+                               lead_lag_hub_beta_q(spark, td).collect()))
+            finally:
+                spark.conf.set("spark.sql.shuffle.partitions", old)
+        return k, l
+
+    base = run(rows, 32)
+    assert run(shuffled, 32) == base     # row order must not matter
+    assert run(rows, 3) == base          # shuffle width must not matter
