@@ -126,6 +126,14 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
             mask = pdf[col].notna()
             cands.update(pdf.loc[mask, col])
             d += int(pdf.loc[~mask, "__mg_d"].sum())
+        if not cands and d:
+            # rows were folded but the overflow step dropped every
+            # counter (near-uniform stream, capacity far too small):
+            # an empty top-k here would be a SILENT wrong answer
+            raise RuntimeError(
+                "heavy_hitters_topk exactness precondition violated: no "
+                f"candidates survived the MG fold (decrement bound {d}) "
+                f"— raise capacity (current {capacity})")
         if cands:
             yield pd.DataFrame({col: sorted(cands), "__mg_bound": d})
 

@@ -84,6 +84,16 @@ def test_heavy_hitters_raises_when_capacity_too_small(spark):
         heavy_hitters_topk(grams, k=5, capacity=4).collect()
 
 
+def test_heavy_hitters_raises_when_all_candidates_dropped(spark):
+    # pathological sizing: a perfectly uniform single-partition stream at
+    # tiny capacity drops EVERY counter in the overflow step — the merge
+    # must raise rather than return an empty (silently wrong) top-k
+    rows = [(f"u{i:02d}",) for i in range(10) for _ in range(3)]
+    grams = spark.createDataFrame(rows, "g string").coalesce(1)
+    with pytest.raises(Exception, match="no candidates survived"):
+        heavy_hitters_topk(grams, k=5, capacity=4).collect()
+
+
 def test_mg_candidates_bounded_per_partition(spark):
     rows = [(f"t{i % 300}",) for i in range(3000)]
     grams = spark.createDataFrame(rows, "g string").repartition(4)
