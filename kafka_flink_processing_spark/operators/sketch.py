@@ -118,31 +118,30 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     The returned plan embeds the exactness guard (module docstring): every
     reported row's recounted freq must exceed the merged MG bound D, else
     the projection raises at collect time — sizing failures are loud."""
-
-    def merge(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        cands: set = set()
-        d = 0
-        for pdf in batches:
-            mask = pdf[col].notna()
-            cands.update(pdf.loc[mask, col])
-            d += int(pdf.loc[~mask, "__mg_d"].sum())
-        if not cands and d:
-            # rows were folded but the overflow step dropped every
-            # counter (near-uniform stream, capacity far too small):
-            # an empty top-k here would be a SILENT wrong answer
-            raise RuntimeError(
-                "heavy_hitters_topk exactness precondition violated: no "
-                f"candidates survived the MG fold (decrement bound {d}) "
-                f"— raise capacity (current {capacity})")
-        if cands:
-            yield pd.DataFrame({col: sorted(cands), "__mg_bound": d})
-
-    # single-partition merge of the tiny pass-1 output: candidate union +
-    # the global bound D. The repartition(1) exchange carries <= (C+1)
-    # rows per input partition — the same candidates-x-partitions cost the
-    # recount exchange already pays; the gram universe itself never moves.
-    merged = (_mg_scan(grams, col, capacity).repartition(1)
-              .mapInPandas(merge, schema=f"{col} string, __mg_bound long"))
+    # single JVM aggregate merges the tiny pass-1 output: collect_set
+    # unions the candidates (markers carry NULL g, so they're skipped)
+    # while sum() folds the markers' d_p into the global bound D (the
+    # candidates' NULL __mg_d is skipped symmetrically). Map-side partial
+    # aggregation means the SinglePartition exchange carries <= (C+1)
+    # rows' worth per input partition — the same candidates-x-partitions
+    # cost the recount exchange already pays; the gram universe itself
+    # never moves and no extra Python stage runs.
+    raw = _mg_scan(grams, col, capacity)
+    one = raw.agg(F.collect_set(F.col(col)).alias("cs"),
+                  F.sum("__mg_d").alias("d"))
+    # rows folded but the overflow dropped EVERY counter (near-uniform
+    # stream, capacity far too small): an empty top-k would be a silent
+    # wrong answer — raise instead, at collect time
+    guarded_cs = F.when(
+        (F.size("cs") == 0) & (F.coalesce(F.col("d"), F.lit(0)) > 0),
+        F.raise_error(F.concat(
+            F.lit("heavy_hitters_topk exactness precondition violated: "
+                  "no candidates survived the MG fold (decrement bound "),
+            F.col("d"),
+            F.lit(f") — raise capacity (current {capacity})")))
+        .cast("array<string>")).otherwise(F.col("cs"))
+    merged = one.select(F.explode(guarded_cs).alias(col),
+                        F.col("d").alias("__mg_bound"))
     counted = (grams.join(F.broadcast(merged), col)  # filter BEFORE exchange
                .groupBy(col, "__mg_bound")  # bound is constant: free rider
                .agg(F.count("*").alias("freq")))
