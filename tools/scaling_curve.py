@@ -1,0 +1,103 @@
+"""Scaling-curve probe: does each plan's cost stay ~linear as the input
+replicates 1x -> 4x -> 16x?
+
+Small-SF bench numbers prove relative cost, not scaling SHAPE. This tool
+replicates the sf0.1 tables k-fold with distribution-preserving id
+offsets (same hub/key populations, k-fold rows per key — the honest
+"more history per key" shape a growing corpus has), runs a representative
+query set at each scale, and prints one JSON line per scale. Findings
+land in SCALE.md.
+
+Query set (why each is here):
+  groupby_agg_q1      scan + map-side-combined agg: the linear baseline
+  ohlc_bars           keyed agg, fixed group count, k-fold rows per group
+  kyle_lambda_price_impact  per-hub window sort: the documented few-keys
+                      serialization concern, measured instead of assumed
+  heavy_hitters_mg    MG sketch: exchange carries candidates, not the
+                      gram universe — slope should stay flat-linear
+  ngram_freq_top      the full-universe-shuffle contrast to the sketch
+  token_drift_chi2    token-keyed exchange + broadcast totals + top-k
+
+Usage: python tools/scaling_curve.py [reps ...]   (default 1 4 16)
+"""
+
+from __future__ import annotations
+
+import json
+import shutil
+import sys
+import tempfile
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from kafka_flink_processing_spark.plans.registry import (  # noqa: E402
+    QUERIES,
+    _ensure_loaded,
+)
+from kafka_flink_processing_spark.session import get_spark  # noqa: E402
+from kafka_flink_processing_spark.sources.parquet import load_table  # noqa: E402
+
+SRC = "/root/testdata/sf0.1"
+QUERY_SET = ["groupby_agg_q1", "ohlc_bars", "kyle_lambda_price_impact",
+             "heavy_hitters_mg", "ngram_freq_top", "token_drift_chi2"]
+# distribution-preserving replication: bump the id columns per replica so
+# keys stay unique while every categorical/derived population (hubs from
+# user_id % 4, langs, priorities) keeps its shape
+OFFSETS = {
+    "lineitem": {"l_orderkey": 10 ** 9},
+    "events": {"event_id": 10 ** 9, "user_id": 10 ** 4},
+    "documents": {"doc_id": 10 ** 9},
+}
+
+
+def replicate(spark, table: str, reps: int, out_dir: str) -> None:
+    base = load_table(spark, table, SRC)
+    parts = []
+    for k in range(reps):
+        df = base
+        for col, step in OFFSETS[table].items():
+            df = df.withColumn(col, F.col(col) + F.lit(k * step))
+        parts.append(df)
+    u = parts[0]
+    for p in parts[1:]:
+        u = u.unionByName(p)
+    u.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+
+def force(df) -> None:
+    df.write.mode("overwrite").format("noop").save()
+
+
+def main() -> None:
+    reps_list = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    spark = get_spark("scaling-curve")
+    _ensure_loaded()
+    # warm the Python worker pools once so 1x doesn't eat the fork cost
+    warm = spark.range(0, 32 * 1024, 1, 32)
+    force(warm.mapInPandas(lambda it: it, schema="id long"))
+    for reps in reps_list:
+        td = tempfile.mkdtemp(prefix=f"kfps_curve_{reps}x_")
+        try:
+            for t in OFFSETS:
+                replicate(spark, t, reps, td)
+            times = {}
+            for name in QUERY_SET:
+                best = float("inf")
+                for _ in range(2):
+                    t0 = time.time()
+                    force(QUERIES[name].spark(spark, td))
+                    best = min(best, time.time() - t0)
+                times[name] = round(best, 3)
+            print(json.dumps({"reps": reps, "queries": times,
+                              "total": round(sum(times.values()), 3)}),
+                  flush=True)
+        finally:
+            shutil.rmtree(td, ignore_errors=True)
+
+
+if __name__ == "__main__":
+    main()
