@@ -13,6 +13,10 @@ Overflow bound: int64 holds +/-9.2e18; at scale 6 that is ~9.2e12 in measure
 units per group — ample for 100 TB money-typed columns (sum of 6e11 rows x
 1e5 avg = 6e16 x 100 = 6e18 at scale 2, near but under the bound; for
 wider measures switch the cast to decimal(38,s), trading ~2x agg speed).
+The engine runs under Spark 4's default ANSI mode (the full suite and
+both-SF oracle gates pass with spark.sql.ansi.enabled=true), so a measure
+that DOES outgrow the bound raises ARITHMETIC_OVERFLOW at run time
+instead of silently wrapping — the sizing rule is enforced, not hoped.
 
 Oracle-side equivalent: dsum_sql/davg_sql render the identical arithmetic
 for DuckDB (SUM(BIGINT) is int128 there, then cast to double — identical
