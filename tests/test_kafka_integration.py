@@ -16,6 +16,7 @@ source, then run the SMA forecast over both and compare again.
 from __future__ import annotations
 
 import json
+import os
 import socket
 
 import pytest
@@ -28,7 +29,9 @@ from kafka_flink_processing_spark.sources.kafka import (
     topic_stream,
 )
 
-BOOTSTRAP = "localhost:9092"
+# overridable so a remote broker can run this test without edits
+# (README "Running on a real cluster" section)
+BOOTSTRAP = os.environ.get("KAFKA_BOOTSTRAP", "localhost:9092")
 
 FIXTURE = [
     {"ts": f"2024-01-01T00:00:{s:02d}", "hub": hub, "price_mwh": px}
@@ -39,8 +42,9 @@ FIXTURE = [
 
 
 def _broker_up() -> bool:
+    host, _, port = BOOTSTRAP.partition(":")
     try:
-        with socket.create_connection(("localhost", 9092), timeout=1):
+        with socket.create_connection((host, int(port or 9092)), timeout=1):
             return True
     except OSError:
         return False
