@@ -301,3 +301,21 @@ def test_ngram_novelty_no_pair_blowup(spark):
     plan = plan_of(spark, "ngram_novelty_by_source")
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_rfm_orders_reduced_once_no_sortmerge(spark):
+    # orders reduce once on custkey; cutoffs + scoring ride broadcast
+    # one-row joins (deliberate BroadcastNestedLoopJoins of scalar rows);
+    # nothing ever sort-merges the orders relation
+    plan = plan_of(spark, "rfm_customer_segments")
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_bigram_lift_no_sortmerge_topk_pushed(spark):
+    # unigram joins onto the count-filtered bigram table stay hash/
+    # broadcast at this SF; the top-50 is a distributed partial top-k
+    plan = plan_of(spark, "bigram_lift_top")
+    assert "SortMergeJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
