@@ -1804,3 +1804,95 @@ def rfm_customer_segments_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  (dsum("monetary", 2) / n).alias("avg_monetary"),
                  (F.sum("rec_days").cast("double") / n)
                  .alias("avg_recency_days")))
+
+
+# --- r6 late: oracle-checkable HyperLogLog -------------------------------
+
+# HLL with an EXPLICIT md5-derived hash (same cross-engine-exact 60-bit
+# construction as the dedup/split salts), so — like cms_freq_estimate —
+# the sketch itself hash-matches the SQL oracle register-for-register
+# instead of being an engine-opaque blob. Layout: 8 bucket bits (m=256),
+# 52-bit remainder; rho = leading-zeros+1 via 52 integer comparisons
+# (no log2); the harmonic sum is kept as Σ 2^(53-rho) in int64 (max
+# 256 * 2^53 = 2^61), so the reduction is EXACT and order-free where a
+# double harmonic sum would be order-dependent. The raw estimate
+# alpha*m^2/Σ2^-rho is one double division of identical exact operands.
+# The small-range (linear-counting) correction needs ln(), which libms
+# disagree on at the last bit — it is deliberately NOT an oracle column;
+# zero_buckets is emitted so consumers (and the error-bound test, with
+# Python math) apply it downstream.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_EST_NUM = _HLL_ALPHA * _HLL_M * _HLL_M * float(1 << 53)
+_HLL_ZERO_TERM = 1 << 53  # a zero register contributes 2^(53-0)
+
+_HLL_H60 = ("CAST(CAST('0x' || substring(md5('hll:' || "
+            "CAST(user_id AS VARCHAR)), 1, 15) AS UBIGINT) AS BIGINT)")
+_HLL_BL = " + ".join(f"(rest >= {1 << k})::INT" for k in range(52))
+
+
+@register(
+    "hll_distinct_estimate",
+    oracle=f"""
+    WITH h AS (SELECT event_type, user_id, {_HLL_H60} AS hv FROM events),
+    b AS (SELECT event_type, hv % {_HLL_M} AS bucket,
+                 hv // {_HLL_M} AS rest FROM h),
+    regs AS (SELECT event_type, bucket,
+                    MAX(53 - ({_HLL_BL})) AS r
+             FROM b GROUP BY 1, 2),
+    agg AS (SELECT event_type,
+                   CAST({_HLL_M} - COUNT(*) AS BIGINT) AS zero_buckets,
+                   CAST(SUM(1::BIGINT << (53 - r))
+                        + ({_HLL_M} - COUNT(*)) * {_HLL_ZERO_TERM}
+                        AS BIGINT) AS harmonic_scaled
+            FROM regs GROUP BY 1),
+    ex AS (SELECT event_type,
+                  CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users
+           FROM events GROUP BY 1)
+    SELECT a.event_type, zero_buckets, harmonic_scaled,
+           {_HLL_EST_NUM!r} / CAST(harmonic_scaled AS DOUBLE)
+             AS hll_raw_estimate,
+           exact_users
+    FROM agg a JOIN ex USING (event_type)
+    """,
+    doc="HyperLogLog distinct-count sketch per event_type with an "
+        "explicit md5-derived hash — register-level ORACLE-CHECKABLE "
+        "(unlike approx_count_distinct's engine-opaque HLL++ blob): "
+        "m=256 buckets, rho from 52 integer comparisons (no log2), "
+        "harmonic sum kept scaled in int64 so the merge is exact and "
+        "order-free at any partition count. Emits the raw estimate, the "
+        "zero-bucket count (consumers apply the standard linear-counting "
+        "correction downstream — ln() diverges between libms so it is "
+        "deliberately not an oracle column), and the exact count "
+        "alongside, so the error is measured, not assumed "
+        "(tests/test_market_r6.py asserts the corrected estimate's "
+        "bound at two SFs). Scale: the register build is ONE "
+        "map-side-combined MAX aggregate to m rows per group — the "
+        "sketch that replaces exact distinct at 100 TB, here in a form "
+        "two engines can agree on bit-for-bit.",
+)
+def hll_distinct_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+    ev = load_table(spark, "events", sf_dir).select("event_type", "user_id")
+    hv = md5_hash60(F.concat(F.lit("hll:"),
+                             F.col("user_id").cast("string")))
+    b = ev.select("event_type", "user_id", hv.alias("hv")).select(
+        "event_type", "user_id",
+        (F.col("hv") % _HLL_M).alias("bucket"),
+        F.shiftright("hv", 8).alias("rest"))
+    bl = sum((F.col("rest") >= (1 << k)).cast("int") for k in range(52))
+    regs = (b.groupBy("event_type", "bucket")
+            .agg(F.max(F.lit(53) - bl).alias("r")))
+    agg = (regs.groupBy("event_type")
+           .agg((F.lit(_HLL_M) - F.count("*")).cast("long")
+                .alias("zero_buckets"),
+                (F.sum(F.expr("shiftleft(CAST(1 AS BIGINT), "
+                              "CAST(53 - r AS INT))"))
+                 + (F.lit(_HLL_M) - F.count("*")) * F.lit(_HLL_ZERO_TERM))
+                .cast("long").alias("harmonic_scaled")))
+    ex = (ev.groupBy("event_type")
+          .agg(F.count_distinct(F.col("user_id")).alias("exact_users")))
+    est = F.lit(_HLL_EST_NUM) / F.col("harmonic_scaled").cast("double")
+    return (agg.join(F.broadcast(ex), "event_type")
+            .select("event_type", "zero_buckets", "harmonic_scaled",
+                    est.alias("hll_raw_estimate"), "exact_users"))

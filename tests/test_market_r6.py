@@ -284,3 +284,51 @@ def test_r6_queries_partition_and_order_invariant(spark):
     base = run(rows, 32)
     assert run(shuffled, 32) == base     # row order must not matter
     assert run(rows, 3) == base          # shuffle width must not matter
+
+
+# ------------------------------------------------------------ HLL
+
+
+def _hll_estimate(row) -> float:
+    """The standard downstream estimator over the emitted sufficient
+    statistics: raw HLL, with the linear-counting small-range correction
+    (applied HERE with Python math — ln() is deliberately not an oracle
+    column, see the query doc)."""
+    import math
+    m = 256
+    if row.hll_raw_estimate <= 2.5 * m and row.zero_buckets > 0:
+        return m * math.log(m / row.zero_buckets)
+    return row.hll_raw_estimate
+
+
+def test_hll_error_bound_two_sfs(spark):
+    from kafka_flink_processing_spark.plans.analytics import (
+        hll_distinct_estimate_q,
+    )
+    # sf0.01: n=150 per type -> linear-counting regime (V > 0);
+    # sf0.1: n=1500 -> n/m ~ 5.9, raw-HLL regime (SE = 1.04/16 ~ 6.5%)
+    for sf_dir, tol in (("/root/testdata/sf0.01", 0.10),
+                        ("/root/testdata/sf0.1", 0.20)):
+        for row in hll_distinct_estimate_q(spark, sf_dir).collect():
+            est = _hll_estimate(row)
+            rel = abs(est - row.exact_users) / row.exact_users
+            assert rel <= tol, (sf_dir, row.event_type, est,
+                                row.exact_users, rel)
+
+
+def test_hll_registers_partition_invariant(spark):
+    # register MAXes are order-free: a different shuffle width must give
+    # a bit-identical sketch
+    from kafka_flink_processing_spark.plans.analytics import (
+        hll_distinct_estimate_q,
+    )
+    sf = "/root/testdata/sf0.001"
+    base = sorted(map(tuple, hll_distinct_estimate_q(spark, sf).collect()))
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "3")
+    try:
+        alt = sorted(map(tuple,
+                         hll_distinct_estimate_q(spark, sf).collect()))
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    assert alt == base
