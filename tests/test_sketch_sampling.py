@@ -222,3 +222,38 @@ def test_asof_tolerance_null_gates_stale_quotes(spark):
     assert out[4].lmp_da_bounded is None and out[4].basis is None
     assert out[4].da_age_us == 2 * 3600 * 1_000_000 + 1
     assert out[5].lmp_da_bounded is None and out[5].da_age_us is None
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries fold invariants (hypothesis)
+# ---------------------------------------------------------------------------
+
+from collections import Counter  # noqa: E402
+
+from hypothesis import given, settings, strategies as st  # noqa: E402
+
+
+@settings(max_examples=60, deadline=None)
+@given(
+    stream=st.lists(st.integers(min_value=0, max_value=40), min_size=1,
+                    max_size=600),
+    capacity=st.integers(min_value=1, max_value=12),
+    batch=st.integers(min_value=1, max_value=97),
+)
+def test_mg_fold_error_bound_invariants(stream, capacity, batch):
+    # The invariant the runtime guard rests on: for EVERY item,
+    # c_true - d_p <= c_hat <= c_true, and an item absent from the
+    # summary has c_true <= d_p. Random streams, capacities, batchings.
+    toks = [f"t{v}" for v in stream]
+    batches = [pd.DataFrame({"g": toks[i:i + batch]})
+               for i in range(0, len(toks), batch)]
+    counts, dropped = _mg_fold(iter(batches), "g", capacity)
+    true = Counter(toks)
+    assert len(counts) <= capacity
+    assert dropped >= 0
+    for g, c_true in true.items():
+        c_hat = counts.get(g)
+        if c_hat is None:
+            assert c_true <= dropped, (g, c_true, dropped)
+        else:
+            assert c_true - dropped <= c_hat <= c_true, (g, c_hat, c_true)
