@@ -160,15 +160,102 @@ def topk_recent(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_id", "ts", "user_id", "event_type", "value")
 
 
-# --- W2/W3: the PnL fold (path-dependent; NOT SQL-expressible — SURVEY.md
-# §4.2). No oracle entry: the driver records a rows-only check; the strong
-# check is tests/test_pnl.py's spec-fold replay equality.
+# --- W2/W3: the PnL fold. Rows-only through r5 ("path-dependent, not
+# SQL-expressible"); r6 disproved that: the netting transition
+# (operators/netting.py::apply_fill) is per-step ALGEBRAIC, so the whole
+# sequential fold is a recursive CTE — per-(hub, account) trade states
+# advance one rank per iteration with the exact same IEEE double
+# expressions the pandas fold evaluates, and both emission families
+# (post-fill trade rows; tick mark-to-market fan-out rows) attach
+# relationally (strict-before last-tick subquery; state-interval join).
+# Bit-exact against the Spark fold at sf0.001/0.01/0.1 (179,587 rows at
+# sf0.1). Precondition making the replay total: (hub, ts) is unique in
+# the driver events data (verified at all SFs) — with colliding
+# timestamps both engines would need the tick tie-break documented in
+# plans/market.py. tests/test_pnl.py's spec-fold replay equality remains
+# the fixture-level check.
+_PNL_REPLAY_SQL = """
+WITH RECURSIVE tr AS (
+  SELECT event_id AS trade_id, ts,
+         'ACC' || CAST(user_id % 3 + 1 AS VARCHAR) AS account,
+         'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
+         (CASE WHEN event_type IN ('purchase','signup') THEN 1 ELSE -1 END)
+           * (CASE event_id % 4 WHEN 0 THEN 5 WHEN 1 THEN 10
+                                WHEN 2 THEN 25 ELSE 50 END) AS q,
+         value AS px
+  FROM events WHERE event_type IN ('purchase','signup','error')),
+seq AS (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, account
+                               ORDER BY ts, trade_id) AS rn
+  FROM tr),
+st AS (
+  SELECT hub, account, 0 AS rn, CAST(0 AS BIGINT) AS pos,
+         CAST(0.0 AS DOUBLE) AS avg, CAST(0.0 AS DOUBLE) AS realized
+  FROM (SELECT DISTINCT hub, account FROM seq)
+  UNION ALL
+  SELECT s.hub, s.account, t.rn,
+         s.pos + t.q AS pos,
+         CASE WHEN s.pos = 0 OR (s.pos > 0) = (t.q > 0)
+              THEN CASE WHEN s.pos + t.q = 0 THEN 0.0
+                        ELSE (ABS(s.pos) * s.avg + ABS(t.q) * t.px)
+                             / ABS(s.pos + t.q) END
+              ELSE CASE WHEN s.pos + t.q = 0 THEN 0.0
+                        WHEN ((s.pos + t.q) > 0) = (s.pos > 0) THEN s.avg
+                        ELSE t.px END END AS avg,
+         CASE WHEN s.pos = 0 OR (s.pos > 0) = (t.q > 0) THEN s.realized
+              ELSE s.realized
+                   + LEAST(ABS(s.pos), ABS(t.q))
+                     * (CASE WHEN s.pos > 0 THEN t.px - s.avg
+                             ELSE s.avg - t.px END) END AS realized
+  FROM st s JOIN seq t
+    ON t.hub = s.hub AND t.account = s.account AND t.rn = s.rn + 1),
+ticks AS (
+  SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub, value AS px
+  FROM events WHERE event_type IN ('view','click')),
+tr_emit AS (
+  SELECT t.ts, t.account, t.hub,
+         s.pos AS position_mw, s.avg AS avg_price_mwh,
+         COALESCE((SELECT p.px FROM ticks p
+                   WHERE p.hub = t.hub AND p.ts < t.ts
+                   ORDER BY p.ts DESC LIMIT 1), t.px) AS last_price_mwh,
+         s.realized AS realized_pnl
+  FROM seq t JOIN st s
+    ON s.hub = t.hub AND s.account = t.account AND s.rn = t.rn),
+stv AS (
+  SELECT s.hub, s.account, t.ts AS eff_ts,
+         LEAD(t.ts) OVER (PARTITION BY s.hub, s.account
+                          ORDER BY s.rn) AS next_ts,
+         s.pos, s.avg, s.realized
+  FROM st s JOIN seq t
+    ON t.hub = s.hub AND t.account = s.account AND t.rn = s.rn),
+tick_emit AS (
+  SELECT k.ts, v.account, k.hub,
+         v.pos AS position_mw, v.avg AS avg_price_mwh,
+         k.px AS last_price_mwh, v.realized AS realized_pnl
+  FROM ticks k JOIN stv v
+    ON v.hub = k.hub AND k.ts >= v.eff_ts
+       AND (v.next_ts IS NULL OR k.ts < v.next_ts)),
+pnl AS (
+  SELECT ts, account, hub, CAST(position_mw AS BIGINT) AS position_mw,
+         avg_price_mwh, last_price_mwh, realized_pnl,
+         position_mw * (last_price_mwh - avg_price_mwh) AS unrealized_pnl,
+         realized_pnl + (position_mw * (last_price_mwh - avg_price_mwh))
+           AS total_pnl
+  FROM (SELECT * FROM tr_emit UNION ALL SELECT * FROM tick_emit))
+"""
+
+_PNL_COLS = ("ts, account, hub, position_mw, avg_price_mwh, "
+             "last_price_mwh, realized_pnl, unrealized_pnl, total_pnl")
+
+
 @register(
     "pnl_positions_fold",
-    oracle=None,
+    oracle=f"{_PNL_REPLAY_SQL} SELECT {_PNL_COLS} FROM pnl",
     doc="W2/W3 per-account position & PnL replay (PnlAndExposureJob.java:"
         "106-144): one row per trade + one per (price tick x account seen), "
-        "cold-start fallback to trade price, netting with close/flip.",
+        "cold-start fallback to trade price, netting with close/flip. "
+        "Oracle-gated since r6 via the recursive-CTE replay (see "
+        "_PNL_REPLAY_SQL above — bit-exact at three SFs).",
     bench=True,
 )
 def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -187,7 +274,7 @@ def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pnl_positions_hybrid",
-    oracle=None,
+    oracle=f"{_PNL_REPLAY_SQL} SELECT {_PNL_COLS} FROM pnl",
     doc="W2 replay, the 100 TB scale path: Python restricted to the SPARSE "
         "stream (per-(hub, account) trade fold), while the dense price-tick "
         "fan-out — the superlinear ticks x accounts output that dominates "
@@ -208,7 +295,11 @@ def pnl_positions_hybrid_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pnl_exposure",
-    oracle=None,
+    oracle=f"""{_PNL_REPLAY_SQL}
+    SELECT ts, account, hub, position_mw, last_price_mwh,
+           CAST(position_mw AS DOUBLE) AS pnl01,
+           position_mw * last_price_mwh AS notional_usd
+    FROM pnl""",
     doc="P4 exposure projection over the replay output (pnl01, notional_usd "
         "— PnlAndExposureJob.java:65-69); built on the hybrid scale path "
         "(bit-identical to the fold), so the projection fuses into its "
@@ -222,7 +313,11 @@ def pnl_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "pnl_snapshot",
-    oracle=None,
+    oracle=f"""{_PNL_REPLAY_SQL}
+    SELECT {_PNL_COLS} FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, account
+                 ORDER BY ts DESC, position_mw DESC) AS rnk FROM pnl)
+    WHERE rnk = 1""",
     doc="latest PnL per (account, hub) — the reference's read-side DISTINCT "
         "ON over positions_pnl (README.md:92), snapshot-scale output; built "
         "on the hybrid scale path (bit-identical rows), WindowGroupLimit "
