@@ -3,10 +3,12 @@
 The reference delegates every ad-hoc relational read to Postgres
 (README.md:83-101); this module is the corresponding engine-native surface,
 exercised through the classic TPC-H query shapes the driver's star schema
-supports (the testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20/Q21 are
-out of reach; Q4/Q12 are adapted to the columns that exist — the schema
+supports (the testdata has no partsupp table, so Q2/Q9/Q11/Q16/Q20 are
+out of reach; Q4/Q12/Q21 are adapted to the columns that exist — the schema
 carries no l_commitdate/l_receiptdate/l_shipmode, so "late" is defined
-against o_orderdate and the priority split replaces the shipmode split).
+against o_orderdate and the priority split replaces the shipmode split.
+Q21 was mis-binned as partsupp-dependent through r6: it needs only
+supplier/lineitem/orders/nation, so it joined the battery late-r6).
 
 Plan-shape notes (the 100 TB contract, same posture as plans/relational.py):
 filters and projections push into every parquet scan; nation/region are
@@ -565,3 +567,79 @@ def sql_q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("l_extendedprice") * F.col("l_discount"), 4)
         .alias("revenue"),
         F.count("*").alias("n_lineitems"))
+
+
+@register(
+    "sql_q21_waiting_suppliers",
+    oracle="""
+    WITH late AS (
+      SELECT l.l_orderkey, l.l_suppkey
+      FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderstatus = 'F'
+        AND l.l_shipdate > o.o_orderdate + INTERVAL 105 DAY)
+    SELECT s_name, n_name, COUNT(*) AS numwait
+    FROM late l1
+    JOIN supplier s ON s.s_suppkey = l1.l_suppkey
+    JOIN nation n ON n.n_nationkey = s.s_nationkey
+    WHERE EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM late l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey)
+    GROUP BY s_name, n_name ORDER BY numwait DESC, s_name LIMIT 100
+    """,
+    doc="TPC-H Q21 shape (suppliers who kept orders waiting): late "
+        "lineitems of finalized multi-supplier orders where the supplier "
+        "was the ONLY late one, counted per supplier, top-100. Adapted "
+        "like Q4/Q12 ('late' = shipped >105 days after o_orderdate; no "
+        "commit/receipt dates in the schema) and reported across all "
+        "nations (the 4-suppliers-per-nation testdata makes the classic "
+        "single-nation filter degenerate). Mis-binned as "
+        "partsupp-dependent through r6 — it needs no partsupp. The "
+        "oracle keeps the spec's EXISTS/NOT-EXISTS self-join form; the "
+        "engine runs the scale formulation instead: the two correlated "
+        "subqueries collapse into per-order aggregates (distinct "
+        "suppliers >= 2; distinct LATE suppliers == 1) joined back by "
+        "orderkey — two map-side-combinable aggs and two semi joins that "
+        "reuse the late set's orderkey partitioning, versus two "
+        "lineitem-vs-lineitem shuffle self-joins in the naive plan. "
+        "Deterministic at any SF: (numwait DESC, s_name) is a total "
+        "order, top-100 is TakeOrderedAndProject.",
+)
+def sql_q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, "lineitem", sf_dir).select(
+        "l_orderkey", "l_suppkey", "l_shipdate")
+    orders = (load_table(spark, "orders", sf_dir)
+              .filter(F.col("o_orderstatus") == "F")
+              .select("o_orderkey", "o_orderdate"))
+    late = (li.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+            .filter(F.col("l_shipdate")
+                    > F.col("o_orderdate") + F.expr("INTERVAL 105 DAYS"))
+            .select("l_orderkey", "l_suppkey"))
+    # EXISTS other-supplier lineitem == order touches >= 2 distinct
+    # suppliers; NOT EXISTS other-late-supplier == exactly 1 distinct
+    # late supplier (l1 itself). Both are order-keyed aggregates, not
+    # self-joins — the semi joins below reuse late's hash partitioning.
+    multi_supp = (load_table(spark, "lineitem", sf_dir)
+                  .groupBy("l_orderkey")
+                  .agg(F.countDistinct("l_suppkey").alias("n_supp"))
+                  .filter(F.col("n_supp") >= 2)
+                  .select("l_orderkey"))
+    solo_late = (late.groupBy("l_orderkey")
+                 .agg(F.countDistinct("l_suppkey").alias("n_late_supp"))
+                 .filter(F.col("n_late_supp") == 1)
+                 .select("l_orderkey"))
+    sup = load_table(spark, "supplier", sf_dir).select("s_suppkey", "s_name",
+                                                       "s_nationkey")
+    nat = F.broadcast(load_table(spark, "nation", sf_dir)
+                      .select("n_nationkey", "n_name"))
+    return (late
+            .join(solo_late, "l_orderkey", "left_semi")
+            .join(multi_supp, "l_orderkey", "left_semi")
+            .join(sup, F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(nat, F.col("s_nationkey") == F.col("n_nationkey"))
+            .groupBy("s_name", "n_name")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .orderBy(F.desc("numwait"), "s_name")
+            .limit(100))

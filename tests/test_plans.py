@@ -319,3 +319,17 @@ def test_bigram_lift_no_sortmerge_topk_pushed(spark):
     assert "SortMergeJoin" not in plan
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_q21_aggregated_not_self_joined(spark):
+    # Q21's two correlated EXISTS collapse into per-order distinct-supplier
+    # aggregates consumed as LEFT SEMI joins (>=2 because the plan shows
+    # each semi leg once per AQE/stage mention); the status filter reaches
+    # the orders scan; top-100 is a distributed partial top-k; nothing
+    # goes cartesian or global-sorts
+    plan = plan_of(spark, "sql_q21_waiting_suppliers")
+    assert plan.count("LeftSemi") >= 2
+    assert "EqualTo(o_orderstatus,F)" in plan
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
