@@ -12,8 +12,12 @@ retries — IngestPricesAndTradesJob.java:42-46) with 10 s checkpoints
   (overwrite by batch-id directory), the engine's exactly-once path.
 - memory sink helpers for tests/demos.
 
-The JDBC driver jar is not bundled in this container; jdbc_batch_sink is
-exercised only when a url is reachable (tests use parquet/memory).
+No Postgres exists in the build sandbox, but Spark bundles Apache Derby
+(its Hive-metastore store), whose embedded driver is a real in-process
+JDBC database — tests/test_jdbc_sink.py drives jdbc_batch_sink live
+against `jdbc:derby:` end-to-end (write via foreachBatch, read back via
+spark.read.jdbc, append-on-replay at-least-once semantics). Postgres
+itself differs only by url/driver string.
 """
 
 from __future__ import annotations
@@ -28,16 +32,21 @@ CHECKPOINT_INTERVAL_MS = 10_000  # reference enableCheckpointing(10_000)
 
 def jdbc_batch_sink(df: DataFrame, url: str, table: str,
                     properties: dict[str, str],
-                    checkpoint_dir: str):
-    """At-least-once JDBC append sink (K1 analogue)."""
+                    checkpoint_dir: str,
+                    available_now: bool = False):
+    """At-least-once JDBC append sink (K1 analogue). available_now=True
+    drains what's currently readable and stops (the test/backfill
+    trigger); the default is the production continuous micro-batch."""
     def write_batch(batch: DataFrame, _epoch: int) -> None:
         (batch.write.mode("append")
               .option("batchsize", JDBC_BATCH_SIZE)
               .jdbc(url, table, properties=properties))
 
-    return (df.writeStream.foreachBatch(write_batch)
-              .option("checkpointLocation", checkpoint_dir)
-              .start())
+    writer = (df.writeStream.foreachBatch(write_batch)
+                .option("checkpointLocation", checkpoint_dir))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
 
 
 def parquet_sink(df: DataFrame, out_dir: str, checkpoint_dir: str):
