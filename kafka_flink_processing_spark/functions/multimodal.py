@@ -7,11 +7,14 @@ mapInPandas stages so bytes never round-trip through Python row-at-a-time.
 Partition by content hash or source shard; decoded features are columnar
 outputs, the raw bytes are dropped as early as possible (column pruning).
 
-The actual codec calls are STUBBED in this container (no PIL/ffmpeg): decode
+COMPRESSED codec calls are STUBBED in this container (no PIL/ffmpeg): decode
 raises NotImplementedError unless `fake=True`, which derives deterministic
 pseudo-features from the bytes — the Spark-side plumbing (schema,
 partitioning, UDF signature, Arrow batch shape) is real and tested either
-way.
+way. UNCOMPRESSED containers decode for real (late-r6): 24-bit BI_RGB BMP
+and 16-bit PCM WAV need only stdlib struct + numpy — see decode_bmp /
+decode_wav / decode_media at the bottom, round-tripped against the matching
+encoders in tests/test_multimodal_codecs.py.
 """
 
 from __future__ import annotations
@@ -151,3 +154,160 @@ def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE,
     from kafka_flink_processing_spark.shipping import ensure_shipped
     ensure_shipped(df.sparkSession)
     return df.mapInPandas(batches, FRAME_SCHEMA)
+
+
+# --- Real decode for uncompressed containers (late-r6) ---------------------
+#
+# "No image/audio libs in the container" gates JPEG/PNG/MP3/H.264 — but
+# uncompressed containers need only stdlib struct + numpy: 24-bit BI_RGB
+# BMP and 16-bit PCM WAV are fully decodable here, so for those two the
+# decode stage is REAL (header parse + bulk numpy pixel/sample stats),
+# with matching encoders so tests can round-trip known media bit-exactly.
+# Compressed formats still reach decode_image's NotImplementedError —
+# that boundary is unchanged, just narrower and honest about it.
+
+MEDIA_SCHEMA = ("doc_id long, container string, width int, height int, "
+                "channels int, sample_rate int, n_samples long, "
+                "mean_level double, peak_level double")
+
+
+def encode_bmp(pixels) -> bytes:
+    """Minimal 24-bit uncompressed BMP writer (BI_RGB, bottom-up rows,
+    4-byte row padding). pixels: numpy uint8 array (h, w, 3) in RGB."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = arr.shape
+    row_raw = w * 3
+    pad = (-row_raw) % 4
+    body = bytearray()
+    for y in range(h - 1, -1, -1):          # bottom-up
+        body += arr[y, :, ::-1].tobytes()   # RGB -> BGR
+        body += b"\x00" * pad
+    pixel_off = 14 + 40
+    size = pixel_off + len(body)
+    header = struct.pack("<2sIHHI", b"BM", size, 0, 0, pixel_off)
+    dib = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, len(body),
+                      2835, 2835, 0, 0)
+    return bytes(header + dib + body)
+
+
+def decode_bmp(b: bytes) -> dict:
+    """Parse a 24-bit BI_RGB BMP: dimensions + bulk pixel stats (mean and
+    peak over all channel bytes, normalized to [0, 1])."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 54 or b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    pixel_off = struct.unpack_from("<I", b, 10)[0]
+    (hdr_sz, w, h, _planes, bpp, compression) = struct.unpack_from(
+        "<IiiHHI", b, 14)
+    if bpp != 24 or compression != 0:
+        raise NotImplementedError(f"BMP bpp={bpp} compression={compression} "
+                                  "needs a real codec library")
+    top_down = h < 0
+    h = abs(h)
+    row_raw = w * 3
+    stride = row_raw + ((-row_raw) % 4)
+    rows = np.frombuffer(b, dtype=np.uint8, count=stride * h,
+                         offset=pixel_off).reshape(h, stride)[:, :row_raw]
+    px = rows.reshape(h, w, 3)[:, :, ::-1]          # BGR -> RGB
+    if not top_down:
+        px = px[::-1]
+    return {"container": "bmp", "width": w, "height": h, "channels": 3,
+            "sample_rate": None, "n_samples": int(w) * int(h),
+            "mean_level": float(px.mean()) / 255.0,
+            "peak_level": float(px.max()) / 255.0}
+
+
+def encode_wav(samples, sample_rate: int = 8000) -> bytes:
+    """Minimal 16-bit PCM mono/stereo WAV writer. samples: numpy array of
+    int16, shape (n,) or (n, channels)."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(samples, dtype=np.int16)
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n, ch = arr.shape
+    data = arr.tobytes()   # interleaved little-endian
+    byte_rate = sample_rate * ch * 2
+    fmt = struct.pack("<HHIIHH", 1, ch, sample_rate, byte_rate, ch * 2, 16)
+    out = (b"RIFF" + struct.pack("<I", 4 + 8 + len(fmt) + 8 + len(data))
+           + b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+           + b"data" + struct.pack("<I", len(data)) + data)
+    return out
+
+
+def decode_wav(b: bytes) -> dict:
+    """Parse a 16-bit PCM WAV: walk RIFF chunks to fmt/data, then bulk
+    numpy sample stats (RMS mean_level, |peak| — both in [0, 1])."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+        elif cid == b"data":
+            data = b[pos + 8:pos + 8 + sz]
+        pos += 8 + sz + (sz % 2)
+    if fmt is None or data is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_fmt, ch, rate, _br, _ba, bits = fmt
+    if audio_fmt != 1 or bits != 16:
+        raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits} needs a "
+                                  "real codec library (only 16-bit PCM here)")
+    x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
+    n = len(x) // ch
+    return {"container": "wav", "width": None, "height": None,
+            "channels": ch, "sample_rate": rate, "n_samples": n,
+            "mean_level": float(np.sqrt((x * x).mean())) if n else 0.0,
+            "peak_level": float(np.abs(x).max()) if n else 0.0}
+
+
+def decode_media(df: DataFrame, payload_col: str = "payload",
+                 id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas REAL-decode stage: sniff each payload's magic bytes and
+    decode uncompressed BMP/WAV in-executor (numpy bulk stats); anything
+    else emits container='unknown' with null features instead of raising —
+    at corpus scale a malformed or compressed payload must not kill the
+    job, it must land in the audit bucket (filter container='unknown')."""
+    from struct import error as struct_error
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = bytes(p)
+                try:
+                    if b[:2] == b"BM":
+                        d = decode_bmp(b)
+                    elif b[:4] == b"RIFF":
+                        d = decode_wav(b)
+                    else:
+                        raise ValueError("unknown container")
+                except (ValueError, NotImplementedError, struct_error):
+                    d = {"container": "unknown", "width": None,
+                         "height": None, "channels": None,
+                         "sample_rate": None, "n_samples": None,
+                         "mean_level": None, "peak_level": None}
+                rows.append((doc_id, d["container"], d["width"], d["height"],
+                             d["channels"], d["sample_rate"], d["n_samples"],
+                             d["mean_level"], d["peak_level"]))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "container", "width", "height", "channels",
+                "sample_rate", "n_samples", "mean_level", "peak_level"])
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, MEDIA_SCHEMA)
