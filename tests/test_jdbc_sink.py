@@ -80,3 +80,38 @@ def test_jdbc_sink_appends_on_replay(spark, derby):
             q.awaitTermination(120)
     back = spark.read.jdbc(url, "trades_replay", properties=props)
     assert back.count() == 2 * n
+
+
+def test_ingest_job_end_to_end_jdbc(spark, derby):
+    """IngestPricesAndTradesJob parity minus the broker: the reference
+    consumes two JSON topics and batch-inserts both into Postgres
+    (IngestPricesAndTradesJob.java:23-73). Here the same JSON payloads
+    flow text-stream -> parse_topic (P1/P2) -> jdbc_batch_sink (K1) into
+    two real SQL tables, then read back over JDBC and compared row-exact
+    against the batch parse of the same lines."""
+    from kafka_flink_processing_spark.sources.generators import gen_trades
+    from kafka_flink_processing_spark.sources.kafka import parse_topic
+
+    url, props = derby
+    sources = {
+        "prices": gen_prices(spark, n_rounds=100, seed=3),
+        "trades": gen_trades(spark, n_rounds=400, seed=5),
+    }
+    for topic, df in sources.items():
+        payload = df.select(F.to_json(F.struct(*df.columns)).alias("value"))
+        with tempfile.TemporaryDirectory(prefix=f"kfps_{topic}_") as work:
+            src = f"{work}/json"
+            payload.coalesce(1).write.mode("overwrite").text(src)
+            stream = spark.readStream.text(src)
+            q = jdbc_batch_sink(parse_topic(stream, topic), url,
+                                f"ingest_{topic}", props,
+                                f"{work}/ckpt", available_now=True)
+            q.awaitTermination(120)
+        back = spark.read.jdbc(url, f"ingest_{topic}", properties=props)
+        expect = parse_topic(payload, topic)
+        assert back.count() == expect.count() > 0
+        # row-exact both directions (ts as epoch double for a stable key)
+        cols = [F.col(c).cast("double") if c == "ts" else F.col(c)
+                for c in expect.columns]
+        assert expect.select(*cols).exceptAll(back.select(*cols)).count() == 0
+        assert back.select(*cols).exceptAll(expect.select(*cols)).count() == 0
