@@ -94,3 +94,41 @@ def test_decode_media_mixed_frame(spark):
     # junk lands in the audit bucket with null features, job survives
     assert out[3]["container"] == "unknown"
     assert out[3]["mean_level"] is None and out[3]["width"] is None
+
+
+# --- property tests: the encoders/decoders are exact inverses on stats ----
+
+try:
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+    HAVE_HYP = True
+except ImportError:  # pragma: no cover
+    HAVE_HYP = False
+
+if HAVE_HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 17), h=st.integers(1, 9),
+           seed=st.integers(0, 2**31 - 1))
+    def test_bmp_stats_exact_any_dims(w, h, seed):
+        # every width exercises a different row-padding residue (w*3 mod 4)
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, size=(h, w, 3), dtype=np.uint8)
+        d = decode_bmp(encode_bmp(px))
+        assert (d["width"], d["height"], d["n_samples"]) == (w, h, w * h)
+        assert d["mean_level"] == pytest.approx(px.mean() / 255.0, abs=1e-12)
+        assert d["peak_level"] == pytest.approx(px.max() / 255.0, abs=1e-12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(n=st.integers(1, 500), ch=st.integers(1, 2),
+           rate=st.sampled_from([8000, 16000, 44100]),
+           seed=st.integers(0, 2**31 - 1))
+    def test_wav_stats_exact_any_shape(n, ch, rate, seed):
+        rng = np.random.default_rng(seed)
+        x = rng.integers(-32768, 32768, size=(n, ch), dtype=np.int16)
+        d = decode_wav(encode_wav(x, rate))
+        assert (d["channels"], d["sample_rate"], d["n_samples"]) == (ch, rate, n)
+        xf = x.astype(np.float64) / 32768.0
+        assert d["mean_level"] == pytest.approx(
+            float(np.sqrt((xf * xf).mean())), abs=1e-12)
+        assert d["peak_level"] == pytest.approx(
+            float(np.abs(xf).max()), abs=1e-12)
