@@ -67,6 +67,36 @@ def pnl_job(trades: DataFrame, prices: DataFrame, out_dir: str,
                .start())
 
 
+def pnl_job_jdbc(trades: DataFrame, prices: DataFrame, url: str,
+                 properties: dict[str, str], checkpoint_root: str,
+                 available_now: bool = False):
+    """PnlAndExposureJob with the reference-exact sink: the SAME single
+    stateful fold fans out to BOTH SQL tables as JDBC batch inserts
+    (PnlAndExposureJob.java:53-76 writes positions_pnl AND price_exposure
+    to Postgres). At-least-once like the reference's plain INSERTs; the
+    parquet pnl_job above is the exactly-once alternative. Live-tested
+    against embedded Derby in tests/test_jdbc_sink.py."""
+    from kafka_flink_processing_spark.streaming.sinks import JDBC_BATCH_SIZE
+
+    pnl = streaming_pnl(trades, prices)
+
+    def write_both(batch: DataFrame, _epoch: int) -> None:
+        batch.persist()
+        (batch.write.mode("append").option("batchsize", JDBC_BATCH_SIZE)
+              .jdbc(url, "positions_pnl", properties=properties))
+        (price_exposure(batch).write.mode("append")
+              .option("batchsize", JDBC_BATCH_SIZE)
+              .jdbc(url, "price_exposure", properties=properties))
+        batch.unpersist()
+
+    writer = (pnl.writeStream.foreachBatch(write_both)
+                 .option("checkpointLocation",
+                         os.path.join(checkpoint_root, "pnl_jdbc")))
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def incremental_dedup_job(docs_stream: DataFrame, corpus: DataFrame,
                           out_dir: str, checkpoint_root: str,
                           n: int = 3, threshold: float = 0.6,

@@ -115,3 +115,37 @@ def test_ingest_job_end_to_end_jdbc(spark, derby):
                 for c in expect.columns]
         assert expect.select(*cols).exceptAll(back.select(*cols)).count() == 0
         assert back.select(*cols).exceptAll(expect.select(*cols)).count() == 0
+
+
+def test_pnl_job_jdbc_two_tables_match_batch(spark, derby, tmp_path):
+    """PnlAndExposureJob parity minus the broker: one stateful fold fans
+    out to positions_pnl AND price_exposure as JDBC inserts
+    (PnlAndExposureJob.java:53-76); both SQL tables must equal the batch
+    fold and its exposure projection row-for-row."""
+    from kafka_flink_processing_spark.operators.pnl import (
+        pnl_positions,
+        price_exposure,
+    )
+    from kafka_flink_processing_spark.plans.stateful import derive_market
+    from kafka_flink_processing_spark.streaming.jobs import pnl_job_jdbc
+
+    url, props = derby
+    trades, prices = derive_market(spark, "/root/testdata/sf0.001")
+    trades, prices = trades.cache(), prices.cache()
+    t_src, p_src = f"{tmp_path}/t", f"{tmp_path}/p"
+    trades.coalesce(1).write.mode("overwrite").parquet(t_src)
+    prices.coalesce(1).write.mode("overwrite").parquet(p_src)
+    q = pnl_job_jdbc(spark.readStream.schema(trades.schema).parquet(t_src),
+                     spark.readStream.schema(prices.schema).parquet(p_src),
+                     url, props, str(tmp_path), available_now=True)
+    q.awaitTermination(180)
+
+    for table, want in (("positions_pnl", pnl_positions(trades, prices)),
+                        ("price_exposure",
+                         price_exposure(pnl_positions(trades, prices)))):
+        back = spark.read.jdbc(url, table, properties=props)
+        assert back.count() == want.count() > 0
+        cols = [F.col(c).cast("double") if c == "ts" else F.col(c)
+                for c in want.columns]
+        assert want.select(*cols).exceptAll(back.select(*cols)).count() == 0
+        assert back.select(*cols).exceptAll(want.select(*cols)).count() == 0
