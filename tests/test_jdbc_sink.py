@@ -149,3 +149,23 @@ def test_pnl_job_jdbc_two_tables_match_batch(spark, derby, tmp_path):
                 for c in want.columns]
         assert want.select(*cols).exceptAll(back.select(*cols)).count() == 0
         assert back.select(*cols).exceptAll(want.select(*cols)).count() == 0
+
+
+def test_partitioned_jdbc_read_scale_path(spark, derby):
+    """The 100 TB read-side pattern: spark.read.jdbc with partitionColumn/
+    bounds/numPartitions issues one bounded query per partition instead of
+    a single-connection full scan. The partitioned read must be
+    value-identical to the plain read and actually split the work."""
+    url, props = derby
+    df = spark.range(0, 10_000).selectExpr(
+        "id", "cast(id % 97 as double) as px")
+    df.write.mode("append").option("batchsize", 500).jdbc(
+        url, "wide_read", properties=props)
+    plain = spark.read.jdbc(url, "wide_read", properties=props)
+    parted = spark.read.jdbc(
+        url, "wide_read", column="id", lowerBound=0, upperBound=10_000,
+        numPartitions=4, properties=props)
+    assert parted.rdd.getNumPartitions() == 4
+    assert parted.count() == plain.count() == 10_000
+    assert parted.exceptAll(plain).count() == 0
+    assert plain.exceptAll(parted).count() == 0
