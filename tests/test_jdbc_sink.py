@@ -169,3 +169,40 @@ def test_partitioned_jdbc_read_scale_path(spark, derby):
     assert parted.count() == plain.count() == 10_000
     assert parted.exceptAll(plain).count() == 0
     assert plain.exceptAll(parted).count() == 0
+
+
+def test_forecasts_job_jdbc_matches_batch(spark, derby, tmp_path):
+    """ForecastsJob's sink shape live (ForecastsJob.java:42-56 writes the
+    SMA forecasts to Postgres): stateful streaming SMA -> jdbc_batch_sink
+    -> SQL table equal to the batch rolling forecast. With this, every
+    reference job's JDBC delivery (ingest, pnl+exposure, forecasts) is
+    exercised end-to-end minus only the broker."""
+    from kafka_flink_processing_spark.operators.windows import (
+        rolling_sma_forecast,
+    )
+    from kafka_flink_processing_spark.plans.stateful import derive_market
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_sma_forecast,
+    )
+
+    url, props = derby
+    _, prices = derive_market(spark, "/root/testdata/sf0.001")
+    prices = prices.withColumn("seq", F.lit(0).cast("long")).cache()
+    src = f"{tmp_path}/px"
+    prices.coalesce(1).write.mode("overwrite").parquet(src)
+    fc = streaming_sma_forecast(
+        spark.readStream.schema(prices.schema).parquet(src), seq_col="seq")
+    q = jdbc_batch_sink(
+        fc.select("ts", "hub", "sma5", "sma20", "forecast_next"),
+        url, "forecasts", props, f"{tmp_path}/ckpt", available_now=True)
+    q.awaitTermination(120)
+    back = spark.read.jdbc(url, "forecasts", properties=props)
+    want = (rolling_sma_forecast(prices.select("ts", "hub", "price_mwh",
+                                               "seq"),
+                                 ["hub"], ["ts", "seq"], "price_mwh")
+            .select("ts", "hub", "sma5", "sma20", "forecast_next"))
+    assert back.count() == want.count() > 0
+    cols = [F.col(c).cast("double") if c == "ts" else F.col(c)
+            for c in want.columns]
+    assert want.select(*cols).exceptAll(back.select(*cols)).count() == 0
+    assert back.select(*cols).exceptAll(want.select(*cols)).count() == 0
