@@ -33,11 +33,13 @@ def _derby_available(spark) -> bool:
 
 
 @pytest.fixture()
-def derby(spark):
+def derby(spark, tmp_path):
+    # pytest-managed scratch (no mkdtemp leak — the r4/r5 advice class);
+    # Derby drops its db.lck when the availableNow queries finish, so
+    # pytest's retention sweep can remove the tree safely
     if not _derby_available(spark):
         pytest.skip("Derby EmbeddedDriver not on the Spark classpath")
-    db = tempfile.mkdtemp(prefix="kfps_derby_") + "/db"
-    return f"jdbc:derby:{db};create=true", {"driver": DERBY_DRIVER}
+    return f"jdbc:derby:{tmp_path}/db;create=true", {"driver": DERBY_DRIVER}
 
 
 def _stage_stream(spark, df, work):
