@@ -288,7 +288,9 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
-                b = bytes(p)
+                # NULL payload (outer join, absent message body) routes to
+                # the audit bucket like any other undecodable row
+                b = b"" if p is None else bytes(p)
                 try:
                     if b[:2] == b"BM":
                         d = decode_bmp(b)

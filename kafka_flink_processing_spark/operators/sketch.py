@@ -28,12 +28,16 @@ guarantees exactness at every SF; at 100 TB you size C from the corpus
 profile (or fall back to count-min + heap when freq_k is unknowable,
 trading exactness for fixed memory).
 
-The precondition is additionally VALIDATED AT RUN TIME (r5 advice): the
-fold tracks its exact decrement total d_p (any gram absent from a
-partition's summary has true partition count <= d_p), the merge stage
-sums D = Σ_p d_p — a bound at least as tight as N/(C+1) — and the final
-projection raises through `F.raise_error` if any reported top-k row has
-freq <= D. A mis-sized capacity therefore fails the job loudly at
+The precondition is additionally VALIDATED AT RUN TIME (r5 advice,
+tightened by the r6 review): the fold tracks its exact decrement total
+d_p (any gram absent from a partition's summary has true partition count
+<= d_p) AND its row count n_p; the merge sums D = Σ_p d_p and N = Σ_p
+n_p, and the final projection raises through `F.raise_error` unless the
+result set is certified exact — at least k candidates recount above D
+(so nothing dropped can hold a top-k rank), or the candidates cover all
+N rows (nothing was dropped at all). The original per-row freq > D check
+proved each returned row but let a fewer-than-k result pass silently
+truncated. A mis-sized capacity therefore fails the job loudly at
 collect time instead of silently returning a wrong top-k that would only
 surface later as a driver hash mismatch.
 
@@ -89,13 +93,23 @@ def _mg_scan(grams: DataFrame, col: str = "g",
     D = Σ_p d_p never under-counts a partition."""
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        counts, dropped = _mg_fold(batches, col, capacity)
+        n_rows = 0
+
+        def counted_batches():
+            nonlocal n_rows
+            for pdf in batches:
+                n_rows += len(pdf)
+                yield pdf
+
+        counts, dropped = _mg_fold(counted_batches(), col, capacity)
         if counts or dropped:  # empty partition yields nothing
             yield pd.DataFrame(
                 {col: list(counts.keys()) + [None],
-                 "__mg_d": [None] * len(counts) + [dropped]})
+                 "__mg_d": [None] * len(counts) + [dropped],
+                 "__mg_n": [None] * len(counts) + [n_rows]})
 
-    return grams.mapInPandas(fold, schema=f"{col} string, __mg_d long")
+    return grams.mapInPandas(
+        fold, schema=f"{col} string, __mg_d long, __mg_n long")
 
 
 def mg_candidates(grams: DataFrame, col: str = "g",
@@ -115,20 +129,30 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     candidate rows (the one exchange carries candidates x partitions
     partial counts, never the universe) -> TakeOrderedAndProject.
 
-    The returned plan embeds the exactness guard (module docstring): every
-    reported row's recounted freq must exceed the merged MG bound D, else
-    the projection raises at collect time — sizing failures are loud."""
+    The returned plan embeds the exactness guard (module docstring): the
+    result is certified exact iff at least k candidates recount above the
+    merged MG bound D (every non-candidate's true freq is <= D, so k
+    above-D rows dominate everything dropped), OR the candidate set
+    covers the whole stream (Σ candidate freqs == Σ partition row counts
+    — nothing was dropped anywhere, so the recount IS the full
+    aggregation and the result is exact regardless of D; the markers
+    carry per-partition row counts to make that check free). Otherwise
+    the projection raises at collect time — a too-small capacity fails
+    loudly instead of returning a silently truncated or mis-ranked
+    top-k."""
     # single JVM aggregate merges the tiny pass-1 output: collect_set
     # unions the candidates (markers carry NULL g, so they're skipped)
-    # while sum() folds the markers' d_p into the global bound D (the
-    # candidates' NULL __mg_d is skipped symmetrically). Map-side partial
-    # aggregation means the SinglePartition exchange carries <= (C+1)
-    # rows' worth per input partition — the same candidates-x-partitions
-    # cost the recount exchange already pays; the gram universe itself
-    # never moves and no extra Python stage runs.
+    # while sum() folds the markers' d_p into the global bound D and
+    # their n_p into the stream total N (the candidates' NULL __mg_d /
+    # __mg_n are skipped symmetrically). Map-side partial aggregation
+    # means the SinglePartition exchange carries <= (C+1) rows' worth
+    # per input partition — the same candidates-x-partitions cost the
+    # recount exchange already pays; the gram universe itself never
+    # moves and no extra Python stage runs.
     raw = _mg_scan(grams, col, capacity)
     one = raw.agg(F.collect_set(F.col(col)).alias("cs"),
-                  F.sum("__mg_d").alias("d"))
+                  F.sum("__mg_d").alias("d"),
+                  F.sum("__mg_n").alias("n"))
     # rows folded but the overflow dropped EVERY counter (near-uniform
     # stream, capacity far too small): an empty top-k would be a silent
     # wrong answer — raise instead, at collect time
@@ -141,17 +165,33 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
             F.lit(f") — raise capacity (current {capacity})")))
         .cast("array<string>")).otherwise(F.col("cs"))
     merged = one.select(F.explode(guarded_cs).alias(col),
-                        F.col("d").alias("__mg_bound"))
+                        F.col("d").alias("__mg_bound"),
+                        F.col("n").alias("__mg_total"))
     counted = (grams.join(F.broadcast(merged), col)  # filter BEFORE exchange
-               .groupBy(col, "__mg_bound")  # bound is constant: free rider
+               # bound/total are constants: free riders through the agg
+               .groupBy(col, "__mg_bound", "__mg_total")
                .agg(F.count("*").alias("freq")))
+    # ONE candidate-sized aggregate certifies the whole result set
+    # (r6 review: the old per-row freq > D check proved each RETURNED row
+    # exact but let a < k-row result pass silently truncated — grams with
+    # freq <= D could legitimately hold the missing ranks)
+    stats = counted.agg(
+        F.sum("freq").alias("__covered"),
+        F.sum((F.col("freq") > F.col("__mg_bound")).cast("long"))
+         .alias("__cert"),
+        F.first("__mg_total").alias("__total"))
+    exact = ((F.col("__cert") >= F.lit(k))
+             | (F.col("__covered") == F.col("__total")))
     top = counted.orderBy(F.desc("freq"), col).limit(k)
-    return top.select(
-        col,
-        F.when(F.col("freq") <= F.col("__mg_bound"),
-               F.raise_error(F.concat(
-                   F.lit("heavy_hitters_topk exactness precondition "
-                         "violated: reported freq "), F.col("freq"),
-                   F.lit(" <= MG decrement bound "), F.col("__mg_bound"),
-                   F.lit(f" — raise capacity (current {capacity})"))))
-         .otherwise(F.col("freq")).alias("freq"))
+    return (top.crossJoin(F.broadcast(stats))
+            .select(
+                col,
+                F.when(~exact, F.raise_error(F.concat(
+                    F.lit("heavy_hitters_topk exactness precondition "
+                          "violated: only "), F.col("__cert"),
+                    F.lit(f" candidates recount above the MG decrement "
+                          f"bound (need {k}) and the candidate set covers "),
+                    F.col("__covered"), F.lit(" of "), F.col("__total"),
+                    F.lit(f" stream rows — raise capacity "
+                          f"(current {capacity})"))))
+                 .otherwise(F.col("freq")).alias("freq")))

@@ -55,11 +55,13 @@ def pnl_job(trades: DataFrame, prices: DataFrame, out_dir: str,
 
     def write_both(batch: DataFrame, epoch: int) -> None:
         batch.persist()
-        batch.write.mode("overwrite").parquet(
-            os.path.join(out_dir, "positions_pnl", f"epoch={epoch}"))
-        price_exposure(batch).write.mode("overwrite").parquet(
-            os.path.join(out_dir, "price_exposure", f"epoch={epoch}"))
-        batch.unpersist()
+        try:  # a failed write must not leak the cached batch (r6 review)
+            batch.write.mode("overwrite").parquet(
+                os.path.join(out_dir, "positions_pnl", f"epoch={epoch}"))
+            price_exposure(batch).write.mode("overwrite").parquet(
+                os.path.join(out_dir, "price_exposure", f"epoch={epoch}"))
+        finally:
+            batch.unpersist()
 
     return (pnl.writeStream.foreachBatch(write_both)
                .option("checkpointLocation",
@@ -82,12 +84,14 @@ def pnl_job_jdbc(trades: DataFrame, prices: DataFrame, url: str,
 
     def write_both(batch: DataFrame, _epoch: int) -> None:
         batch.persist()
-        (batch.write.mode("append").option("batchsize", JDBC_BATCH_SIZE)
-              .jdbc(url, "positions_pnl", properties=properties))
-        (price_exposure(batch).write.mode("append")
-              .option("batchsize", JDBC_BATCH_SIZE)
-              .jdbc(url, "price_exposure", properties=properties))
-        batch.unpersist()
+        try:  # a failed insert must not leak the cached batch across
+            (batch.write.mode("append").option("batchsize", JDBC_BATCH_SIZE)
+                  .jdbc(url, "positions_pnl", properties=properties))
+            (price_exposure(batch).write.mode("append")
+                  .option("batchsize", JDBC_BATCH_SIZE)
+                  .jdbc(url, "price_exposure", properties=properties))
+        finally:  # epoch retries (storage memory fills otherwise)
+            batch.unpersist()
 
     writer = (pnl.writeStream.foreachBatch(write_both)
                  .option("checkpointLocation",

@@ -81,7 +81,8 @@ def test_decode_media_mixed_frame(spark):
     wav = encode_wav(np.full(64, 8192, dtype=np.int16), 16000)
     rows = [(1, bytearray(encode_bmp(px))),
             (2, bytearray(wav)),
-            (3, bytearray(b"\xff\xd8\xff\xe0 not decodable here"))]
+            (3, bytearray(b"\xff\xd8\xff\xe0 not decodable here")),
+            (4, None)]  # NULL payload must audit-bucket, not crash (r6 rev)
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r.asDict()
            for r in decode_media(df.repartition(3)).collect()}
@@ -91,9 +92,11 @@ def test_decode_media_mixed_frame(spark):
     assert out[2]["container"] == "wav"
     assert out[2]["sample_rate"] == 16000
     assert out[2]["mean_level"] == pytest.approx(8192 / 32768.0, abs=1e-12)
-    # junk lands in the audit bucket with null features, job survives
-    assert out[3]["container"] == "unknown"
-    assert out[3]["mean_level"] is None and out[3]["width"] is None
+    # junk and NULL payloads land in the audit bucket with null features,
+    # the job survives
+    for bad in (3, 4):
+        assert out[bad]["container"] == "unknown"
+        assert out[bad]["mean_level"] is None and out[bad]["width"] is None
 
 
 # --- property tests: the encoders/decoders are exact inverses on stats ----

@@ -257,3 +257,38 @@ def test_mg_fold_error_bound_invariants(stream, capacity, batch):
             assert c_true <= dropped, (g, c_true, dropped)
         else:
             assert c_true - dropped <= c_hat <= c_true, (g, c_hat, c_true)
+
+
+def test_heavy_hitters_raises_on_silent_truncation(spark):
+    # r6 review: few true heavies recount above D but fewer than k
+    # candidates do — the missing ranks could be held by dropped grams
+    # (freq <= D), so a < k certifiable result must RAISE, not return a
+    # truncated top-k. 5 heavies x 100 + 5000 singletons in ONE partition:
+    # a single overflow event (thresh = 1) gives D = 1, the heavies clear
+    # it, the singletons don't survive as candidates.
+    rows = [(f"heavy{i}",) for i in range(5) for _ in range(100)]
+    rows += [(f"s{i:05d}",) for i in range(5000)]
+    grams = spark.createDataFrame(rows, "g string").coalesce(1)
+    with pytest.raises(Exception, match="exactness precondition"):
+        heavy_hitters_topk(grams, k=20, capacity=8).collect()
+
+
+def test_heavy_hitters_exact_via_coverage_despite_drops(spark):
+    # the flip side: drops happened (D > 0) yet the UNION of partition
+    # candidate sets covers every stream row (each gram survives
+    # somewhere), so the recount is the full aggregation and the result
+    # is exact even where freq <= D — must NOT raise. Partition A holds
+    # all 20 grams x3 and overflows at capacity 16; partitions B1/B2
+    # each hold half the grams x1 without overflowing.
+    sc = spark.sparkContext
+    a = sc.parallelize([(f"x{i:02d}",) for i in range(20)
+                        for _ in range(3)], 1)
+    b1 = sc.parallelize([(f"x{i:02d}",) for i in range(10)], 1)
+    b2 = sc.parallelize([(f"x{i:02d}",) for i in range(10, 20)], 1)
+    # RDD union pins the 3 partitions (a DataFrame union of local
+    # relations gets merged into one by the optimizer, which would let
+    # partition A's overflow swallow the whole stream)
+    grams = spark.createDataFrame(a.union(b1).union(b2), "g string")
+    got = heavy_hitters_topk(grams, k=25, capacity=16).collect()
+    assert [(r.g, r.freq) for r in got] == \
+        [(f"x{i:02d}", 4) for i in range(20)]
