@@ -171,27 +171,39 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
                # bound/total are constants: free riders through the agg
                .groupBy(col, "__mg_bound", "__mg_total")
                .agg(F.count("*").alias("freq")))
-    # ONE candidate-sized aggregate certifies the whole result set
-    # (r6 review: the old per-row freq > D check proved each RETURNED row
-    # exact but let a < k-row result pass silently truncated — grams with
-    # freq <= D could legitimately hold the missing ranks)
-    stats = counted.agg(
-        F.sum("freq").alias("__covered"),
-        F.sum((F.col("freq") > F.col("__mg_bound")).cast("long"))
-         .alias("__cert"),
-        F.first("__mg_total").alias("__total"))
-    exact = ((F.col("__cert") >= F.lit(k))
-             | (F.col("__covered") == F.col("__total")))
+    # Set-level exactness check, evaluated entirely on the POST-LIMIT
+    # relation (<= k rows, so the window below is trivial and the
+    # expensive recount join runs exactly once — r6 review closed the
+    # old per-row guard's silent-truncation hole, where a < k-row result
+    # passed even though dropped grams with freq <= D could hold the
+    # missing ranks):
+    #  - limit binding (k rows returned): exact iff EVERY returned freq
+    #    > D — then nothing dropped can out-rank rank k.
+    #  - limit not binding (< k rows): the returned rows ARE the whole
+    #    candidate set, so exact iff their freqs sum to the stream total
+    #    N (nothing was dropped anywhere; the marker-carried row counts
+    #    make N free). Conservative in one corner — full coverage with a
+    #    binding limit is certified via the freq > D arm only — so the
+    #    guard can over-raise, never under-raise.
+    from pyspark.sql import Window
+
     top = counted.orderBy(F.desc("freq"), col).limit(k)
-    return (top.crossJoin(F.broadcast(stats))
-            .select(
-                col,
-                F.when(~exact, F.raise_error(F.concat(
-                    F.lit("heavy_hitters_topk exactness precondition "
-                          "violated: only "), F.col("__cert"),
-                    F.lit(f" candidates recount above the MG decrement "
-                          f"bound (need {k}) and the candidate set covers "),
-                    F.col("__covered"), F.lit(" of "), F.col("__total"),
-                    F.lit(f" stream rows — raise capacity "
-                          f"(current {capacity})"))))
-                 .otherwise(F.col("freq")).alias("freq")))
+    w = Window.partitionBy()
+    chk = (top
+           .withColumn("__nrows", F.count(F.lit(1)).over(w))
+           .withColumn("__covered", F.sum("freq").over(w))
+           .withColumn("__minfreq", F.min("freq").over(w)))
+    exact = (((F.col("__nrows") == k)
+              & (F.col("__minfreq") > F.col("__mg_bound")))
+             | (F.col("__covered") == F.col("__mg_total")))
+    return chk.select(
+        col,
+        F.when(~exact, F.raise_error(F.concat(
+            F.lit("heavy_hitters_topk exactness precondition violated: "),
+            F.col("__nrows"), F.lit(f" rows returned (k={k}), min "
+                                    "returned freq "),
+            F.col("__minfreq"), F.lit(" vs MG decrement bound "),
+            F.col("__mg_bound"), F.lit(", candidate coverage "),
+            F.col("__covered"), F.lit(" of "), F.col("__mg_total"),
+            F.lit(f" stream rows — raise capacity (current {capacity})"))))
+         .otherwise(F.col("freq")).alias("freq"))
