@@ -253,13 +253,13 @@ def decode_wav(b: bytes) -> dict:
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
-    pos, fmt, data = 12, None, None
+    pos, fmt, data, data_sz = 12, None, None, 0
     while pos + 8 <= len(b):
         cid, sz = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
         if cid == b"fmt ":
             fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
         elif cid == b"data":
-            data = b[pos + 8:pos + 8 + sz]
+            data, data_sz = b[pos + 8:pos + 8 + sz], sz
         pos += 8 + sz + (sz % 2)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
@@ -267,6 +267,14 @@ def decode_wav(b: bytes) -> dict:
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits} needs a "
                                   "real codec library (only 16-bit PCM here)")
+    # A crafted/corrupt fmt chunk must route to the audit bucket, not kill
+    # the job: channels=0 would divide by zero below, and a data chunk
+    # shorter than its declared size (truncated payload) would silently
+    # under-count samples while reporting a "valid" wav row.
+    if ch < 1:
+        raise ValueError("WAV channels must be >= 1")
+    if len(data) != data_sz or len(data) % (ch * 2) != 0:
+        raise ValueError("WAV data chunk truncated or misaligned")
     x = np.frombuffer(data, dtype="<i2").astype(np.float64) / 32768.0
     n = len(x) // ch
     return {"container": "wav", "width": None, "height": None,

@@ -196,6 +196,10 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     exact = (((F.col("__nrows") == k)
               & (F.col("__minfreq") > F.col("__mg_bound")))
              | (F.col("__covered") == F.col("__mg_total")))
+    # orderBy after the guard projection restores the documented ordered
+    # top-k contract (the guard window collapsed the plan to a single
+    # partition whose pass-through order was only incidental); it is free
+    # on <= k rows.
     return chk.select(
         col,
         F.when(~exact, F.raise_error(F.concat(
@@ -206,4 +210,5 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
             F.col("__mg_bound"), F.lit(", candidate coverage "),
             F.col("__covered"), F.lit(" of "), F.col("__mg_total"),
             F.lit(f" stream rows — raise capacity (current {capacity})"))))
-         .otherwise(F.col("freq")).alias("freq"))
+         .otherwise(F.col("freq")).alias("freq")).orderBy(
+            F.desc("freq"), col)

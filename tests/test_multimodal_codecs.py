@@ -66,6 +66,41 @@ def test_wav_stereo_interleave():
     assert d["peak_level"] == pytest.approx(0.5, abs=1e-12)
 
 
+def test_wav_zero_channels_routes_to_audit_bucket():
+    # crafted fmt chunk with channels=0: must raise ValueError (caught by
+    # decode_media's audit bucket), never ZeroDivisionError (r7 advice)
+    ok = encode_wav(np.full(16, 100, dtype=np.int16), 8000)
+    bad = bytearray(ok)
+    # fmt chunk payload starts at offset 20; channels is its 2nd uint16
+    assert bad[12:16] == b"fmt "
+    bad[22:24] = (0).to_bytes(2, "little")
+    with pytest.raises(ValueError):
+        decode_wav(bytes(bad))
+
+
+def test_wav_truncated_data_routes_to_audit_bucket():
+    # data chunk shorter than its declared size: flag as corrupt rather
+    # than silently report fewer samples as a valid row (r7 advice)
+    ok = encode_wav(np.full(64, 100, dtype=np.int16), 8000)
+    with pytest.raises(ValueError):
+        decode_wav(ok[:-10])
+
+
+def test_wav_misaligned_data_routes_to_audit_bucket():
+    # stereo data whose byte length is not a multiple of ch*2
+    ok = bytearray(encode_wav(
+        np.full((32, 2), 100, dtype=np.int16), 8000))
+    # shrink the declared data size by 2 bytes (one int16, half a frame)
+    # and drop those bytes, keeping RIFF size consistent
+    import struct
+    data_sz_off = ok.index(b"data") + 4
+    sz = struct.unpack_from("<I", ok, data_sz_off)[0]
+    struct.pack_into("<I", ok, data_sz_off, sz - 2)
+    struct.pack_into("<I", ok, 4, struct.unpack_from("<I", ok, 4)[0] - 2)
+    with pytest.raises(ValueError):
+        decode_wav(bytes(ok[:-2]))
+
+
 def test_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
         # 8-bit palette BMP header: honest boundary, not silent garbage
