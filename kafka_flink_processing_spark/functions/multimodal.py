@@ -7,14 +7,19 @@ mapInPandas stages so bytes never round-trip through Python row-at-a-time.
 Partition by content hash or source shard; decoded features are columnar
 outputs, the raw bytes are dropped as early as possible (column pruning).
 
-COMPRESSED codec calls are STUBBED in this container (no PIL/ffmpeg): decode
-raises NotImplementedError unless `fake=True`, which derives deterministic
+Codec reality ladder (each rung un-gated the round its stdlib path was
+found — environment gates are falsifiable claims, re-audited per round):
+24-bit BI_RGB BMP and 16-bit PCM WAV decode for real with struct + numpy
+(late-r6); 8-bit gray/RGB/RGBA PNG decodes for real with stdlib zlib +
+numpy unfiltering (r7) — a genuinely COMPRESSED container, CRC-validated,
+all five PNG filters. See decode_bmp / decode_wav / decode_png /
+decode_media below, round-tripped against the matching encoders in
+tests/test_multimodal_codecs.py. Codecs that need entropy coders or DSP
+beyond the stdlib (JPEG/MP3/video) remain STUBBED: decode raises
+NotImplementedError unless `fake=True`, which derives deterministic
 pseudo-features from the bytes — the Spark-side plumbing (schema,
 partitioning, UDF signature, Arrow batch shape) is real and tested either
-way. UNCOMPRESSED containers decode for real (late-r6): 24-bit BI_RGB BMP
-and 16-bit PCM WAV need only stdlib struct + numpy — see decode_bmp /
-decode_wav / decode_media at the bottom, round-tripped against the matching
-encoders in tests/test_multimodal_codecs.py.
+way.
 """
 
 from __future__ import annotations
@@ -283,6 +288,192 @@ def decode_wav(b: bytes) -> dict:
             "peak_level": float(np.abs(x).max()) if n else 0.0}
 
 
+def _paeth(left, up, upleft):
+    """PNG Paeth predictor, vectorized over a row (spec: PNG 1.2 §6.6)."""
+    import numpy as np
+
+    a = left.astype(np.int16)
+    b = up.astype(np.int16)
+    c = upleft.astype(np.int16)
+    p = a + b - c
+    pa, pb, pc = np.abs(p - a), np.abs(p - b), np.abs(p - c)
+    return np.where((pa <= pb) & (pa <= pc), left,
+                    np.where(pb <= pc, up, upleft)).astype(np.uint8)
+
+
+def encode_png(pixels, filter_mode: int | str = "cycle") -> bytes:
+    """Minimal REAL PNG writer — zlib is stdlib, so PNG needs no external
+    codec library (the r6 lesson about falsifiable environment gates,
+    applied to the one COMPRESSED container the stdlib can handle).
+    8-bit grayscale (h, w), RGB (h, w, 3) or RGBA (h, w, 4).
+    filter_mode='cycle' filters row r with type r % 5, so a multi-row
+    round-trip exercises every PNG filter (None/Sub/Up/Average/Paeth);
+    an int 0-4 forces one type. Filter arithmetic is mod-256 (uint8
+    wraparound IS the spec's arithmetic)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim == 2:
+        arr = arr[:, :, None]
+    h, w, ch = arr.shape
+    color = {1: 0, 3: 2, 4: 6}[ch]
+
+    def chunk(tag: bytes, payload: bytes) -> bytes:
+        return (struct.pack(">I", len(payload)) + tag + payload
+                + struct.pack(">I", zlib.crc32(tag + payload)))
+
+    raw = bytearray()
+    zero = np.zeros(ch, dtype=np.uint8)
+    prev = np.zeros(w * ch, dtype=np.uint8)
+    for r in range(h):
+        line = arr[r].reshape(-1)
+        left = np.concatenate([zero, line[:-ch]]) if w > 1 else \
+            np.zeros_like(line)
+        upleft = np.concatenate([zero, prev[:-ch]]) if w > 1 else \
+            np.zeros_like(prev)
+        ft = (r % 5) if filter_mode == "cycle" else int(filter_mode)
+        if ft == 0:
+            filt = line
+        elif ft == 1:
+            filt = line - left
+        elif ft == 2:
+            filt = line - prev
+        elif ft == 3:
+            filt = line - ((left.astype(np.uint16) + prev) // 2).astype(
+                np.uint8)
+        else:
+            filt = line - _paeth(left, prev, upleft)
+        raw.append(ft)
+        raw.extend(filt.tobytes())
+        prev = line
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(bytes(raw)))
+            + chunk(b"IEND", b""))
+
+
+def decode_png(b: bytes) -> dict:
+    """Parse + fully decode an 8-bit non-interlaced PNG (grayscale / RGB /
+    RGBA): chunk walk with CRC validation, zlib inflate, per-row
+    unfiltering (all five filter types), then bulk numpy pixel stats.
+    Truncated chunks, CRC mismatches, and size-inconsistent pixel data
+    raise ValueError so corrupt payloads land in decode_media's audit
+    bucket; 16-bit / palette / interlaced PNGs raise NotImplementedError
+    (honest gate — rarely seen in training corpora, add on demand)."""
+    import struct
+    import zlib
+
+    import numpy as np
+
+    if len(b) < 8 or b[:8] != b"\x89PNG\r\n\x1a\n":
+        raise ValueError("not a PNG payload")
+    pos, ihdr, idat = 8, None, bytearray()
+    while pos + 8 <= len(b):
+        ln = struct.unpack_from(">I", b, pos)[0]
+        tag = b[pos + 4:pos + 8]
+        payload = b[pos + 8:pos + 8 + ln]
+        if len(payload) != ln or pos + 12 + ln > len(b):
+            raise ValueError("PNG chunk truncated")
+        crc = struct.unpack_from(">I", b, pos + 8 + ln)[0]
+        if zlib.crc32(tag + payload) != crc:
+            raise ValueError("PNG chunk CRC mismatch")
+        if tag == b"IHDR":
+            ihdr = struct.unpack(">IIBBBBB", payload)
+        elif tag == b"IDAT":
+            idat.extend(payload)
+        elif tag == b"IEND":
+            break
+        pos += 12 + ln
+    if ihdr is None or not idat:
+        raise ValueError("PNG missing IHDR/IDAT chunk")
+    w, h, depth, color, comp, _filter_method, interlace = ihdr
+    if depth != 8 or color not in (0, 2, 6) or comp != 0 or interlace != 0:
+        raise NotImplementedError(
+            f"PNG depth={depth} color={color} interlace={interlace} needs "
+            "a real codec library (8-bit gray/RGB/RGBA only here)")
+    ch = {0: 1, 2: 3, 6: 4}[color]
+    try:
+        raw = zlib.decompress(bytes(idat))
+    except zlib.error as e:
+        raise ValueError(f"PNG IDAT inflate failed: {e}") from e
+    stride = w * ch
+    if len(raw) != h * (stride + 1):
+        raise ValueError("PNG pixel data size mismatch")
+    scan = np.frombuffer(raw, dtype=np.uint8).reshape(h, stride + 1)
+    out = np.empty((h, stride), dtype=np.uint8)
+    prev = np.zeros(stride, dtype=np.uint8)
+    for r in range(h):
+        ft, line = scan[r, 0], scan[r, 1:]
+        if ft == 0:
+            rec = line.copy()
+        elif ft == 1:       # Sub: per-lane cumsum mod 256 (vectorized)
+            rec = line.copy()
+            for lane in range(ch):
+                rec[lane::ch] = np.cumsum(
+                    rec[lane::ch], dtype=np.uint64) & 0xFF
+        elif ft == 2:       # Up
+            rec = line + prev
+        elif ft in (3, 4):  # Average / Paeth: left-dependency -> pixel loop
+            rec = np.empty(stride, dtype=np.uint8)
+            zero = np.zeros(ch, dtype=np.uint8)
+            for j in range(w):
+                s = slice(j * ch, (j + 1) * ch)
+                left = rec[s.start - ch:s.start] if j else zero
+                up = prev[s]
+                if ft == 3:
+                    pred = ((left.astype(np.uint16) + up) // 2).astype(
+                        np.uint8)
+                else:
+                    upleft = prev[s.start - ch:s.start] if j else zero
+                    pred = _paeth(left, up, upleft)
+                rec[s] = line[s] + pred
+        else:
+            raise ValueError(f"PNG unknown filter type {ft}")
+        out[r] = rec
+        prev = rec
+    px = out.reshape(h, w, ch)
+    return {"container": "png", "width": w, "height": h, "channels": ch,
+            "sample_rate": None, "n_samples": int(w) * int(h),
+            "mean_level": float(px.mean()) / 255.0,
+            "peak_level": float(px.max()) / 255.0}
+
+
+PNG_PAD = 32  # deterministic pad byte for text-derived synthetic images
+
+
+def with_png_payload(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage synthesizing a REAL zlib-compressed PNG per doc:
+    the text's ascii codes become grayscale pixels (w = 16 + n % 32,
+    h = n // w + 1, padded with PNG_PAD so the last row always exists),
+    written through encode_png with cycling row filters. The pixel
+    content is a pure function of the text, so a DuckDB oracle can
+    recompute the decoded stats without any PNG code — which makes the
+    full compress->inflate->unfilter round-trip hash-gateable."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = ("" if t is None else t).encode("utf-8")
+                n = len(data)
+                w = 16 + n % 32
+                h = n // w + 1
+                px = np.full(w * h, PNG_PAD, dtype=np.uint8)
+                px[:n] = np.frombuffer(data, dtype=np.uint8)
+                payloads.append(encode_png(px.reshape(h, w)))
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": payloads})
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(docs.sparkSession)
+    return docs.mapInPandas(batches, "doc_id long, payload binary")
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
     """mapInPandas REAL-decode stage: sniff each payload's magic bytes and
@@ -304,6 +495,8 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                         d = decode_bmp(b)
                     elif b[:4] == b"RIFF":
                         d = decode_wav(b)
+                    elif b[:8] == b"\x89PNG\r\n\x1a\n":
+                        d = decode_png(b)
                     else:
                         raise ValueError("unknown container")
                 except (ValueError, NotImplementedError, struct_error):

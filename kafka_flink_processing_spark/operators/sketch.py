@@ -212,3 +212,44 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
             F.lit(f" stream rows — raise capacity (current {capacity})"))))
          .otherwise(F.col("freq")).alias("freq")).orderBy(
             F.desc("freq"), col)
+
+
+def heavy_hitters_auto(grams: DataFrame, k: int = 100, col: str = "g",
+                       capacity: int = MG_CAPACITY,
+                       universe_ndv: int | None = None) -> DataFrame:
+    """Mechanical top-k plan choice (SCALE.md's scaling-curve finding made
+    executable): below the universe-size crossover the plain one-shuffle
+    aggregation beats the two-pass MG sketch (the sketch's second scan is
+    pure overhead when the exchange can carry the whole universe); above
+    it the plain aggregation's exchange grows with the universe while the
+    MG path stays fixed at candidates x partitions. Both branches return
+    the identical exact ordered top-k — this operator only picks which
+    physical plan computes it, so a 100 TB user gets the right plan
+    without reading SCALE.md.
+
+    Decision rule (cost-model, not heuristics): the plain aggregation's
+    exchange carries at most n_partitions x min(ndv, partition_rows)
+    partial rows; the MG path pays two candidate-bounded exchanges of at
+    most n_partitions x capacity each, plus a second full scan. So the
+    plain plan is never worse when ndv <= 2 x capacity, and above that
+    threshold its exchange keeps growing while MG's is flat — choose MG
+    iff ndv > 2 x capacity.
+
+    ndv comes from `universe_ndv` when the caller has a corpus profile
+    (the zero-cost path a production pipeline uses: NDV is a standard
+    profile statistic, cf. column_profile), else from one eager
+    approx_count_distinct probe — a single map-side-combined pass whose
+    exchange carries one HLL register set per partition, i.e. cheaper
+    than either candidate plan's cheapest stage. The probe is exactly
+    the runtime-statistics pattern AQE applies to join strategy, lifted
+    to operator choice.
+    """
+    if universe_ndv is None:
+        universe_ndv = int(grams.agg(
+            F.approx_count_distinct(col).alias("ndv")).first()["ndv"])
+    if universe_ndv <= 2 * capacity:
+        # TakeOrderedAndProject over a map-side-combined aggregate: the
+        # exchange is bounded by the (small, proven by the probe) universe
+        return (grams.groupBy(col).agg(F.count("*").alias("freq"))
+                .orderBy(F.desc("freq"), col).limit(k))
+    return heavy_hitters_topk(grams, k=k, col=col, capacity=capacity)

@@ -1039,19 +1039,52 @@ def heavy_hitters_mg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.sketch import (
         heavy_hitters_topk,
     )
+    return heavy_hitters_topk(_trigram_rows(spark, sf_dir), k=100)
+
+
+def _trigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trigram ROWS (with duplicates — a counting stream, unlike the dedup
+    shingle SETS), same raw-split word convention as _WORDS."""
     docs = load_table(spark, "documents", sf_dir)
-    # trigram ROWS (with duplicates — this is a counting stream, unlike
-    # the dedup shingle SETS), same raw-split word convention as _WORDS
     words = F.split(F.col("text"), " ")
     idx = F.sequence(F.lit(1), F.size(words) - 2)
     gram = F.transform(idx, lambda i: F.concat_ws(
         " ", F.element_at(words, i), F.element_at(words, i + 1),
         F.element_at(words, i + 2)))
-    grams = docs.select(
+    return docs.select(
         F.explode(F.when(F.size(words) < 3,
                          F.array().cast("array<string>"))
                   .otherwise(gram)).alias("g"))
-    return heavy_hitters_topk(grams, k=100)
+
+
+@register(
+    "heavy_hitters_adaptive",
+    oracle="""
+    WITH t AS (SELECT string_split(text, ' ') AS words FROM documents),
+    g AS (SELECT words[i] || ' ' || words[i+1] || ' ' || words[i+2] AS g
+          FROM t, unnest(range(1, len(words) - 1)) AS u(i)
+          WHERE len(words) >= 3)
+    SELECT g, CAST(COUNT(*) AS BIGINT) AS freq
+    FROM g GROUP BY g ORDER BY freq DESC, g LIMIT 100
+    """,
+    doc="exact top-100 trigrams through the MECHANICAL plan chooser "
+        "(operators/sketch.py::heavy_hitters_auto, r6 verdict task): an "
+        "approx_count_distinct probe (one map-side HLL pass) measures the "
+        "gram universe and picks the plain one-shuffle aggregation below "
+        "the 2x-capacity crossover, the two-pass Misra-Gries sketch above "
+        "it — the cost rule SCALE.md's scaling-curve honestly recorded "
+        "(plain agg wins at this corpus's small vocab; MG exists for the "
+        "trillion-key regime), now encoded so the right plan is selected "
+        "from data statistics, not documentation. Both branches produce "
+        "the identical exact ordered top-k; the oracle is the same plain "
+        "full-universe SQL as heavy_hitters_mg, which both branches must "
+        "reproduce bit-exactly.",
+)
+def heavy_hitters_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_auto,
+    )
+    return heavy_hitters_auto(_trigram_rows(spark, sf_dir), k=100)
 
 
 _ES_SALT = "samp:"

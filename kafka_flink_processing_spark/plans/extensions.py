@@ -1012,6 +1012,58 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "multimodal_png_decode",
+    # The PNG pixels are a pure function of the text (ascii codes + pad),
+    # so the oracle recomputes the DECODED stats from text alone — hash
+    # equality certifies the whole zlib deflate -> inflate -> unfilter
+    # round-trip (all five PNG filters cycle across rows) without DuckDB
+    # touching a single PNG byte. px.mean() is exact here: integer-valued
+    # float64 sums below 2^53 are order-independent.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS codes
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n, codes,
+             CAST(16 + n % 32 AS BIGINT) AS w,
+             (n // (16 + n % 32)) + 1 AS h
+      FROM b
+    )
+    SELECT doc_id, 'png' AS container,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           w * h AS n_samples,
+           (CAST(COALESCE(list_sum(codes), 0)
+                 + (w * h - n) * 32 AS DOUBLE) / (w * h)) / 255.0
+             AS mean_level,
+           CAST(GREATEST(COALESCE(list_max(codes), 0), 32) AS DOUBLE)
+             / 255.0 AS peak_level
+    FROM d
+    """,
+    doc="REAL compressed-codec round-trip at corpus scale (r7 env-gate "
+        "audit: zlib is stdlib, so PNG needs no codec library): each "
+        "doc's text becomes a grayscale PNG (encode_png, row filters "
+        "cycling through all five PNG filter types), then decode_media "
+        "sniffs the magic and decode_png CRC-checks, inflates, and "
+        "unfilters it back to pixel stats — both stages Arrow-batched "
+        "mapInPandas, bytes never leave the executor. The oracle "
+        "recomputes the expected stats from the text directly, so a "
+        "single bit wrong anywhere in the compress/decompress/unfilter "
+        "path is a driver hash mismatch.",
+)
+def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        decode_media,
+        with_png_payload,
+    )
+    docs = with_png_payload(load_table(spark, "documents", sf_dir))
+    return decode_media(docs)
+
+
+@register(
     "multimodal_resize",
     # Stub resample = keep every k-th byte; k derives from the fake dims.
     # Deterministic over ASCII text => SQL-replicable (see decode note).

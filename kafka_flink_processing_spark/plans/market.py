@@ -1069,3 +1069,68 @@ def lead_lag_hub_beta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                   cov / (F.sqrt(vx) * F.sqrt(vy)))
     return m.select("hub_lead", "hub_lag", "n_hours",
                     beta.alias("beta"), corr.alias("corr"))
+
+
+@register(
+    "roll_spread_estimator",
+    oracle=f"""
+    WITH {_TRADES_SQL},
+    d AS (SELECT hub, ts, trade_id,
+                 price_mwh - LAG(price_mwh) OVER (
+                   PARTITION BY hub ORDER BY ts, trade_id) AS dp
+          FROM trades),
+    p AS (SELECT hub, dp,
+                 LAG(dp) OVER (PARTITION BY hub
+                               ORDER BY ts, trade_id) AS dp_lag
+          FROM d),
+    m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 {dsum_sql('dp', 6)} AS sa,
+                 {dsum_sql('dp_lag', 6)} AS sb,
+                 {dsum_sql('dp * dp_lag', 6)} AS sab
+          FROM p WHERE dp IS NOT NULL AND dp_lag IS NOT NULL
+          GROUP BY hub),
+    c AS (SELECT hub, n_obs,
+                 CASE WHEN n_obs >= 2
+                      THEN (n_obs * sab - sa * sb)
+                           / (CAST(n_obs AS DOUBLE) * n_obs)
+                      ELSE NULL END AS serial_cov
+          FROM m)
+    SELECT hub, n_obs, serial_cov,
+           CASE WHEN serial_cov < 0.0 THEN 2.0 * sqrt(-serial_cov)
+                ELSE NULL END AS roll_spread
+    FROM c
+    """,
+    doc="Roll (1984) implied effective spread per hub: 2*sqrt(-cov(dp_t, "
+        "dp_{t-1})) from the serial covariance of consecutive trade-price "
+        "changes — the classic microstructure estimator that reads the "
+        "bid-ask bounce straight off the trade tape, no quote data "
+        "needed. A non-negative serial covariance carries no spread "
+        "signal and yields NULL (reported, not hidden — the desk wants "
+        "to see which hubs trend). Exactness: dp is the same "
+        "IEEE-subtracted double on both engines (LAG over the identical "
+        "(ts, trade_id) total order), moment sums are 6dp scaled-int64 "
+        "(functions/exact.py), population-covariance algebra and sqrt "
+        "run on identical doubles. Scale: one hub-keyed exchange feeds "
+        "both LAGs (same window, one Sort), then a map-side-combined "
+        "moment aggregate collapses to hubs rows; the (hub, day) re-key "
+        "documented on kyle_lambda applies unchanged if a hub's tape "
+        "outgrows a task.",
+)
+def roll_spread_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    w = Window.partitionBy("hub").orderBy("ts", "trade_id")
+    d = t.withColumn("dp", F.col("price_mwh") - F.lag("price_mwh").over(w))
+    p = (d.withColumn("dp_lag", F.lag("dp").over(w))
+          .filter(F.col("dp").isNotNull() & F.col("dp_lag").isNotNull()))
+    m = p.groupBy("hub").agg(
+        F.count("*").alias("n_obs"),
+        dsum("dp", 6).alias("sa"), dsum("dp_lag", 6).alias("sb"),
+        dsum(F.col("dp") * F.col("dp_lag"), 6).alias("sab"))
+    n = F.col("n_obs")
+    cov = F.when(n >= 2, (n * F.col("sab") - F.col("sa") * F.col("sb"))
+                 / (n.cast("double") * n))
+    c = m.select("hub", "n_obs", cov.alias("serial_cov"))
+    spread = F.when(F.col("serial_cov") < 0.0,
+                    2.0 * F.sqrt(-F.col("serial_cov")))
+    return c.select("hub", "n_obs", "serial_cov",
+                    spread.alias("roll_spread"))

@@ -17,8 +17,10 @@ import pytest
 from kafka_flink_processing_spark.functions.multimodal import (
     decode_bmp,
     decode_media,
+    decode_png,
     decode_wav,
     encode_bmp,
+    encode_png,
     encode_wav,
 )
 
@@ -101,6 +103,63 @@ def test_wav_misaligned_data_routes_to_audit_bucket():
         decode_wav(bytes(ok[:-2]))
 
 
+def test_png_roundtrip_every_filter_type():
+    # forcing each of the five PNG filters must reproduce identical stats
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(6, 9, 3), dtype=np.uint8)
+    for ft in range(5):
+        d = decode_png(encode_png(px, filter_mode=ft))
+        assert (d["container"], d["width"], d["height"],
+                d["channels"]) == ("png", 9, 6, 3)
+        assert d["mean_level"] == pytest.approx(px.mean() / 255.0,
+                                                abs=1e-12)
+        assert d["peak_level"] == pytest.approx(px.max() / 255.0,
+                                                abs=1e-12)
+
+
+def test_png_grayscale_and_rgba():
+    rng = np.random.default_rng(12)
+    gray = rng.integers(0, 256, size=(5, 7), dtype=np.uint8)
+    d = decode_png(encode_png(gray))
+    assert d["channels"] == 1 and d["n_samples"] == 35
+    assert d["mean_level"] == pytest.approx(gray.mean() / 255.0, abs=1e-12)
+    rgba = rng.integers(0, 256, size=(4, 4, 4), dtype=np.uint8)
+    d = decode_png(encode_png(rgba))
+    assert d["channels"] == 4
+    assert d["mean_level"] == pytest.approx(rgba.mean() / 255.0, abs=1e-12)
+
+
+def test_png_crc_mismatch_routes_to_audit_bucket():
+    ok = bytearray(encode_png(np.full((3, 3), 100, dtype=np.uint8)))
+    idat = ok.index(b"IDAT")
+    ok[idat + 6] ^= 0xFF  # flip a compressed byte, CRC now stale
+    with pytest.raises(ValueError, match="CRC"):
+        decode_png(bytes(ok))
+
+
+def test_png_truncated_routes_to_audit_bucket():
+    # cut mid-IDAT: either the chunk reads short or IDAT never completes —
+    # both must raise ValueError (losing only IEND's tail is harmless by
+    # design: the full pixel data is still present and CRC-valid)
+    ok = encode_png(np.full((9, 9), 100, dtype=np.uint8))
+    with pytest.raises(ValueError):
+        decode_png(ok[:len(ok) // 2])
+
+
+def test_png_exotic_formats_still_gated():
+    import struct
+    import zlib
+    # 16-bit-depth IHDR: honest NotImplementedError, not silent garbage
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 0, 0, 0, 0)
+    chunk = (struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr
+             + struct.pack(">I", zlib.crc32(b"IHDR" + ihdr)))
+    idat_payload = zlib.compress(b"\x00" * 18)
+    idat = (struct.pack(">I", len(idat_payload)) + b"IDAT" + idat_payload
+            + struct.pack(">I", zlib.crc32(b"IDAT" + idat_payload)))
+    with pytest.raises(NotImplementedError):
+        decode_png(b"\x89PNG\r\n\x1a\n" + chunk + idat)
+
+
 def test_compressed_formats_still_gated():
     with pytest.raises(NotImplementedError):
         # 8-bit palette BMP header: honest boundary, not silent garbage
@@ -114,13 +173,19 @@ def test_compressed_formats_still_gated():
 def test_decode_media_mixed_frame(spark):
     px = np.arange(27, dtype=np.uint8).reshape(3, 3, 3)
     wav = encode_wav(np.full(64, 8192, dtype=np.int16), 16000)
+    png_px = np.arange(64, dtype=np.uint8).reshape(8, 8)
     rows = [(1, bytearray(encode_bmp(px))),
             (2, bytearray(wav)),
             (3, bytearray(b"\xff\xd8\xff\xe0 not decodable here")),
-            (4, None)]  # NULL payload must audit-bucket, not crash (r6 rev)
+            (4, None),  # NULL payload must audit-bucket, not crash (r6 rev)
+            (5, bytearray(encode_png(png_px)))]
     df = spark.createDataFrame(rows, "doc_id long, payload binary")
     out = {r["doc_id"]: r.asDict()
            for r in decode_media(df.repartition(3)).collect()}
+    assert out[5]["container"] == "png"
+    assert (out[5]["width"], out[5]["height"], out[5]["channels"]) == (8, 8, 1)
+    assert out[5]["mean_level"] == pytest.approx(
+        png_px.mean() / 255.0, abs=1e-12)
     assert out[1]["container"] == "bmp"
     assert (out[1]["width"], out[1]["height"]) == (3, 3)
     assert out[1]["mean_level"] == pytest.approx(13.0 / 255.0, abs=1e-12)
@@ -170,3 +235,21 @@ if HAVE_HYP:
             float(np.sqrt((xf * xf).mean())), abs=1e-12)
         assert d["peak_level"] == pytest.approx(
             float(np.abs(xf).max()), abs=1e-12)
+
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 17), h=st.integers(1, 11),
+           ch=st.sampled_from([1, 3, 4]), seed=st.integers(0, 2**31 - 1))
+    def test_png_stats_exact_any_dims(w, h, ch, seed):
+        # h up to 11 guarantees the cycling filter hits all 5 types when
+        # h >= 5; every (w, ch) pair exercises a different left-pixel
+        # offset in the Sub/Average/Paeth reconstructions
+        rng = np.random.default_rng(seed)
+        shape = (h, w) if ch == 1 else (h, w, ch)
+        px = rng.integers(0, 256, size=shape, dtype=np.uint8)
+        d = decode_png(encode_png(px))
+        assert (d["width"], d["height"], d["channels"]) == (w, h, ch)
+        assert d["n_samples"] == w * h
+        assert d["mean_level"] == pytest.approx(px.mean() / 255.0,
+                                                abs=1e-12)
+        assert d["peak_level"] == pytest.approx(px.max() / 255.0,
+                                                abs=1e-12)

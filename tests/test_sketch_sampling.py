@@ -292,3 +292,60 @@ def test_heavy_hitters_exact_via_coverage_despite_drops(spark):
     got = heavy_hitters_topk(grams, k=25, capacity=16).collect()
     assert [(r.g, r.freq) for r in got] == \
         [(f"x{i:02d}", 4) for i in range(20)]
+
+
+# --- heavy_hitters_auto: the mechanical plan chooser (r7) -----------------
+
+
+def _auto_fixture(spark):
+    # 10 planted heavies (freq 40) over 500 singletons, 4 partitions
+    rows = [(f"heavy{i}",) for i in range(10) for _ in range(40)]
+    rows += [(f"s{i:04d}",) for i in range(500)]
+    return spark.createDataFrame(rows, "g string").repartition(4)
+
+
+def _expected_top10():
+    return [(f"heavy{i}", 40) for i in range(10)]
+
+
+def test_auto_small_universe_picks_plain_aggregation(spark):
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_auto,
+    )
+    # ndv override below 2 x capacity: plain one-shuffle branch — the plan
+    # must contain NO Python stage (the MG fold is mapInPandas)
+    df = heavy_hitters_auto(_auto_fixture(spark), k=10, capacity=64,
+                            universe_ndv=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" not in plan
+    assert [(r.g, r.freq) for r in df.collect()] == _expected_top10()
+
+
+def test_auto_large_universe_picks_mg_sketch(spark):
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_auto,
+    )
+    df = heavy_hitters_auto(_auto_fixture(spark), k=10, capacity=64,
+                            universe_ndv=10_000_000)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan
+    assert [(r.g, r.freq) for r in df.collect()] == _expected_top10()
+
+
+def test_auto_probe_measures_real_universe(spark):
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_auto,
+    )
+    # no override: the HLL probe sees ~510 distinct grams; with capacity 64
+    # the crossover (2 x 64 = 128) forces the MG branch, with capacity 4096
+    # (2 x 4096 = 8192) the plain branch — both must return the identical
+    # exact ordered top-k
+    grams = _auto_fixture(spark)
+    small_cap = heavy_hitters_auto(grams, k=10, capacity=64)
+    big_cap = heavy_hitters_auto(grams, k=10, capacity=4096)
+    small_plan = small_cap._jdf.queryExecution().executedPlan().toString()
+    big_plan = big_cap._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in small_plan      # 510 > 128 -> sketch
+    assert "MapInPandas" not in big_plan    # 510 <= 8192 -> plain agg
+    assert [(r.g, r.freq) for r in small_cap.collect()] == _expected_top10()
+    assert [(r.g, r.freq) for r in big_cap.collect()] == _expected_top10()
