@@ -18,6 +18,43 @@ from pyspark.sql import SparkSession
 _CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 4))
 
 
+def ensure_protobuf_for_tws() -> bool:
+    """Make `google.protobuf` reachable in Spark's Python workers when no
+    protobuf wheel is installed (transformWithStateInPandas needs it for
+    the state-server protocol) by putting the sitecustomize shim dir
+    (vendor_pb/ — see its docstring) on PYTHONPATH. Spark merges the
+    JVM's inherited PYTHONPATH into every worker's, so this must run
+    BEFORE the JVM starts; get_spark() calls it first. Returns True if
+    protobuf will be importable in workers (wheel present or shim wired),
+    False if the box has neither — callers (the TWS tests) can skip."""
+    import importlib.util
+
+    if importlib.util.find_spec("google") is not None and \
+            importlib.util.find_spec("google.protobuf") is not None:
+        return True
+    vendored = "/usr/lib/google-cloud-sdk/platform/google_appengine"
+    if not os.path.isdir(os.path.join(vendored, "google", "protobuf")):
+        return False
+    shim_dir = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                            "vendor_pb")
+    parts = os.environ.get("PYTHONPATH", "")
+    if shim_dir not in parts.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (shim_dir + os.pathsep + parts
+                                    if parts else shim_dir)
+    # PYTHONPATH alone is NOT enough: the transformWithState driver-side
+    # StreamingPythonRunner rebuilds the worker's PYTHONPATH from scratch
+    # (no merge with the JVM env). Interpose on the interpreter instead:
+    # a wrapper script that re-prepends the shim dir and execs the real
+    # python (vendor_pb/python_with_pb). Only set when the user hasn't
+    # already pointed PYSPARK_PYTHON somewhere custom beyond the default.
+    wrapper = os.path.join(shim_dir, "python_with_pb")
+    current = os.environ.get("PYSPARK_PYTHON", "python")
+    if current != wrapper and os.access(wrapper, os.X_OK):
+        os.environ["KFPS_REAL_PYTHON"] = current
+        os.environ["PYSPARK_PYTHON"] = wrapper
+    return True
+
+
 def get_spark(app_name: str = "kafka_flink_processing_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.
@@ -26,6 +63,7 @@ def get_spark(app_name: str = "kafka_flink_processing_spark",
     cluster you would size it to ~2-3x total cores instead (or let AQE
     coalesce from a higher initial number).
     """
+    ensure_protobuf_for_tws()  # must precede JVM start (worker PYTHONPATH)
     builder = (
         SparkSession.builder
         .master(os.environ.get("SPARK_MASTER", f"local[{_CPUS}]"))

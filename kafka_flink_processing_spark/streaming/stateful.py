@@ -135,6 +135,17 @@ def streaming_pnl(trades: DataFrame, prices: DataFrame) -> DataFrame:
     prices: (ts, hub, price_mwh) stream
     """
     ensure_shipped(trades.sparkSession)
+    return (_tagged_union(trades, prices)
+            .groupBy("hub")
+            .applyInPandasWithState(_pnl_fn, _PNL_OUT, _PNL_STATE,
+                                    "append", GroupStateTimeout.NoTimeout))
+
+
+# ---------------------------------------------------------------------------
+# W2 streaming on the Spark-4 primitive: transformWithStateInPandas
+# ---------------------------------------------------------------------------
+
+def _tagged_union(trades: DataFrame, prices: DataFrame) -> DataFrame:
     t = trades.select(
         "ts", "hub", "account", "side", F.col("mw").cast("long").alias("mw"),
         "price_mwh", F.col("trade_id").cast("long").alias("trade_id"),
@@ -144,7 +155,82 @@ def streaming_pnl(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.lit(None).cast("string").alias("side"),
         F.lit(None).cast("long").alias("mw"), "price_mwh",
         F.lit(0).cast("long").alias("trade_id"), F.lit(PRICE).alias("kind"))
-    unioned = t.unionByName(p)
-    return (unioned.groupBy("hub")
-                   .applyInPandasWithState(_pnl_fn, _PNL_OUT, _PNL_STATE,
-                                           "append", GroupStateTimeout.NoTimeout))
+    return t.unionByName(p)
+
+
+class PnlProcessor:
+    """StatefulProcessor port of the PnL co-process fold onto Spark 4's
+    transformWithStateInPandas — the state layout finally matches the
+    reference ONE-TO-ONE (PnlAndExposureJob.java:107-110): lastPrice is a
+    ValueState<double> and the per-account book is a real MapState keyed
+    by account, instead of applyInPandasWithState's single flat struct
+    with the account map crammed into a JSON string. At scale that's the
+    difference that matters: RocksDB updates only the touched accounts
+    per micro-batch (point puts) rather than rewriting one ever-growing
+    blob per hub, and the primitive brings timers/TTL for book expiry
+    when accounts churn. The fold arithmetic is the SAME HubFold shared
+    with the batch operator and the spec replay, so output parity with
+    streaming_pnl and the batch plan is structural.
+
+    Declared lazily (class body imports nothing Spark-streaming-specific
+    at module import): the base class lives in
+    pyspark.sql.streaming.stateful_processor on Spark 4+.
+    """
+
+    def init(self, handle) -> None:
+        self._last = handle.getValueState("lastPrice", "price double")
+        self._accounts = handle.getMapState(
+            "accounts", "account string",
+            "pos long, avg double, realized double")
+
+    def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                        timer_values) -> Iterator[pd.DataFrame]:
+        last = self._last.get()
+        accounts: dict[str, tuple[int, float, float]] = {}
+        if self._accounts.exists():
+            for k, v in self._accounts.iterator():
+                accounts[k[0]] = (int(v[0]), float(v[1]), float(v[2]))
+        fold = HubFold(None if last is None else float(last[0]), accounts)
+        # ONE global sort over the micro-batch's rows for this key (the
+        # documented total order), independent of Arrow chunking
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+        out: list[dict[str, Any]] = []
+        for rec in pdf.to_dict("records"):
+            out.extend(fold.process(rec))
+        last_price, accounts = fold.snapshot()
+        if last_price is not None:
+            self._last.update((last_price,))
+        for acct, st in accounts.items():
+            self._accounts.updateValue((acct,), st)
+        yield pd.DataFrame(out, columns=[f.name for f in _PNL_OUT.fields])
+
+    def handleInitialState(self, key, initialState, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_pnl_tws(trades: DataFrame, prices: DataFrame) -> DataFrame:
+    """streaming_pnl on transformWithStateInPandas (Spark 4 primitive).
+
+    Requires the RocksDB state store provider (bundled rocksdbjni jar):
+    set spark.sql.streaming.stateStore.providerClass to
+    ...execution.streaming.state.RocksDBStateStoreProvider on the session
+    or via the session helper — the HDFS-backed default store does not
+    support the transformWithState operator family.
+    """
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    # register as a real StatefulProcessor subclass without importing the
+    # Spark-4-only base at module import time
+    proc_cls = type("_PnlProcessorTws", (PnlProcessor, StatefulProcessor), {})
+    ensure_shipped(trades.sparkSession)
+    return (_tagged_union(trades, prices)
+            .groupBy("hub")
+            .transformWithStateInPandas(proc_cls(), _PNL_OUT,
+                                        "append", "none"))

@@ -86,6 +86,80 @@ def test_streaming_pnl_matches_batch_single_batch(spark, market, tmp_path):
     assert _rowset(got.collect()) == _rowset(want.collect())
 
 
+_ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+
+
+@pytest.fixture()
+def rocksdb_state(spark):
+    """transformWithState requires the RocksDB state store (bundled
+    rocksdbjni jar); restore the default provider afterwards so the
+    applyInPandasWithState suites keep their original store."""
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, _ROCKSDB)
+    yield
+    if prev is None:
+        spark.conf.unset(key)
+    else:
+        spark.conf.set(key, prev)
+
+
+def test_streaming_pnl_tws_matches_batch(spark, market, tmp_path,
+                                         rocksdb_state):
+    """The Spark-4 transformWithStateInPandas port (ValueState +
+    real MapState, reference-matching state layout) must reproduce the
+    batch plan bit-exactly, like the applyInPandasWithState original."""
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws,
+    )
+    trades, prices = market
+    ts_stream = _stream_from(spark, trades, f"{tmp_path}/t")
+    px_stream = _stream_from(spark, prices, f"{tmp_path}/p")
+    pnl = streaming_pnl_tws(ts_stream, px_stream)
+    run_available_now(pnl, "pnl_tws_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT * FROM pnl_tws_out")
+    want = pnl_positions(trades, prices)
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_streaming_pnl_tws_state_carries_across_batches(spark, market,
+                                                        tmp_path,
+                                                        rocksdb_state):
+    """Split BOTH inputs at the same time cut, 1 file per trigger: the
+    ValueState last-price and the MapState account book must survive the
+    micro-batch boundary — output equals the batch replay exactly."""
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws,
+    )
+    trades, prices = market
+    # ONE cut shared by both sources (per-source median cuts would let a
+    # later-ts price precede an earlier-ts trade across the batch
+    # boundary, which genuinely reorders the fold — not a state bug)
+    allts = (trades.select("ts").unionByName(prices.select("ts"))
+             .withColumn("o", F.col("ts").cast("double")))
+    cut = allts.approxQuantile("o", [0.5], 0.0)[0]
+
+    def split_stream(df, base):
+        o = F.col("ts").cast("double")
+        df.filter(o <= cut).coalesce(1).write.parquet(f"{base}/f0")
+        df.filter(o > cut).coalesce(1).write.parquet(f"{base}/f1")
+        return (spark.readStream.schema(df.schema)
+                .option("maxFilesPerTrigger", 1).parquet(f"{base}/f*"))
+
+    ts_stream = split_stream(trades, f"{tmp_path}/t")
+    px_stream = split_stream(prices, f"{tmp_path}/p")
+    pnl = streaming_pnl_tws(ts_stream, px_stream)
+    run_available_now(pnl, "pnl_tws_mb_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT * FROM pnl_tws_mb_out")
+    want = pnl_positions(trades, prices)
+    assert got.count() == want.count()
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
 def test_streaming_sma_state_carries_across_batches(spark, market, tmp_path):
     """Split prices at the time median into 2 files, force 1 file per
     micro-batch: the ring buffer must survive the batch boundary, giving
