@@ -158,6 +158,29 @@ def _tagged_union(trades: DataFrame, prices: DataFrame) -> DataFrame:
     return t.unionByName(p)
 
 
+def book_puts(before: dict[str, tuple[int, float, float]],
+              after: dict) -> dict[str, tuple[int, float, float]]:
+    """The MapState puts a micro-batch owes: only accounts whose
+    (pos, avg, realized) changed — O(touched) RocksDB point puts per hub
+    per batch, not O(book) (prices only move lastPrice; fills via
+    apply_fill are the only book mutation).
+
+    Also enforces type discipline at the state boundary: the tagged-union
+    mw column is nullable (NULL on price rows), so pandas hands the fold
+    FLOAT64 quantities and pos accumulates as an integral float. Writing
+    7.0 into the `pos long` state field makes the JVM row decoder store
+    NULL silently (found the hard way: batch-2 read-back returned
+    (None, avg, realized)) — coerce to the declared types before every
+    put. `before` must hold already-normalized (int, float, float)
+    tuples, as the read-back loop produces."""
+    puts: dict[str, tuple[int, float, float]] = {}
+    for acct, st in after.items():
+        st = (int(st[0]), float(st[1]), float(st[2]))
+        if before.get(acct) != st:
+            puts[acct] = st
+    return puts
+
+
 class PnlProcessor:
     """StatefulProcessor port of the PnL co-process fold onto Spark 4's
     transformWithStateInPandas — the state layout finally matches the
@@ -190,6 +213,7 @@ class PnlProcessor:
         if self._accounts.exists():
             for k, v in self._accounts.iterator():
                 accounts[k[0]] = (int(v[0]), float(v[1]), float(v[2]))
+        before = dict(accounts)
         fold = HubFold(None if last is None else float(last[0]), accounts)
         # ONE global sort over the micro-batch's rows for this key (the
         # documented total order), independent of Arrow chunking
@@ -200,8 +224,8 @@ class PnlProcessor:
             out.extend(fold.process(rec))
         last_price, accounts = fold.snapshot()
         if last_price is not None:
-            self._last.update((last_price,))
-        for acct, st in accounts.items():
+            self._last.update((float(last_price),))
+        for acct, st in book_puts(before, accounts).items():
             self._accounts.updateValue((acct,), st)
         yield pd.DataFrame(out, columns=[f.name for f in _PNL_OUT.fields])
 

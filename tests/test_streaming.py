@@ -160,6 +160,82 @@ def test_streaming_pnl_tws_state_carries_across_batches(spark, market,
     assert _rowset(got.collect()) == _rowset(want.collect())
 
 
+def test_tws_state_echo_roundtrip(spark, tmp_path, rocksdb_state):
+    """Minimal ValueState + MapState echo across the micro-batch boundary:
+    batch 1 writes, batch 2 reads back and emits what it saw. Pins the
+    state-server protocol round-trip (incl. the vendored-protobuf skew
+    path) independently of the PnL fold, and specifically that a `long`
+    map-state field written as a Python int survives — the r7 bug was an
+    integral FLOAT silently decoding to NULL on the JVM side."""
+    import pandas as pd
+    from pyspark.sql import types as T
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    out_schema = T.StructType([
+        T.StructField("key", T.StringType()),
+        T.StructField("note", T.StringType()),
+    ])
+
+    class Echo(StatefulProcessor):
+        def init(self, handle):
+            self._v = handle.getValueState("v", "price double")
+            self._m = handle.getMapState(
+                "m", "account string",
+                "pos long, avg double, realized double")
+
+        def handleInputRows(self, key, rows, timer_values):
+            seen = None
+            if self._m.exists():
+                seen = sorted((k[0], tuple(v)) for k, v in self._m.iterator())
+            note = f"v={self._v.get()!r} m={seen!r}"
+            for _ in rows:
+                pass
+            self._v.update((42.5,))
+            self._m.updateValue(("a",), (7, 1.25, -3.5))
+            self._m.updateValue(("b",), (-2, 0.5, 9.0))
+            yield pd.DataFrame([{"key": key[0], "note": note}])
+
+        def handleInitialState(self, key, initialState, timer_values):
+            pass
+
+        def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+            return iter(())
+
+        def close(self):
+            pass
+
+    df = spark.createDataFrame([("h1", 1.0)], "hub string, x double")
+    df.coalesce(1).write.parquet(f"{tmp_path}/f0")
+    df.coalesce(1).write.parquet(f"{tmp_path}/f1")
+    stream = (spark.readStream.schema(df.schema)
+              .option("maxFilesPerTrigger", 1).parquet(f"{tmp_path}/f*"))
+    out = (stream.groupBy("hub")
+           .transformWithStateInPandas(Echo(), out_schema, "append", "none"))
+    run_available_now(out, "tws_echo_out", f"{tmp_path}/ckpt")
+    notes = sorted(r.note for r in spark.sql(
+        "SELECT note FROM tws_echo_out").collect())
+    assert notes == [
+        "v=(42.5,) m=[('a', (7, 1.25, -3.5)), ('b', (-2, 0.5, 9.0))]",
+        "v=None m=None",
+    ]
+
+
+def test_book_puts_touched_keys_only():
+    """MapState writes per batch are O(touched accounts), not O(book),
+    and always typed (int, float, float) — incl. integral-float pos."""
+    from kafka_flink_processing_spark.streaming.stateful import book_puts
+
+    before = {"a": (7, 1.25, -3.5), "b": (-2, 0.5, 9.0)}
+    after = {"a": (7.0, 1.25, -3.5),      # untouched (integral float)
+             "b": (-3.0, 0.5, 9.0),       # position moved
+             "c": (1.0, 2.0, 0.0)}        # new account
+    puts = book_puts(before, after)
+    assert puts == {"b": (-3, 0.5, 9.0), "c": (1, 2.0, 0.0)}
+    assert all(type(v[0]) is int and type(v[1]) is float and
+               type(v[2]) is float for v in puts.values())
+    assert book_puts(before, dict(before)) == {}
+
+
 def test_streaming_sma_state_carries_across_batches(spark, market, tmp_path):
     """Split prices at the time median into 2 files, force 1 file per
     micro-batch: the ring buffer must survive the batch boundary, giving
