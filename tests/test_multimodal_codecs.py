@@ -253,3 +253,107 @@ if HAVE_HYP:
                                                 abs=1e-12)
         assert d["peak_level"] == pytest.approx(px.max() / 255.0,
                                                 abs=1e-12)
+
+
+# ---------------------------------------------------------------------------
+# GIF (LZW) — second compressed codec un-gated (r8)
+# ---------------------------------------------------------------------------
+
+def _gif_imports():
+    from kafka_flink_processing_spark.functions.multimodal import (
+        _lzw_decode_gif,
+        _lzw_encode_gif,
+        decode_gif,
+        encode_gif,
+    )
+    return _lzw_encode_gif, _lzw_decode_gif, encode_gif, decode_gif
+
+
+def test_gif_lzw_roundtrip_across_width_boundaries():
+    enc, dec, _, _ = _gif_imports()
+    rng = np.random.default_rng(11)
+    # random data at sizes that cross the 9->10->11->12-bit width
+    # changes and (at 100k) multiple 4096-entry table resets
+    for n in [0, 1, 7, 300, 1000, 5000, 100_000]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert dec(enc(data)) == data
+    # compressible patterns force deep dictionary chains and the KwKwK
+    # (code == next_code) special case
+    for pat in [b"a" * 10_000, b"ab" * 5_000, bytes(range(256)) * 64,
+                b"aaabbbaaabbb" * 500]:
+        assert dec(enc(pat)) == pat
+
+
+def test_gif_lzw_corrupt_stream_raises():
+    enc, dec, _, _ = _gif_imports()
+    good = enc(b"hello world, hello world")
+    with pytest.raises(ValueError):   # chopped mid-stream: no EOI
+        dec(good[: len(good) // 2])
+    # a code far beyond the table: 12 bits of 1s right after the clear
+    import struct
+    bad = struct.pack("<I", (0x100) | (0xFFF << 9))[:3]
+    with pytest.raises(ValueError):
+        dec(bad)
+
+
+def test_gif_roundtrip_stats_exact():
+    _, _, enc, dec = _gif_imports()
+    rng = np.random.default_rng(3)
+    for h, w in [(1, 1), (3, 5), (17, 23), (64, 64)]:
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        d = dec(enc(px))
+        assert (d["container"], d["width"], d["height"],
+                d["channels"]) == ("gif", w, h, 1)
+        assert d["n_samples"] == w * h
+        assert d["mean_level"] == pytest.approx(px.mean() / 255.0,
+                                                abs=1e-12)
+        assert d["peak_level"] == px.max() / 255.0
+
+
+def test_gif_crafted_payloads_route_to_audit_bucket():
+    _, _, enc, dec = _gif_imports()
+    good = enc(np.arange(64, dtype=np.uint8).reshape(8, 8))
+    for bad in [
+        good[:10],                       # truncated screen descriptor
+        good[:20],                       # truncated color table
+        good[:-3],                       # truncated data sub-block chain
+        b"GIF87a" + b"\x00" * 7,         # no color table, no image
+        good[:10] + b"\x00" + good[11:],  # clear GCT flag: palette bytes
+                                          # then misparse as blocks
+    ]:
+        with pytest.raises(ValueError):
+            dec(bad)
+    # interlace flag: honest NotImplementedError gate
+    import struct
+    pos = 13 + 768                       # header + GCT -> image descriptor
+    desc = bytearray(good)
+    assert desc[pos] == 0x2C
+    desc[pos + 9] |= 0x40                # set interlace bit
+    with pytest.raises(NotImplementedError):
+        dec(bytes(desc))
+
+
+def test_gif_89a_extension_blocks_skipped():
+    _, _, enc, dec = _gif_imports()
+    good = enc(np.full((4, 4), 100, dtype=np.uint8))
+    # splice a graphic-control extension between GCT and image descriptor
+    pos = 13 + 768
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    spliced = b"GIF89a" + good[6:pos] + ext + good[pos:]
+    d = dec(spliced)
+    assert d["mean_level"] == pytest.approx(100 / 255.0, abs=1e-12)
+
+
+if HAVE_HYP:
+    @settings(max_examples=40, deadline=None)
+    @given(w=st.integers(1, 40), h=st.integers(1, 20),
+           seed=st.integers(0, 2**31 - 1))
+    def test_gif_stats_exact_any_dims(w, h, seed):
+        _, _, enc, dec = _gif_imports()
+        rng = np.random.default_rng(seed)
+        px = rng.integers(0, 256, (h, w), dtype=np.uint8)
+        d = dec(enc(px))
+        assert (d["width"], d["height"]) == (w, h)
+        assert d["mean_level"] == pytest.approx(px.mean() / 255.0,
+                                                abs=1e-12)
+        assert d["peak_level"] == px.max() / 255.0

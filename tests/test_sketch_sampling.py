@@ -349,3 +349,30 @@ def test_auto_probe_measures_real_universe(spark):
     assert "MapInPandas" not in big_plan    # 510 <= 8192 -> plain agg
     assert [(r.g, r.freq) for r in small_cap.collect()] == _expected_top10()
     assert [(r.g, r.freq) for r in big_cap.collect()] == _expected_top10()
+
+
+def test_adaptive_query_path_mg_branch_at_high_ndv_corpus(spark):
+    """The REGISTERED heavy_hitters_adaptive path at a synthetic
+    high-NDV corpus (sf0.01's vocab is small, so the driver row only
+    ever exercises the plain-agg branch): with the DEFAULT capacity
+    (16384, crossover 32768) and a real HLL probe — no ndv override —
+    a >40k-distinct gram stream must select the Misra-Gries branch and
+    still return the exact ordered top-k."""
+    from kafka_flink_processing_spark.operators.sketch import (
+        heavy_hitters_auto,
+    )
+    # 150 planted heavies (distinct freqs 50..199, far above the
+    # N/capacity MG error bound) over 40k singletons
+    heavies = (spark.range(150)
+               .selectExpr("concat('heavy', id) AS g",
+                           "CAST(id + 50 AS INT) AS n")
+               .selectExpr("explode(array_repeat(g, n)) AS g"))
+    singles = spark.range(40_000).selectExpr("concat('s', id) AS g")
+    grams = heavies.unionAll(singles).repartition(8)
+    df = heavy_hitters_auto(grams, k=100)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "MapInPandas" in plan            # probe chose the MG sketch
+    want = [(r.g, r.freq) for r in
+            (grams.groupBy("g").agg(F.count("*").alias("freq"))
+             .orderBy(F.desc("freq"), "g").limit(100)).collect()]
+    assert [(r.g, r.freq) for r in df.collect()] == want
