@@ -1079,6 +1079,7 @@ def _trigram_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
         "the identical exact ordered top-k; the oracle is the same plain "
         "full-universe SQL as heavy_hitters_mg, which both branches must "
         "reproduce bit-exactly.",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
 )
 def heavy_hitters_adaptive_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.sketch import (

@@ -1053,6 +1053,7 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         "recomputes the expected stats from the text directly, so a "
         "single bit wrong anywhere in the compress/decompress/unfilter "
         "path is a driver hash mismatch.",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
 )
 def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.multimodal import (
@@ -2670,6 +2671,7 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
         "Python — the honest cost note: a JVM/native codec would beat "
         "it, but the PLUMBING (schema, batching, audit bucket) is what "
         "carries to a 1000-executor corpus decode).",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
 )
 def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.functions.multimodal import (

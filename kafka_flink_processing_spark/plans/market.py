@@ -1115,6 +1115,7 @@ def lead_lag_hub_beta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "moment aggregate collapses to hubs rows; the (hub, day) re-key "
         "documented on kyle_lambda applies unchanged if a hub's tape "
         "outgrows a task.",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
 )
 def roll_spread_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _trades(spark, sf_dir)
