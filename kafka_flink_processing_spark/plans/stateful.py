@@ -263,6 +263,56 @@ def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pnl_positions(trades, prices)
 
 
+@register(
+    "streaming_pnl_tws",
+    oracle=f"{_PNL_REPLAY_SQL} SELECT {_PNL_COLS} FROM pnl",
+    doc="W2 replay on Spark 4's transformWithStateInPandas — the "
+        "reference-matching state layout (lastPrice ValueState + a REAL "
+        "per-account MapState, PnlAndExposureJob.java:107-110) run as a "
+        "stream and drained availableNow, hash-gated against the same "
+        "recursive-CTE replay oracle as the batch fold. This is the "
+        "driver-verifiable face of the tws port (r7 shipped it weak: the "
+        "MapState read-back lost the long field — fixed r8 with typed "
+        "puts, and the write set is O(touched accounts) per batch). "
+        "Requires the RocksDB state-store provider (bundled rocksdbjni); "
+        "the conf is set and restored around the drain. Scale: identical "
+        "exchange structure to streaming_pnl (one hub-keyed shuffle), "
+        "but RocksDB point puts per touched account instead of rewriting "
+        "one JSON blob per hub per batch.",
+)
+def streaming_pnl_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.session import ensure_tws_ready
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_multi,
+    )
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws,
+    )
+
+    if not ensure_tws_ready(spark):
+        raise RuntimeError(
+            "transformWithState needs google.protobuf in Spark's Python "
+            "workers; neither a wheel nor the vendored runtime is present "
+            "on this box (env-gated, like the Kafka sources)")
+    trades, prices = derive_market(spark, sf_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        return drain_streaming_multi(
+            {"t": trades, "p": prices},
+            lambda s: streaming_pnl_tws(s["t"], s["p"]), "pnl_tws")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 # pnl_positions_sliced DEREGISTERED in r4 (r3 verdict: the hybrid is
 # strictly the better 100 TB form, and the all-Python sliced variant added
 # registry surface without a distinct role). The operator itself

@@ -55,6 +55,29 @@ def ensure_protobuf_for_tws() -> bool:
     return True
 
 
+def ensure_tws_ready(spark: SparkSession) -> bool:
+    """Runtime (post-JVM) variant of ensure_protobuf_for_tws for sessions
+    this engine did not build (the graded driver's vanilla session is
+    one): the transformWithState DRIVER-SIDE worker takes its interpreter
+    from sc.pythonExec, which pyspark reads at UDF-CREATION time — so
+    pointing it at the interposing wrapper works even after the JVM is
+    up, where env-var wiring alone cannot (the JVM captured its env at
+    launch). The wrapper also prepends this repo's root to the worker
+    PYTHONPATH, because StreamingPythonRunner rebuilds the worker's
+    PYTHONPATH without the context's addPyFile entries — ensure_shipped's
+    zip never reaches the tws driver worker. Idempotent; False when the
+    box has neither a protobuf wheel nor the vendored runtime (callers
+    env-gate, like the Kafka tests)."""
+    if not ensure_protobuf_for_tws():
+        return False
+    wrapper = os.environ.get("PYSPARK_PYTHON", "")
+    if wrapper.endswith("python_with_pb") and os.access(wrapper, os.X_OK):
+        sc = spark.sparkContext
+        if getattr(sc, "pythonExec", None) != wrapper:
+            sc.pythonExec = wrapper
+    return True
+
+
 def get_spark(app_name: str = "kafka_flink_processing_spark",
               shuffle_partitions: int | None = None) -> SparkSession:
     """Build (or reuse) the engine's SparkSession.

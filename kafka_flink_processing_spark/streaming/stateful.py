@@ -250,10 +250,16 @@ def streaming_pnl_tws(trades: DataFrame, prices: DataFrame) -> DataFrame:
     """
     from pyspark.sql.streaming.stateful_processor import StatefulProcessor
 
+    from kafka_flink_processing_spark.session import ensure_tws_ready
+
     # register as a real StatefulProcessor subclass without importing the
     # Spark-4-only base at module import time
     proc_cls = type("_PnlProcessorTws", (PnlProcessor, StatefulProcessor), {})
     ensure_shipped(trades.sparkSession)
+    # must precede transformWithStateInPandas: the UDF captures
+    # sc.pythonExec at creation, and the tws driver worker needs the
+    # wrapper for protobuf + this package (see session.ensure_tws_ready)
+    ensure_tws_ready(trades.sparkSession)
     return (_tagged_union(trades, prices)
             .groupBy("hub")
             .transformWithStateInPandas(proc_cls(), _PNL_OUT,

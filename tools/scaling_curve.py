@@ -44,6 +44,17 @@ from kafka_flink_processing_spark.sources.parquet import load_table  # noqa: E40
 SRC = "/root/testdata/sf0.1"
 QUERY_SET = ["groupby_agg_q1", "ohlc_bars", "kyle_lambda_price_impact",
              "heavy_hitters_mg", "ngram_freq_top", "token_drift_chi2"]
+# --dedup mode (r8, r6 verdict task 5): the near-dup family measured on a
+# DUP-RATE-PRESERVING replication. Verbatim k-fold replication would make
+# every doc an exact/near dup of its k-1 replicas — LSH buckets then gain
+# k co-located signatures per original member and the candidate-pair
+# volume grows O(k^2) per bucket, a workload-shape artifact that would
+# masquerade as a super-linear PLAN slope. Instead each replica k tags
+# every word with a replica prefix: all shingles/grams become
+# replica-distinct, so the corpus has k-fold docs with the SAME internal
+# dup structure per replica and no cross-replica matches — the honest
+# "corpus grew, dup rate stayed" shape.
+DEDUP_QUERY_SET = ["dedup_clusters", "dup_span_redact", "dedup_fuzzy_corpus"]
 # distribution-preserving replication: bump the id columns per replica so
 # keys stay unique while every categorical/derived population (hubs from
 # user_id % 4, langs, priorities) keeps its shape
@@ -54,13 +65,17 @@ OFFSETS = {
 }
 
 
-def replicate(spark, table: str, reps: int, out_dir: str) -> None:
+def replicate(spark, table: str, reps: int, out_dir: str,
+              perturb_text: bool = False) -> None:
     base = load_table(spark, table, SRC)
     parts = []
     for k in range(reps):
         df = base
         for col, step in OFFSETS[table].items():
             df = df.withColumn(col, F.col(col) + F.lit(k * step))
+        if perturb_text and table == "documents" and k > 0:
+            df = df.withColumn(
+                "text", F.regexp_replace("text", r"(\S+)", f"k{k}$1"))
         parts.append(df)
     u = parts[0]
     for p in parts[1:]:
@@ -73,7 +88,12 @@ def force(df) -> None:
 
 
 def main() -> None:
-    reps_list = [int(a) for a in sys.argv[1:]] or [1, 4, 16]
+    args = sys.argv[1:]
+    dedup_mode = "--dedup" in args
+    args = [a for a in args if a != "--dedup"]
+    reps_list = [int(a) for a in args] or [1, 4, 16]
+    query_set = DEDUP_QUERY_SET if dedup_mode else QUERY_SET
+    tables = ["documents"] if dedup_mode else list(OFFSETS)
     spark = get_spark("scaling-curve")
     _ensure_loaded()
     # warm the Python worker pools once so 1x doesn't eat the fork cost
@@ -82,10 +102,10 @@ def main() -> None:
     for reps in reps_list:
         td = tempfile.mkdtemp(prefix=f"kfps_curve_{reps}x_")
         try:
-            for t in OFFSETS:
-                replicate(spark, t, reps, td)
+            for t in tables:
+                replicate(spark, t, reps, td, perturb_text=dedup_mode)
             times = {}
-            for name in QUERY_SET:
+            for name in query_set:
                 best = float("inf")
                 for _ in range(2):
                     t0 = time.time()
