@@ -703,6 +703,90 @@ def decode_gif(b: bytes) -> dict:
             "peak_level": float(levels.max()) / 255.0}
 
 
+WAV_DC = 80  # text-derived synthetic audio: sample = (ascii - WAV_DC) * 256
+
+
+def with_wav_payload(docs: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas stage synthesizing a REAL 16-bit PCM WAV per doc: each
+    ascii code becomes one mono sample (ascii - 80) * 256, so spaces (32)
+    swing negative and letters (97+) positive — a sign-rich waveform
+    whose zero crossings are a pure function of the text. Same
+    text-derived-oracle scheme as the PNG/GIF payload stages."""
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            payloads = []
+            for t in pdf[text_col]:
+                data = ("" if t is None else t).encode("utf-8")
+                codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                samples = ((codes - WAV_DC) * 256).astype(np.int16)
+                payloads.append(encode_wav(samples))
+            yield pd.DataFrame({"doc_id": pdf[id_col],
+                                "payload": payloads})
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(docs.sparkSession)
+    return docs.mapInPandas(batches, "doc_id long, payload binary")
+
+
+def audio_zcr_features(df: DataFrame, payload_col: str = "payload",
+                       id_col: str = "doc_id") -> DataFrame:
+    """mapInPandas REAL-audio feature extraction: parse each 16-bit PCM
+    WAV (RIFF chunk walk, same validation as decode_wav) and reduce the
+    raw integer samples to the classic cheap audio features — length,
+    zero-crossing count (strict sign change, a zero sample breaks no
+    crossing), absolute peak, and the integer energy sum. All-integer
+    outputs so the driver hash is exact; undecodable payloads emit -1
+    counts into the audit bucket instead of killing the job."""
+    import struct
+
+    import numpy as np
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                b = b"" if p is None else bytes(p)
+                try:
+                    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+                        raise ValueError("not a WAV payload")
+                    pos, fmt, data, data_sz = 12, None, None, 0
+                    while pos + 8 <= len(b):
+                        cid = b[pos:pos + 4]
+                        sz = struct.unpack_from("<I", b, pos + 4)[0]
+                        if cid == b"fmt ":
+                            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
+                        elif cid == b"data":
+                            data, data_sz = b[pos + 8:pos + 8 + sz], sz
+                        pos += 8 + sz + (sz % 2)
+                    if fmt is None or data is None:
+                        raise ValueError("WAV missing fmt/data chunk")
+                    audio_fmt, ch, _rate, _br, _ba, bits = fmt
+                    if audio_fmt != 1 or bits != 16 or ch != 1:
+                        raise ValueError("mono 16-bit PCM only here")
+                    if len(data) != data_sz or len(data) % 2 != 0:
+                        raise ValueError("WAV data truncated/misaligned")
+                    s = np.frombuffer(data, dtype="<i2").astype(np.int64)
+                    n = len(s)
+                    zc = int(np.sum(s[:-1] * s[1:] < 0)) if n > 1 else 0
+                    peak = int(np.abs(s).max()) if n else 0
+                    sumsq = int((s * s).sum())
+                    rows.append((doc_id, n, zc, peak, sumsq))
+                except (ValueError, struct.error):
+                    rows.append((doc_id, -1, -1, -1, -1))
+            yield pd.DataFrame(rows, columns=[
+                "doc_id", "n_samples", "zero_crossings", "abs_peak",
+                "sumsq"])
+
+    from kafka_flink_processing_spark.shipping import ensure_shipped
+    ensure_shipped(df.sparkSession)
+    return df.mapInPandas(batches, "doc_id long, n_samples long, "
+                                   "zero_crossings long, abs_peak long, "
+                                   "sumsq long")
+
+
 def with_gif_payload(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """mapInPandas stage synthesizing a REAL LZW-compressed GIF per doc:

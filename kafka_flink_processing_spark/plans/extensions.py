@@ -2680,3 +2680,104 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docs = with_gif_payload(load_table(spark, "documents", sf_dir))
     return decode_media(docs)
+
+
+@register(
+    "audio_zcr_features",
+    # The WAV samples are a pure function of the text ((ascii - 80) * 256
+    # mono int16), so the oracle recomputes the DECODED features from the
+    # text directly — hash equality certifies the RIFF encode -> chunk
+    # walk -> sample-decode path end to end, all-integer outputs.
+    oracle="""
+    WITH b AS (
+      SELECT doc_id,
+             list_transform(string_split(text, ''),
+                            c -> (CAST(ascii(c) AS BIGINT) - 80) * 256) AS s
+      FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(s) AS BIGINT) AS n_samples,
+           CAST(COALESCE(len(list_filter(
+             [s[i] * s[i+1] FOR i IN range(1, len(s))],
+             x -> x < 0)), 0) AS BIGINT) AS zero_crossings,
+           CAST(COALESCE(list_max(list_transform(s, x -> abs(x))), 0)
+             AS BIGINT) AS abs_peak,
+           CAST(COALESCE(list_sum(list_transform(s, x -> x * x)), 0)
+             AS BIGINT) AS sumsq
+    FROM b
+    """,
+    doc="REAL-audio feature extraction over the WAV codec path: each "
+        "doc's text becomes a sign-rich 16-bit PCM mono waveform "
+        "(functions/multimodal.py::with_wav_payload), then "
+        "audio_zcr_features walks the RIFF chunks and reduces the raw "
+        "integer samples to length / zero-crossing count / |peak| / "
+        "energy sum — the classic cheap audio-screening features a "
+        "speech-corpus pipeline filters on (silence and clipping "
+        "detection) before paying for a real acoustic model. All-integer "
+        "outputs, so the oracle is exact, and a single byte wrong in the "
+        "encode/parse path is a driver hash mismatch. Scale: "
+        "embarrassingly parallel Arrow mapInPandas x2, no shuffle; "
+        "malformed payloads emit -1 rows into the audit bucket.",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
+)
+def audio_zcr_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.multimodal import (
+        audio_zcr_features,
+        with_wav_payload,
+    )
+    docs = with_wav_payload(load_table(spark, "documents", sf_dir))
+    return audio_zcr_features(docs)
+
+
+_FH_BUCKETS = 1024
+
+
+@register(
+    "feature_hashing",
+    oracle=f"""
+    WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+               FROM documents),
+    h AS (SELECT doc_id,
+                 {_H60.format(x="'fh:' || w")} % {_FH_BUCKETS} AS bucket,
+                 1 - 2 * ({_H60.format(x="'fhs:' || w")} % 2) AS sign
+          FROM t),
+    v AS (SELECT doc_id, bucket, SUM(sign) AS val
+          FROM h GROUP BY doc_id, bucket)
+    SELECT doc_id,
+           CAST(COUNT(*) FILTER (WHERE val <> 0) AS BIGINT) AS nnz,
+           CAST(SUM(ABS(val)) AS BIGINT) AS l1,
+           CAST(SUM(val * val) AS BIGINT) AS sumsq
+    FROM v GROUP BY doc_id
+    """,
+    doc="Hashing-trick featurization (Weinberger et al. 2009): every "
+        "token maps to one of 1024 buckets via the cross-engine-exact "
+        "md5-derived 60-bit hash, with a +/-1 sign from an independent "
+        "hash bit so collisions cancel in expectation — the fixed-width, "
+        "vocabulary-free bag-of-words representation a downstream "
+        "trainer consumes without a dictionary build or a second corpus "
+        "pass. Emits the per-doc sparse-vector invariants (nnz, L1, "
+        "sum of squares — all integers, exactly hash-checkable) rather "
+        "than 1024-wide rows. Scale: explode -> two doc-keyed map-side "
+        "combined aggregations; no vocabulary state, no broadcast, "
+        "width fixed at any corpus size — the entire point of the "
+        "hashing trick.",
+    bench=True,  # joined the headline r8: first-round floor rule (BASELINE.md)
+)
+def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    t = docs.select("doc_id",
+                    F.explode(F.split(F.col("text"), " ")).alias("w"))
+    h = t.select(
+        "doc_id",
+        F.pmod(md5_hash60(F.concat(F.lit("fh:"), F.col("w"))),
+               F.lit(_FH_BUCKETS)).alias("bucket"),
+        (F.lit(1) - 2 * F.pmod(md5_hash60(F.concat(F.lit("fhs:"),
+                                                   F.col("w"))),
+                               F.lit(2))).alias("sign"))
+    v = h.groupBy("doc_id", "bucket").agg(F.sum("sign").alias("val"))
+    return (v.groupBy("doc_id")
+            .agg(F.count(F.when(F.col("val") != 0, 1)).alias("nnz"),
+                 F.sum(F.abs(F.col("val"))).alias("l1"),
+                 F.sum(F.col("val") * F.col("val")).alias("sumsq")))

@@ -357,3 +357,58 @@ if HAVE_HYP:
         assert d["mean_level"] == pytest.approx(px.mean() / 255.0,
                                                 abs=1e-12)
         assert d["peak_level"] == px.max() / 255.0
+
+
+# ---------------------------------------------------------------------------
+# WAV zero-crossing feature path (r8)
+# ---------------------------------------------------------------------------
+
+def test_audio_zcr_features_match_numpy_reference(spark):
+    from kafka_flink_processing_spark.functions.multimodal import (
+        audio_zcr_features,
+        encode_wav,
+    )
+    rng = np.random.default_rng(5)
+    payloads = []
+    want = []
+    for i, n in enumerate([0, 1, 2, 64, 500]):
+        s = rng.integers(-12288, 12288, n).astype(np.int16)
+        payloads.append((i, bytearray(encode_wav(s))))
+        s64 = s.astype(np.int64)
+        want.append((i, n,
+                     int(np.sum(s64[:-1] * s64[1:] < 0)) if n > 1 else 0,
+                     int(np.abs(s64).max()) if n else 0,
+                     int((s64 * s64).sum())))
+    df = spark.createDataFrame(payloads, "doc_id long, payload binary")
+    got = sorted(tuple(r) for r in audio_zcr_features(df).collect())
+    assert got == sorted(want)
+
+
+def test_audio_zcr_corrupt_payloads_route_to_audit_bucket(spark):
+    from kafka_flink_processing_spark.functions.multimodal import (
+        audio_zcr_features,
+        encode_wav,
+    )
+    good = encode_wav(np.array([100, -100, 50], dtype=np.int16))
+    stereo = encode_wav(np.array([[1, 2], [3, 4]], dtype=np.int16))
+    rows = [(0, bytearray(good[:10])),       # truncated header
+            (1, bytearray(good[:-1])),       # truncated data chunk
+            (2, bytearray(b"junk")),         # not RIFF
+            (3, None),                       # NULL payload
+            (4, bytearray(stereo))]          # stereo: mono-only path
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: r.n_samples for r in audio_zcr_features(df).collect()}
+    assert got == {0: -1, 1: -1, 2: -1, 3: -1, 4: -1}
+
+
+def test_audio_zcr_zero_sample_breaks_no_crossing(spark):
+    from kafka_flink_processing_spark.functions.multimodal import (
+        audio_zcr_features,
+        encode_wav,
+    )
+    # +,0,- is NOT a strict sign change at either product; +,- is one
+    s = np.array([500, 0, -500, 500], dtype=np.int16)
+    df = spark.createDataFrame([(0, bytearray(encode_wav(s)))],
+                               "doc_id long, payload binary")
+    row = audio_zcr_features(df).collect()[0]
+    assert row.zero_crossings == 1  # only the -500 -> 500 flip
