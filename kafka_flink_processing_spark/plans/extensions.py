@@ -2781,3 +2781,37 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
             .agg(F.count(F.when(F.col("val") != 0, 1)).alias("nnz"),
                  F.sum(F.abs(F.col("val"))).alias("l1"),
                  F.sum(F.col("val") * F.col("val")).alias("sumsq")))
+
+
+from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
+    N_MERGES as _BPE_K,
+    bpe_oracle_sql,
+)
+
+
+@register(
+    "bpe_vocab_merges",
+    oracle=bpe_oracle_sql(_BPE_K),
+    doc="Distributed BPE vocabulary induction (Sennrich et al. 2016), "
+        "ORACLE-GATED end to end — the tokenizer-training step of an LLM "
+        "data pipeline, previously assumed iterative-therefore-rows-only "
+        "(the r6 'not SQL-expressible claims deserve re-examination' "
+        "lesson applied again): symbol sequences live as delimiter-"
+        "wrapped strings, so applying a merge is a plain string replace, "
+        "which is left-to-right non-overlapping in BOTH engines — "
+        "exactly BPE's greedy order — and the oracle generates one "
+        "(argmax, apply) CTE stage per merge from the same constants. "
+        "Trains on the word-FREQUENCY table (the only corpus-sized op is "
+        "one groupBy(word); Zipf makes the vocab relation tiny), then "
+        f"each of the {_BPE_K} iterations is a map-side-combined pair "
+        "count over the cached vocab plus a 1-row argmax collect (the "
+        "k-means O(K)-scalars driver pattern) and a pure-JVM replace — "
+        "no Python row processing anywhere. Differential-tested against "
+        "an independent pure-Python BPE (tests/test_bpe.py).",
+    bench=True,  # joined the headline r8: first-round floor rule; cost is
+                 # 10 sequential argmax jobs over the cached vocab relation
+)
+def bpe_vocab_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.bpe import bpe_vocab_merges
+
+    return bpe_vocab_merges(load_table(spark, "documents", sf_dir))
