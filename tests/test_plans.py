@@ -333,3 +333,53 @@ def test_q21_aggregated_not_self_joined(spark):
     assert "TakeOrderedAndProject" in plan
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_variance_ratio_single_hub_exchange(spark):
+    # both LAG horizons share ONE hub-keyed window sort; the moment
+    # aggregate map-side combines on the same key — no second exchange
+    # family, no global sort
+    plan = plan_of(spark, "variance_ratio")
+    assert plan.count("Exchange hashpartitioning") <= 2  # window + final agg
+    assert "Exchange rangepartitioning" not in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_amihud_lag_partitions_by_hub_and_day(spark):
+    # the LAG must partition by (hub, day) so no hub serializes more
+    # than one day of tape — the window exchange key carries both
+    plan = plan_of(spark, "amihud_illiquidity")
+    assert "Exchange rangepartitioning" not in plan
+    w = plan[plan.index("Window"):]
+    assert "hub" in w[:400] and "day" in w[:400]
+
+
+def test_curriculum_stages_broadcasts_stage_map_no_global_sort(spark):
+    # the quantile staging must NOT be a global NTILE (single-partition
+    # sort of the corpus); the tiny histogram-CDF stage map broadcast-
+    # joins back onto the docs
+    plan = plan_of(spark, "curriculum_stages")
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "Exchange rangepartitioning" not in plan
+
+
+def test_codec_queries_are_shuffle_free(spark):
+    # encode + decode are two Arrow mapInPandas stages over the scan:
+    # bytes never shuffle ON A KEY (the one RoundRobin repartition is
+    # load_table's deliberate scan-parallelism spread, which the codec
+    # work wants), nothing aggregates
+    for name in ("multimodal_gif_decode", "audio_zcr_features"):
+        plan = plan_of(spark, name)
+        assert plan.count("MapInPandas") == 2, name
+        assert "Exchange hashpartitioning" not in plan, name
+        assert "Exchange rangepartitioning" not in plan, name
+
+
+def test_feature_hashing_two_dockeyed_mapside_aggs(spark):
+    # explode -> partial agg on (doc, bucket) -> final per-doc agg; both
+    # aggregations map-side combine, no joins, no broadcast state
+    plan = plan_of(spark, "feature_hashing")
+    assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "HashAggregate" in plan
