@@ -249,12 +249,14 @@ def encode_wav(samples, sample_rate: int = 8000) -> bytes:
     return out
 
 
-def decode_wav(b: bytes) -> dict:
-    """Parse a 16-bit PCM WAV: walk RIFF chunks to fmt/data, then bulk
-    numpy sample stats (RMS mean_level, |peak| — both in [0, 1])."""
+def _wav_chunks(b: bytes) -> tuple[tuple, bytes, int]:
+    """Shared RIFF chunk walk for every WAV consumer (decode_wav,
+    audio_zcr_features — one parser so hardening fixes can't silently
+    miss a copy, r8 review): returns (fmt_tuple, data_bytes,
+    declared_data_size), raising ValueError on structural corruption.
+    Semantic validation (PCM-ness, channel counts, alignment) stays with
+    each caller."""
     import struct
-
-    import numpy as np
 
     if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
         raise ValueError("not a WAV payload")
@@ -268,6 +270,15 @@ def decode_wav(b: bytes) -> dict:
         pos += 8 + sz + (sz % 2)
     if fmt is None or data is None:
         raise ValueError("WAV missing fmt/data chunk")
+    return fmt, data, data_sz
+
+
+def decode_wav(b: bytes) -> dict:
+    """Parse a 16-bit PCM WAV: walk RIFF chunks to fmt/data, then bulk
+    numpy sample stats (RMS mean_level, |peak| — both in [0, 1])."""
+    import numpy as np
+
+    fmt, data, data_sz = _wav_chunks(b)
     audio_fmt, ch, rate, _br, _ba, bits = fmt
     if audio_fmt != 1 or bits != 16:
         raise NotImplementedError(f"WAV fmt={audio_fmt} bits={bits} needs a "
@@ -709,18 +720,24 @@ WAV_DC = 80  # text-derived synthetic audio: sample = (ascii - WAV_DC) * 256
 def with_wav_payload(docs: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """mapInPandas stage synthesizing a REAL 16-bit PCM WAV per doc: each
-    ascii code becomes one mono sample (ascii - 80) * 256, so spaces (32)
-    swing negative and letters (97+) positive — a sign-rich waveform
-    whose zero crossings are a pure function of the text. Same
-    text-derived-oracle scheme as the PNG/GIF payload stages."""
+    CHARACTER becomes one mono sample (codepoint % 128 - 80) * 256, so
+    spaces (32) swing negative and letters (97+) positive — a sign-rich
+    waveform whose zero crossings are a pure function of the text. Same
+    text-derived-oracle scheme as the PNG/GIF payload stages. Per-CHAR
+    codepoints (not UTF-8 bytes) with the % 128 fold keep the contract
+    int16-safe and oracle-matchable on non-ASCII text too (DuckDB's
+    ascii(c) is the codepoint; raw bytes would change the sample COUNT
+    on multibyte chars and (byte-80)*256 overflows int16 at 208+ —
+    r8 review)."""
     import numpy as np
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             payloads = []
             for t in pdf[text_col]:
-                data = ("" if t is None else t).encode("utf-8")
-                codes = np.frombuffer(data, dtype=np.uint8).astype(np.int32)
+                s = "" if t is None else t
+                codes = np.fromiter((ord(c) % 128 for c in s),
+                                    dtype=np.int32, count=len(s))
                 samples = ((codes - WAV_DC) * 256).astype(np.int16)
                 payloads.append(encode_wav(samples))
             yield pd.DataFrame({"doc_id": pdf[id_col],
@@ -750,19 +767,7 @@ def audio_zcr_features(df: DataFrame, payload_col: str = "payload",
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
                 b = b"" if p is None else bytes(p)
                 try:
-                    if len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
-                        raise ValueError("not a WAV payload")
-                    pos, fmt, data, data_sz = 12, None, None, 0
-                    while pos + 8 <= len(b):
-                        cid = b[pos:pos + 4]
-                        sz = struct.unpack_from("<I", b, pos + 4)[0]
-                        if cid == b"fmt ":
-                            fmt = struct.unpack_from("<HHIIHH", b, pos + 8)
-                        elif cid == b"data":
-                            data, data_sz = b[pos + 8:pos + 8 + sz], sz
-                        pos += 8 + sz + (sz % 2)
-                    if fmt is None or data is None:
-                        raise ValueError("WAV missing fmt/data chunk")
+                    fmt, data, data_sz = _wav_chunks(b)
                     audio_fmt, ch, _rate, _br, _ba, bits = fmt
                     if audio_fmt != 1 or bits != 16 or ch != 1:
                         raise ValueError("mono 16-bit PCM only here")

@@ -48,8 +48,12 @@ def bpe_vocab_merges(docs: DataFrame, n_merges: int = N_MERGES,
                  F.lit(D)).alias("seq"))
     # the vocabulary relation is tiny (Zipf); cache it so the n_merges
     # argmax actions do not rescan the corpus (production: persist the
-    # word-freq table once, train from it)
-    seqs = seqs.persist()
+    # word-freq table once, train from it). Keep the persisted HANDLE
+    # separate: `seqs` is rebound every iteration, and unpersisting the
+    # final derived frame would leave the original cache entry alive for
+    # the session (the r8 review's persist-leak finding).
+    cached = seqs.persist()
+    seqs = cached
     try:
         merges = []
         for rank in range(1, n_merges + 1):
@@ -75,7 +79,7 @@ def bpe_vocab_merges(docs: DataFrame, n_merges: int = N_MERGES,
                 F.lit(D + best.lsym + DD + best.rsym + D),
                 F.lit(D + best.lsym + best.rsym + D)))
     finally:
-        seqs.unpersist()
+        cached.unpersist()
     return spark.createDataFrame(
         merges, "merge_rank long, lsym string, rsym string, "
                 "merged string, freq long")

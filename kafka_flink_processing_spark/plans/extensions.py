@@ -2688,11 +2688,18 @@ def multimodal_gif_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     # mono int16), so the oracle recomputes the DECODED features from the
     # text directly — hash equality certifies the RIFF encode -> chunk
     # walk -> sample-decode path end to end, all-integer outputs.
+    # NULL/empty text must match Spark's zero-sample WAV exactly:
+    # string_split('', '') is [''] in DuckDB (ascii('') = 0 would then
+    # fabricate one phantom sample), so the empty case is forced to []
+    # explicitly. ascii(c) % 128 mirrors the Spark side's per-char
+    # codepoint fold (int16-safe on non-ASCII text).
     oracle="""
     WITH b AS (
       SELECT doc_id,
-             list_transform(string_split(text, ''),
-                            c -> (CAST(ascii(c) AS BIGINT) - 80) * 256) AS s
+             CASE WHEN COALESCE(text, '') = '' THEN CAST([] AS BIGINT[])
+                  ELSE list_transform(string_split(text, ''),
+                         c -> (CAST(ascii(c) AS BIGINT) % 128 - 80) * 256)
+             END AS s
       FROM documents
     )
     SELECT doc_id,

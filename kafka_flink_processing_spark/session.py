@@ -70,8 +70,17 @@ def ensure_tws_ready(spark: SparkSession) -> bool:
     env-gate, like the Kafka tests)."""
     if not ensure_protobuf_for_tws():
         return False
-    wrapper = os.environ.get("PYSPARK_PYTHON", "")
-    if wrapper.endswith("python_with_pb") and os.access(wrapper, os.X_OK):
+    # Route through the wrapper even when a protobuf WHEEL made
+    # ensure_protobuf_for_tws return True without wiring it (r8 review):
+    # the repo-root PYTHONPATH shipping is needed regardless of how
+    # protobuf is satisfied, or the tws driver worker cannot unpickle
+    # the processor outside the repo cwd. The wrapper execs
+    # $KFPS_REAL_PYTHON (recorded here when the env var can still reach
+    # workers, i.e. pre-JVM) or `python` from PATH — on a wheel box any
+    # interpreter on PATH sees the same site-packages.
+    wrapper = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "vendor_pb", "python_with_pb")
+    if os.access(wrapper, os.X_OK):
         sc = spark.sparkContext
         if getattr(sc, "pythonExec", None) != wrapper:
             sc.pythonExec = wrapper

@@ -412,3 +412,34 @@ def test_audio_zcr_zero_sample_breaks_no_crossing(spark):
                                "doc_id long, payload binary")
     row = audio_zcr_features(df).collect()[0]
     assert row.zero_crossings == 1  # only the -500 -> 500 flip
+
+
+def test_audio_zcr_empty_and_null_text_parity(spark, tmp_path):
+    """The r8 review's latent-divergence finding: '' and NULL text must
+    produce the same (0, 0, 0, 0) feature row through the REAL WAV
+    round-trip (Spark) and the text-derived oracle (DuckDB)."""
+    import duckdb
+
+    from kafka_flink_processing_spark.functions.multimodal import (
+        audio_zcr_features,
+        with_wav_payload,
+    )
+    from kafka_flink_processing_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "ab"), (3, "z a")],
+        "doc_id long, text string")
+    got = sorted(tuple(r) for r in
+                 audio_zcr_features(with_wav_payload(docs)).collect())
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    _ensure_loaded()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    want = sorted(tuple(r) for r in con.execute(
+        QUERIES["audio_zcr_features"].oracle).fetchall())
+    assert got == want
+    assert got[0] == (0, 0, 0, 0, 0) and got[1] == (1, 0, 0, 0, 0)
