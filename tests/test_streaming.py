@@ -387,3 +387,88 @@ def test_decontamination_job_matches_batch_operator(spark):
         inc_ids = {r.doc_id for r in increment.select("doc_id").collect()}
         acc_ids = {r.doc_id for r in accepted.select("doc_id").collect()}
         assert acc_ids == inc_ids - flagged
+
+
+def test_checkpoint_restart_carries_sma_state_no_duplicates(spark, market,
+                                                            tmp_path):
+    """K2 exactly-once evidence, restart edition: drain batch 1 with a
+    file sink + checkpoint, STOP, land more source files, start a FRESH
+    query from the SAME checkpoint — the ring-buffer state must resume
+    (not restart cold) and batch-1 rows must not re-emit. The combined
+    sink output equals the batch plan over the full input exactly."""
+    _, prices = market
+    one_hub = prices.filter(F.col("hub") == "HUB0") \
+                    .withColumn("seq", F.lit(0).cast("long"))
+    o = F.col("ts").cast("double")
+    cut = one_hub.select(o.alias("o")).approxQuantile("o", [0.5], 0.0)[0]
+    src, out, ckpt = f"{tmp_path}/src", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    one_hub.filter(o <= cut).coalesce(1).write.parquet(f"{src}/f0")
+
+    def run_once():
+        stream = (spark.readStream.schema(one_hub.schema)
+                  .parquet(f"{src}/f*"))
+        q = (streaming_sma_forecast(stream, seq_col="seq")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()                                     # batch 1
+    n_first = spark.read.parquet(out).count()
+    one_hub.filter(o > cut).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()                                     # restart from checkpoint
+    got = spark.read.parquet(out).select("ts", "hub", "sma5", "sma20")
+    want = (rolling_sma_forecast(one_hub, ["hub"], ["ts", "seq"],
+                                 "price_mwh")
+            .select("ts", "hub", "sma5", "sma20"))
+    assert 0 < n_first < want.count()              # both runs contributed
+    assert got.count() == want.count()             # no dup re-emission
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_checkpoint_restart_carries_tws_rocksdb_state(spark, market,
+                                                      tmp_path,
+                                                      rocksdb_state):
+    """Same restart contract for the transformWithState port: the
+    RocksDB ValueState/MapState must restore from the checkpoint on a
+    fresh query, so the resumed fold continues the account book instead
+    of re-founding it — output equals the batch replay over the full
+    tape with no batch-1 duplicates."""
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws,
+    )
+    trades, prices = market
+    allts = (trades.select("ts").unionByName(prices.select("ts"))
+             .withColumn("o", F.col("ts").cast("double")))
+    cut = allts.approxQuantile("o", [0.5], 0.0)[0]
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def stage(df, base, part):
+        o = F.col("ts").cast("double")
+        flt = o <= cut if part == 0 else o > cut
+        df.filter(flt).coalesce(1).write.parquet(f"{base}/f{part}")
+
+    stage(trades, f"{tmp_path}/t", 0)
+    stage(prices, f"{tmp_path}/p", 0)
+
+    def run_once():
+        ts = spark.readStream.schema(trades.schema).parquet(
+            f"{tmp_path}/t/f*")
+        px = spark.readStream.schema(prices.schema).parquet(
+            f"{tmp_path}/p/f*")
+        q = (streaming_pnl_tws(ts, px)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()
+    n_first = spark.read.parquet(out).count()
+    stage(trades, f"{tmp_path}/t", 1)
+    stage(prices, f"{tmp_path}/p", 1)
+    run_once()
+    got = spark.read.parquet(out)
+    want = pnl_positions(trades, prices)
+    assert 0 < n_first < want.count()
+    assert got.count() == want.count()
+    assert _rowset(got.collect()) == _rowset(want.collect())
