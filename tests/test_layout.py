@@ -4,6 +4,7 @@ directories skipped, not row-filtered after reading."""
 
 from __future__ import annotations
 
+import numpy as np
 import pytest
 from pyspark.sql import functions as F
 
@@ -51,3 +52,73 @@ def test_partition_values_survive_roundtrip(spark, partitioned_events):
                  load_table(spark, "events", SF)
                  .select("event_type").distinct().collect()}
     assert types == src_types
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout (r8): multi-dimensional data skipping, measured
+# ---------------------------------------------------------------------------
+
+def _file_boxes(spark, path, cols):
+    """Per-output-file bounding box over cols (the min/max footprint
+    parquet stores as row-group statistics — what a reader prunes on)."""
+    files = sorted(spark.read.parquet(path).inputFiles())
+    boxes = []
+    for f in files:
+        r = spark.read.parquet(f).agg(
+            *[fn(c).alias(f"{fn.__name__}_{c}")
+              for c in cols for fn in (F.min, F.max)]).first()
+        boxes.append({c: (r[f"min_{c}"], r[f"max_{c}"]) for c in cols})
+    return boxes
+
+
+def _norm_area(boxes, spans):
+    return [
+        float(np.prod([(b[c][1] - b[c][0]) / spans[c] for c in b]))
+        for b in boxes
+    ]
+
+
+def test_zorder_layout_shrinks_file_footprints_and_prunes(spark, tmp_path):
+    from kafka_flink_processing_spark.sources.bucketed import write_zordered
+
+    ev = load_table(spark, "events", SF).select("user_id", "value", "ts")
+    cols = ["user_id", "value"]
+    stats = ev.agg(F.min("user_id"), F.max("user_id"),
+                   F.min("value"), F.max("value")).first()
+    spans = {"user_id": float(stats[1] - stats[0]) or 1.0,
+             "value": float(stats[3] - stats[2]) or 1.0}
+    n_files = 16
+
+    # baseline: same data, same file count, hash-scattered (the layout a
+    # plain shuffle write produces — every file spans ~the full domain)
+    base = f"{tmp_path}/plain"
+    ev.repartition(n_files).write.parquet(base)
+    zpath = f"{tmp_path}/zorder"
+    write_zordered(ev, zpath, cols, n_files=n_files)
+
+    # row fidelity first: layout must not lose or duplicate anything
+    assert spark.read.parquet(zpath).count() == ev.count()
+
+    plain_area = _norm_area(_file_boxes(spark, base, cols), spans)
+    z_area = _norm_area(_file_boxes(spark, zpath, cols), spans)
+    # every plain file spans nearly the whole (user_id, value) domain;
+    # the z-ordered files' average footprint must be a small fraction
+    assert np.mean(plain_area) > 0.5
+    assert np.mean(z_area) < 0.5 * np.mean(plain_area)
+
+    # the pruning consequence: a small box query intersects only a few
+    # z-ordered file footprints, but EVERY hash-scattered one
+    lo_u = stats[0] + 0.4 * spans["user_id"]
+    hi_u = stats[0] + 0.6 * spans["user_id"]
+    lo_v = stats[2] + 0.4 * spans["value"]
+    hi_v = stats[2] + 0.6 * spans["value"]
+
+    def hits(boxes):
+        return sum(1 for b in boxes
+                   if b["user_id"][0] <= hi_u and b["user_id"][1] >= lo_u
+                   and b["value"][0] <= hi_v and b["value"][1] >= lo_v)
+
+    plain_hits = hits(_file_boxes(spark, base, cols))
+    z_hits = hits(_file_boxes(spark, zpath, cols))
+    assert plain_hits == n_files          # no skipping possible
+    assert z_hits <= n_files // 2         # most files skippable
