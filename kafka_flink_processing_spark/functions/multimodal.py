@@ -470,12 +470,17 @@ def with_png_payload(docs: DataFrame, text_col: str = "text",
         for pdf in it:
             payloads = []
             for t in pdf[text_col]:
-                data = ("" if t is None else t).encode("utf-8")
-                n = len(data)
+                s = "" if t is None else t
+                n = len(s)
                 w = 16 + n % 32
                 h = n // w + 1
                 px = np.full(w * h, PNG_PAD, dtype=np.uint8)
-                px[:n] = np.frombuffer(data, dtype=np.uint8)
+                # per-CHAR codepoints % 256, NOT utf-8 bytes: the oracle
+                # computes from ascii(c) per character, so multibyte
+                # chars must contribute ONE pixel each (same latent
+                # divergence class as the r8 WAV finding)
+                px[:n] = np.fromiter((ord(c) % 256 for c in s),
+                                     dtype=np.uint8, count=n)
                 payloads.append(encode_png(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})
@@ -806,12 +811,14 @@ def with_gif_payload(docs: DataFrame, text_col: str = "text",
         for pdf in it:
             payloads = []
             for t in pdf[text_col]:
-                data = ("" if t is None else t).encode("utf-8")
-                n = len(data)
+                s = "" if t is None else t
+                n = len(s)
                 w = 8 + n % 24
                 h = n // w + 1
                 px = np.full(w * h, PNG_PAD, dtype=np.uint8)
-                px[:n] = np.frombuffer(data, dtype=np.uint8)
+                # per-CHAR codepoints % 256 — see with_png_payload
+                px[:n] = np.fromiter((ord(c) % 256 for c in s),
+                                     dtype=np.uint8, count=n)
                 payloads.append(encode_gif(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})

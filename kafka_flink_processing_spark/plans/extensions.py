@@ -1021,9 +1021,9 @@ def multimodal_decode_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     # float64 sums below 2^53 are order-independent.
     oracle="""
     WITH b AS (
-      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-             list_transform(string_split(text, ''),
-                            c -> CAST(ascii(c) AS BIGINT)) AS codes
+      SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS n,
+             list_transform(string_split(COALESCE(text, ''), ''),
+                            c -> CAST(ascii(c) AS BIGINT) % 256) AS codes
       FROM documents
     ), d AS (
       SELECT doc_id, n, codes,
@@ -2634,9 +2634,9 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the oracle touching a GIF byte.
     oracle="""
     WITH b AS (
-      SELECT doc_id, CAST(length(text) AS BIGINT) AS n,
-             list_transform(string_split(text, ''),
-                            c -> CAST(ascii(c) AS BIGINT)) AS codes
+      SELECT doc_id, CAST(length(COALESCE(text, '')) AS BIGINT) AS n,
+             list_transform(string_split(COALESCE(text, ''), ''),
+                            c -> CAST(ascii(c) AS BIGINT) % 256) AS codes
       FROM documents
     ), d AS (
       SELECT doc_id, n, codes,

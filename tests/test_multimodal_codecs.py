@@ -443,3 +443,38 @@ def test_audio_zcr_empty_and_null_text_parity(spark, tmp_path):
         QUERIES["audio_zcr_features"].oracle).fetchall())
     assert got == want
     assert got[0] == (0, 0, 0, 0, 0) and got[1] == (1, 0, 0, 0, 0)
+
+
+def test_png_gif_nonascii_and_empty_text_parity(spark, tmp_path):
+    """PNG/GIF payload stages must agree with their oracles on ANY text,
+    not just the ASCII corpus: per-CHAR codepoints folded % 256 (utf-8
+    BYTES would change the pixel count on multibyte chars — the same
+    latent class as the r8 WAV finding)."""
+    import duckdb
+
+    from kafka_flink_processing_spark.functions.multimodal import (
+        decode_media,
+        with_gif_payload,
+        with_png_payload,
+    )
+    from kafka_flink_processing_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    docs = spark.createDataFrame(
+        [(0, ""), (1, None), (2, "héllo wörld"), (3, "日本語テキスト"),
+         (4, "plain ascii"), (5, "mixed ascii + ünïcode")],
+        "doc_id long, text string")
+    docs.write.mode("overwrite").parquet(f"{tmp_path}/documents.parquet")
+    _ensure_loaded()
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS SELECT * FROM "
+                f"'{tmp_path}/documents.parquet/*.parquet'")
+    for name, stage in (("multimodal_png_decode", with_png_payload),
+                        ("multimodal_gif_decode", with_gif_payload)):
+        got = sorted(tuple(r) for r in decode_media(stage(docs)).collect())
+        want = sorted(tuple(r) for r in
+                      con.execute(QUERIES[name].oracle).fetchall())
+        assert got == want, name
+        assert all(r[1] in ("png", "gif") for r in got), name  # all decode
