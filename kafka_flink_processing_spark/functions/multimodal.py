@@ -66,12 +66,16 @@ def decode_features(df: DataFrame, payload_col: str = "payload",
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
-            feats = [_fake_features(bytes(p)) for p in pdf[payload_col]]
+            # NULL payload -> NULL features (the oracle's NULL
+            # propagation), never a worker crash (r8 fuzzer)
+            feats = [(None, None, None, None) if p is None
+                     else _fake_features(bytes(p)) for p in pdf[payload_col]]
             out = pd.DataFrame(feats, columns=["width", "height", "mean_byte",
                                                "entropy_bucket"])
             out.insert(0, "doc_id", pdf[id_col].to_numpy())
             out.insert(1, "mime", "application/octet-stream")
-            out.insert(2, "n_bytes", [len(bytes(p)) for p in pdf[payload_col]])
+            out.insert(2, "n_bytes", [None if p is None else len(bytes(p))
+                                      for p in pdf[payload_col]])
             yield out
 
     from kafka_flink_processing_spark.shipping import ensure_shipped
@@ -105,6 +109,10 @@ def resize_features(df: DataFrame, target_w: int = 64, target_h: int = 64,
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:        # oracle NULL propagation (r8 fuzzer)
+                    rows.append((doc_id, target_w, target_h, None, None,
+                                 None, None))
+                    continue
                 b = bytes(p)
                 src_w, src_h, _, _ = _fake_features(b)
                 scale = min(target_w / src_w, target_h / src_h)
@@ -146,6 +154,9 @@ def sample_frames(df: DataFrame, frame_size: int = FRAME_SIZE,
         for pdf in it:
             rows = []
             for doc_id, p in zip(pdf[id_col], pdf[payload_col]):
+                if p is None:        # oracle NULL propagation (r8 fuzzer)
+                    rows.append((doc_id, 0, 0, None, None))
+                    continue
                 b = bytes(p)
                 n_frames = max(1, (len(b) + frame_size - 1) // frame_size)
                 for i in range(0, n_frames, stride):

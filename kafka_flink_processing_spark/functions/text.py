@@ -65,6 +65,7 @@ def quality_score(text: Column) -> Column:
     """Rational-arithmetic quality heuristic in [0,1]: rewards word count up
     to 100, penalizes non-alpha density and very short words. No
     transcendentals (cross-engine exactness)."""
+    text = F.coalesce(text, F.lit(""))   # NULL text ≡ empty text (r8)
     nw = word_count(text)
     nc = F.length(text)
     alpha = F.length(F.regexp_replace(text, "[^a-z]", ""))
@@ -79,7 +80,7 @@ def fingerprint_poly(text: Column) -> Column:
     """Order-sensitive polynomial rolling hash of the full text (mod 1e9+7),
     folded char-by-char — the classic Rabin-Karp document fingerprint."""
     return F.aggregate(
-        F.split(text, ""),
+        F.split(F.coalesce(text, F.lit("")), ""),
         F.lit(0).cast("long"),
         lambda acc, c: (acc * 31 + F.ascii(c)) % 1_000_000_007)
 

@@ -38,7 +38,10 @@ from kafka_flink_processing_spark.functions.text import md5_hash60
 
 
 def normalize_text(col):
-    return F.trim(F.regexp_replace(F.lower(col), " +", " "))
+    # NULL text ≡ empty text, the corpus-wide convention (r8 fuzzer):
+    # every oracle twin coalesces identically
+    return F.trim(F.regexp_replace(F.lower(F.coalesce(col, F.lit(""))),
+                                   " +", " "))
 
 
 def _shingle_udf(n: int):
@@ -55,7 +58,9 @@ def _shingle_udf(n: int):
 
     @F.pandas_udf("array<string>")
     def f(s: pd.Series) -> pd.Series:
-        def grams(text: str) -> list[str]:
+        def grams(text: str | None) -> list[str]:
+            if text is None:     # NULL text ≡ empty text (no shingles)
+                return []
             ws = text.split(" ")
             if len(ws) < n:
                 return []

@@ -422,7 +422,7 @@ def source_overlap_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id,
-             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')))
                AS text_hash,
              {_QUALITY_SQL} AS quality
       FROM documents
@@ -586,7 +586,7 @@ def lang_confusion_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH h AS (
       SELECT source, doc_id,
-             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')))
                AS text_hash
       FROM documents
     ),

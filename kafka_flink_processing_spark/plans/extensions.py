@@ -60,7 +60,8 @@ from kafka_flink_processing_spark.sources.parquet import load_table
 
 _H60 = "CAST(CAST('0x' || substring(md5({x}), 1, 15) AS UBIGINT) AS BIGINT)"
 
-_WORDS = "SELECT doc_id, string_split(text, ' ') AS words FROM documents"
+_WORDS = ("SELECT doc_id, string_split(COALESCE(text, ''), ' ')"
+          " AS words FROM documents")
 
 _SHINGLES3 = f"""
   WITH t AS ({_WORDS}),
@@ -175,14 +176,14 @@ def _lang_case_sql(scores: dict[str, str]) -> str:
     SELECT doc_id, lang AS lang_label,
            {_lang_case_sql(_lang_scores_sql())} AS lang_pred,
            s_en, s_de, s_fr, s_es,
-           (CAST(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
-             * (length(regexp_replace(text, '[^a-z]', '', 'g'))
-                / GREATEST(length(text), 1))
-             * (CASE WHEN CAST(length(text) AS DOUBLE)
-                          / GREATEST(len(string_split(text, ' ')), 1) >= 3.0
+           (CAST(LEAST(CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
+             * (length(regexp_replace(COALESCE(text, ''), '[^a-z]', '', 'g'))
+                / GREATEST(length(COALESCE(text, '')), 1))
+             * (CASE WHEN CAST(length(COALESCE(text, '')) AS DOUBLE)
+                          / GREATEST(len(string_split(COALESCE(text, ''), ' ')), 1) >= 3.0
                      THEN 1.0
-                     ELSE (CAST(length(text) AS DOUBLE)
-                           / GREATEST(len(string_split(text, ' ')), 1)) / 3.0 END)
+                     ELSE (CAST(length(COALESCE(text, '')) AS DOUBLE)
+                           / GREATEST(len(string_split(COALESCE(text, ''), ' ')), 1)) / 3.0 END)
              AS quality
     FROM s
     """,
@@ -204,10 +205,10 @@ def lang_id_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     "doc_fingerprint",
     oracle=f"""
     SELECT doc_id,
-           md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS fp_md5,
+           md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g'))) AS fp_md5,
            list_reduce(
              list_prepend(CAST(0 AS BIGINT),
-               list_transform(string_split(text, ''),
+               list_transform(string_split(COALESCE(text, ''), ''),
                               c -> CAST(ascii(c) AS BIGINT))),
              (acc, c) -> (acc * 31 + c) % 1000000007) AS fp_poly
     FROM documents
@@ -231,7 +232,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_exact",
     oracle="""
-    SELECT md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+    SELECT md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g'))) AS text_hash,
            COUNT(*) AS n_docs,
            MIN(doc_id) AS canonical_id
     FROM documents GROUP BY 1
@@ -830,14 +831,14 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 _QUALITY_SQL = """
-    (CAST(LEAST(CAST(len(string_split(text, ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
-      * (length(regexp_replace(text, '[^a-z]', '', 'g'))
-         / GREATEST(length(text), 1))
-      * (CASE WHEN CAST(length(text) AS DOUBLE)
-                   / GREATEST(len(string_split(text, ' ')), 1) >= 3.0
+    (CAST(LEAST(CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT), 100) AS DOUBLE) / 100.0)
+      * (length(regexp_replace(COALESCE(text, ''), '[^a-z]', '', 'g'))
+         / GREATEST(length(COALESCE(text, '')), 1))
+      * (CASE WHEN CAST(length(COALESCE(text, '')) AS DOUBLE)
+                   / GREATEST(len(string_split(COALESCE(text, ''), ' ')), 1) >= 3.0
               THEN 1.0
-              ELSE (CAST(length(text) AS DOUBLE)
-                    / GREATEST(len(string_split(text, ' ')), 1)) / 3.0 END)
+              ELSE (CAST(length(COALESCE(text, '')) AS DOUBLE)
+                    / GREATEST(len(string_split(COALESCE(text, ''), ' ')), 1)) / 3.0 END)
 """
 
 
@@ -846,7 +847,7 @@ _QUALITY_SQL = """
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, lang, text,
-             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g'))) AS text_hash,
              CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
                AS n_tokens,
              {_QUALITY_SQL} AS quality
@@ -1084,10 +1085,12 @@ def multimodal_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT doc_id, CAST(64 AS INTEGER) AS target_w,
            CAST(64 AS INTEGER) AS target_h, src_w, src_h, scale,
-           md5(array_to_string(
-             list_transform(range(1, n + 1, step),
-                            p -> substring(text, CAST(p AS INTEGER), 1)),
-             '')) AS thumb_hash
+           CASE WHEN text IS NULL THEN NULL
+                ELSE md5(COALESCE(array_to_string(
+                  list_transform(range(1, n + 1, step),
+                                 p -> substring(text, CAST(p AS INTEGER), 1)),
+                  ''), ''))   -- array_to_string([]) is NULL, md5('') is not
+           END AS thumb_hash
     FROM k
     """,
     doc="binary payload -> thumbnail features via Arrow-batched mapInPandas "
@@ -1184,11 +1187,11 @@ def vocab_top_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
     "dedup_incremental",
     oracle="""
     WITH corpus AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+      SELECT doc_id, md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')))
                AS text_hash
       FROM documents WHERE doc_id % 10 <> 0
     ), batch AS (
-      SELECT doc_id, md5(trim(regexp_replace(lower(text), ' +', ' ', 'g')))
+      SELECT doc_id, md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g')))
                AS text_hash
       FROM documents WHERE doc_id % 10 = 0
     )
@@ -1603,7 +1606,8 @@ def crossmodal_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def repetition_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.dedup import _doc_shingles
     docs = load_table(spark, "documents", sf_dir)
-    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ex = docs.select("doc_id", F.explode(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"))
     pt = ex.groupBy("doc_id", "tok").agg(F.count("*").alias("c"))
     s = pt.groupBy("doc_id").agg(
         F.sum("c").cast("long").alias("n_tokens"),
@@ -1700,7 +1704,8 @@ def data_mix_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def token_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
-    ex = docs.select("doc_id", F.explode(F.split("text", " ")).alias("tok"))
+    ex = docs.select("doc_id", F.explode(
+        F.split(F.coalesce(F.col("text"), F.lit("")), " ")).alias("tok"))
     vocab = ex.groupBy("tok").agg(F.count("*").alias("freq"))
     return (ex.join(F.broadcast(vocab), "tok")
             .groupBy("doc_id")
@@ -2151,7 +2156,7 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH scored AS (
       SELECT doc_id, text,
-             md5(trim(regexp_replace(lower(text), ' +', ' ', 'g'))) AS text_hash,
+             md5(trim(regexp_replace(lower(COALESCE(text, '')), ' +', ' ', 'g'))) AS text_hash,
              CAST(len(regexp_extract_all(lower(text), '{TOKEN_REGEX}')) AS BIGINT)
                AS n_tokens,
              {_QUALITY_SQL} AS quality
@@ -2378,11 +2383,12 @@ _DRIFT_MIN_TOTAL = 50  # test only tokens with enough pooled mass for a
           FROM k, t)
     SELECT token, CAST(o_train AS BIGINT) AS o_train,
            CAST(o_holdout AS BIGINT) AS o_holdout,
-           ((o_train - e_train) * (o_train - e_train) / e_train)
-           + ((o_holdout - e_hold) * (o_holdout - e_hold) / e_hold)
-             AS chi2_contrib
+           CASE WHEN e_train > 0 AND e_hold > 0 THEN
+             ((o_train - e_train) * (o_train - e_train) / e_train)
+             + ((o_holdout - e_hold) * (o_holdout - e_hold) / e_hold)
+           ELSE NULL END AS chi2_contrib
     FROM x
-    ORDER BY chi2_contrib DESC, token
+    ORDER BY chi2_contrib DESC NULLS LAST, token
     LIMIT 50
     """,
     doc="train/holdout token-distribution drift: two-sample chi-squared "
@@ -2424,13 +2430,20 @@ def token_drift_chi2_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_tot = F.col("t_train") + F.col("t_hold")
     e_train = (pooled * F.col("t_train")) / n_tot
     e_hold = (pooled * F.col("t_hold")) / n_tot
-    chi2 = (((F.col("o_train") - e_train) * (F.col("o_train") - e_train)
-             / e_train)
-            + ((F.col("o_holdout") - e_hold) * (F.col("o_holdout") - e_hold)
-               / e_hold))
+    # degenerate-split guard (r8 fuzzer): a shard where one split side
+    # is EMPTY after the min-total filter makes an expected count 0 —
+    # chi2 is undefined there, and the engines disagree violently
+    # without the guard (ANSI Spark raises DIVIDE_BY_ZERO, DuckDB emits
+    # inf). NULL on both, ordered NULLS LAST on both.
+    chi2 = F.when(
+        (F.col("t_train") > 0) & (F.col("t_hold") > 0),
+        ((F.col("o_train") - e_train) * (F.col("o_train") - e_train)
+         / e_train)
+        + ((F.col("o_holdout") - e_hold) * (F.col("o_holdout") - e_hold)
+           / e_hold))
     return (x.select("token", "o_train", "o_holdout",
                      chi2.alias("chi2_contrib"))
-            .orderBy(F.desc("chi2_contrib"), "token")
+            .orderBy(F.desc_nulls_last("chi2_contrib"), "token")
             .limit(50))
 
 
@@ -2558,7 +2571,8 @@ def bigram_lift_top_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH tok AS (
       SELECT doc_id, source,
-             CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+             CAST(len(string_split(COALESCE(text, ''), ' ')) AS BIGINT)
+               AS n_tok
       FROM documents
     ),
     hist AS (SELECT n_tok, CAST(COUNT(*) AS BIGINT) AS cnt
@@ -2601,7 +2615,10 @@ def curriculum_stages(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
     tok = docs.select(
         "doc_id", "source",
-        F.size(F.split(F.col("text"), " ")).cast("long").alias("n_tok"))
+        # coalesce first: size(split(NULL)) is -1 in Spark vs NULL in
+        # DuckDB — found by tools/oracle_fuzz.py, not the fixed corpus
+        F.size(F.split(F.coalesce(F.col("text"), F.lit("")), " "))
+         .cast("long").alias("n_tok"))
     hist = tok.groupBy("n_tok").agg(F.count("*").alias("cnt"))
     w_cdf = (Window.orderBy("n_tok")
              .rowsBetween(Window.unboundedPreceding, -1))
