@@ -58,3 +58,36 @@ def dsum_sql(expr: str, scale: int = 2) -> str:
 
 def davg_sql(expr: str, scale: int = 2) -> str:
     return f"({dsum_sql(expr, scale)} / COUNT({expr}))"
+
+
+def dsum_wide(col: Column | str, scale: int = 2) -> Column:
+    """dsum for SQUARED/product moment terms, whose scaled per-row
+    magnitude can approach int64 on wide-domain inputs (dp² of
+    1e6-priced rows is 1e18 at scale 6 — one row near the bound, and a
+    sum over it raises ARITHMETIC_OVERFLOW under ANSI; found by the r8
+    events fuzzer): identical arithmetic on decimal(38,0), exact and
+    order-independent at ~2x the agg cost. The DuckDB oracle needs no
+    twin — its SUM(BIGINT) already widens to int128, which is exactly
+    the behavior this matches. Cross-engine exactness holds even past
+    2^53 because the per-row scaled value is the same IEEE double on
+    both engines before the exact integer cast."""
+    factor = 10 ** scale
+    scaled = F.sum(F.round(_as_col(col) * factor).cast("decimal(38,0)"))
+    return scaled.cast("double") / float(factor)
+
+
+def dsum_wide_sql(expr: str, scale: int = 2) -> str:
+    """The DuckDB rendering of dsum_wide. DuckDB's int128->double (and
+    decimal->double) conversion is NOT correctly rounded once the sum
+    passes 2^53 (measured: 23999999320000006632 converts to ...004e19
+    vs the correctly-rounded ...001e19 Spark's decimal cast produces —
+    r8 events fuzzer). Render a conversion that IS correctly rounded on
+    any IEEE engine: split |sum| as hi*2^32 + lo with both halves exact
+    in double (hi < 2^53 up to |sum| < 2^85), then one double add —
+    fl(hi*2^32 + lo) rounds the exact integer once, to nearest."""
+    factor = 10 ** scale
+    s = f"SUM(CAST(ROUND(({expr}) * {factor}) AS HUGEINT))"
+    hi = f"CAST(ABS({s}) // 4294967296 AS DOUBLE) * 4294967296.0"
+    lo = f"CAST(ABS({s}) % 4294967296 AS DOUBLE)"
+    sign = f"(CASE WHEN {s} < 0 THEN -1.0 ELSE 1.0 END)"
+    return f"({sign} * ({hi} + {lo}) / {float(factor)})"

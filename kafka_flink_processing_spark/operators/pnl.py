@@ -57,6 +57,11 @@ def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
     return pd.DataFrame(rows)
 
 
+def _tick_seq(prices: DataFrame):
+    return (F.col("tick_id") if "tick_id" in prices.columns
+            else F.lit(0)).cast("long")
+
+
 def pnl_positions(trades: DataFrame, prices: DataFrame,
                   snapshot_only: bool = False) -> DataFrame:
     """Replay trades+prices into positions_pnl rows (reference semantics).
@@ -76,7 +81,9 @@ def pnl_positions(trades: DataFrame, prices: DataFrame,
         F.lit(None).cast("string").alias("side"),
         F.lit(None).cast("long").alias("mw"),
         F.col("price_mwh"),
-        F.lit(0).cast("long").alias("trade_id"),
+        # tick_id is the same-ts tick tie-break (r8 events fuzzer);
+        # price sources without one degrade to the old ambiguity
+        _tick_seq(prices).alias("trade_id"),
         F.lit(PRICE).alias("kind"))
     unioned = t.unionByName(p)
     out = unioned.groupBy("hub").applyInPandas(_fold, PNL_OUT_SCHEMA)
@@ -151,7 +158,10 @@ def _carried_entry_price(grid: DataFrame, prices: DataFrame,
     grid: (hub, <day_col>) rows; prices: (ts, hub, price_mwh). Returns
     (hub, <day_col>, entry_px) with entry_px null before the first tick."""
     day_close = (prices.groupBy("hub", F.to_date("ts").alias(day_col))
-                 .agg(F.max_by("price_mwh", "ts").alias("day_close_px")))
+                 .agg(F.max_by("price_mwh",
+                               F.struct("ts", _tick_seq(prices)
+                                        .alias("__seq")))
+                      .alias("day_close_px")))
     w_ff = (Window.partitionBy("hub").orderBy(day_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     return (grid.join(day_close, ["hub", day_col], "left")
@@ -198,7 +208,7 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
         F.lit(None).cast("string").alias("side"),
         F.lit(None).cast("long").alias("mw"),
         F.col("price_mwh"),
-        F.lit(0).cast("long").alias("trade_id"),
+        _tick_seq(prices).alias("trade_id"),
         F.lit(PRICE).alias("kind"),
         day(F.col("ts")).alias("slice"))
     unioned = t.unionByName(p)
@@ -360,7 +370,7 @@ def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
         F.lit(None).cast("double").alias("tick_px"),
         F.lit(TRADE).alias("kind"), day)
     px_tagged = prices.select(
-        "ts", F.lit(0).cast("long").alias("trade_id"), "hub",
+        "ts", _tick_seq(prices).alias("trade_id"), "hub",
         F.lit(None).cast("string").alias("account"),
         F.lit(None).cast("long").alias("st_pos"),
         F.lit(None).cast("double").alias("st_avg"),

@@ -24,7 +24,12 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
+from kafka_flink_processing_spark.functions.exact import (
+    dsum,
+    dsum_sql,
+    dsum_wide,
+    dsum_wide_sql,
+)
 from kafka_flink_processing_spark.plans.registry import register
 from kafka_flink_processing_spark.sources.parquet import load_table
 
@@ -939,9 +944,9 @@ def vwap_execution_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM trades WINDOW w AS (PARTITION BY hub ORDER BY ts, trade_id)),
     m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
                  {dsum_sql('x', 0)} AS sx, {dsum_sql('y', 6)} AS sy,
-                 {dsum_sql('x * y', 6)} AS sxy,
-                 {dsum_sql('x * x', 0)} AS sxx,
-                 {dsum_sql('y * y', 6)} AS syy
+                 {dsum_wide_sql('x * y', 6)} AS sxy,
+                 {dsum_wide_sql('x * x', 0)} AS sxx,
+                 {dsum_wide_sql('y * y', 6)} AS syy
           FROM seq WHERE y IS NOT NULL GROUP BY 1)
     SELECT hub, n_obs,
            CASE WHEN n_obs >= 2 AND (n_obs * sxx - sx * sx) > 0.0
@@ -982,9 +987,9 @@ def kyle_lambda_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = seq.groupBy("hub").agg(
         F.count("*").alias("n_obs"),
         dsum("x", 0).alias("sx"), dsum("y", 6).alias("sy"),
-        dsum(F.col("x") * F.col("y"), 6).alias("sxy"),
-        dsum(F.col("x") * F.col("x"), 0).alias("sxx"),
-        dsum(F.col("y") * F.col("y"), 6).alias("syy"))
+        dsum_wide(F.col("x") * F.col("y"), 6).alias("sxy"),
+        dsum_wide(F.col("x") * F.col("x"), 0).alias("sxx"),
+        dsum_wide(F.col("y") * F.col("y"), 6).alias("syy"))
     n = F.col("n_obs")
     vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
     vy = n * F.col("syy") - F.col("sy") * F.col("sy")
@@ -1086,7 +1091,7 @@ def lead_lag_hub_beta_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
                  {dsum_sql('dp', 6)} AS sa,
                  {dsum_sql('dp_lag', 6)} AS sb,
-                 {dsum_sql('dp * dp_lag', 6)} AS sab
+                 {dsum_wide_sql('dp * dp_lag', 6)} AS sab
           FROM p WHERE dp IS NOT NULL AND dp_lag IS NOT NULL
           GROUP BY hub),
     c AS (SELECT hub, n_obs,
@@ -1126,7 +1131,7 @@ def roll_spread_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = p.groupBy("hub").agg(
         F.count("*").alias("n_obs"),
         dsum("dp", 6).alias("sa"), dsum("dp_lag", 6).alias("sb"),
-        dsum(F.col("dp") * F.col("dp_lag"), 6).alias("sab"))
+        dsum_wide(F.col("dp") * F.col("dp_lag"), 6).alias("sab"))
     n = F.col("n_obs")
     cov = F.when(n >= 2, (n * F.col("sab") - F.col("sa") * F.col("sb"))
                  / (n.cast("double") * n))
@@ -1149,9 +1154,9 @@ def roll_spread_q(spark: SparkSession, sf_dir: str) -> DataFrame:
           FROM ticks),
     m AS (SELECT hub, CAST(COUNT(*) AS BIGINT) AS n_obs,
                  {dsum_sql('dp', 6)} AS s1,
-                 {dsum_sql('dp * dp', 6)} AS s11,
+                 {dsum_wide_sql('dp * dp', 6)} AS s11,
                  {dsum_sql('dq', 6)} AS s4,
-                 {dsum_sql('dq * dq', 6)} AS s44
+                 {dsum_wide_sql('dq * dq', 6)} AS s44
           FROM d WHERE dp IS NOT NULL AND dq IS NOT NULL
           GROUP BY hub)
     SELECT hub, n_obs,
@@ -1194,9 +1199,9 @@ def variance_ratio_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = d.groupBy("hub").agg(
         F.count("*").alias("n_obs"),
         dsum("dp", 6).alias("s1"),
-        dsum(F.col("dp") * F.col("dp"), 6).alias("s11"),
+        dsum_wide(F.col("dp") * F.col("dp"), 6).alias("s11"),
         dsum("dq", 6).alias("s4"),
-        dsum(F.col("dq") * F.col("dq"), 6).alias("s44"))
+        dsum_wide(F.col("dq") * F.col("dq"), 6).alias("s44"))
     n = F.col("n_obs")
     nn = n.cast("double") * n
     v1 = (n * F.col("s11") - F.col("s1") * F.col("s1")) / nn

@@ -715,7 +715,9 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST(value, 100.0) AS lo,
            CAST(FLOOR(value) AS BIGINT) AS flr,
            CAST(CEILING(value) AS BIGINT) AS cl,
-           SQRT(value) AS sq,
+           CASE WHEN value >= 0 THEN SQRT(value)
+                ELSE CAST('NaN' AS DOUBLE) END AS sq,  -- Spark sqrt(<0)
+                -- is NaN; DuckDB RAISES (r8 events fuzzer, neg prices)
            CAST(SIGN(value - 100.0) AS DOUBLE) AS sgn,
            CAST(TRUNC(value) AS BIGINT) AS value_int,
            YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,

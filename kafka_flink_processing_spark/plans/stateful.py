@@ -53,7 +53,11 @@ def derive_market(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFram
                         F.col("value").alias("price_mwh")))
     prices = (ev.filter(F.col("event_type").isin(*_PRICE_TYPES))
                 .select("ts", hub.alias("hub"),
-                        F.col("value").alias("price_mwh")))
+                        F.col("value").alias("price_mwh"),
+                        # tick tie-break: two ticks can share (hub, ts);
+                        # without an id the fold's "last price" is
+                        # partition-order-dependent (r8 events fuzzer)
+                        F.col("event_id").alias("tick_id")))
     return trades, prices
 
 
@@ -210,14 +214,16 @@ st AS (
   FROM st s JOIN seq t
     ON t.hub = s.hub AND t.account = s.account AND t.rn = s.rn + 1),
 ticks AS (
-  SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub, value AS px
+  SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub, value AS px,
+         event_id AS tick_id
   FROM events WHERE event_type IN ('view','click')),
 tr_emit AS (
   SELECT t.ts, t.account, t.hub,
          s.pos AS position_mw, s.avg AS avg_price_mwh,
          COALESCE((SELECT p.px FROM ticks p
                    WHERE p.hub = t.hub AND p.ts < t.ts
-                   ORDER BY p.ts DESC LIMIT 1), t.px) AS last_price_mwh,
+                   ORDER BY p.ts DESC, p.tick_id DESC LIMIT 1), t.px)
+           AS last_price_mwh,
          s.realized AS realized_pnl
   FROM seq t JOIN st s
     ON s.hub = t.hub AND s.account = t.account AND s.rn = t.rn),
@@ -366,7 +372,8 @@ def pnl_exposure(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""{_PNL_REPLAY_SQL}
     SELECT {_PNL_COLS} FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY hub, account
-                 ORDER BY ts DESC, position_mw DESC) AS rnk FROM pnl)
+                 ORDER BY ts DESC, position_mw DESC, last_price_mwh DESC)
+               AS rnk FROM pnl)
     WHERE rnk = 1""",
     doc="latest PnL per (account, hub) — the reference's read-side DISTINCT "
         "ON over positions_pnl (README.md:92), snapshot-scale output; built "
@@ -377,8 +384,12 @@ def pnl_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.pnl import pnl_positions_hybrid
     from kafka_flink_processing_spark.operators.windows import latest_per_key
     trades, prices = derive_market(spark, sf_dir)
+    # last_price_mwh joins the tie-break: two same-ts ticks emit rows
+    # tying on (ts, position_mw) but differing in price (r8 events
+    # fuzzer); rows still tying after price are identical
     return latest_per_key(pnl_positions_hybrid(trades, prices),
-                          ["hub", "account"], ["ts", "position_mw"])
+                          ["hub", "account"],
+                          ["ts", "position_mw", "last_price_mwh"])
 
 
 # --- the SQL-expressible slice of the fold: running signed position.
@@ -520,7 +531,7 @@ def value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 _STREAM_SMA_ORACLE = f"""
     WITH prices AS (
       SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
-             value AS price_mwh
+             value AS price_mwh, event_id AS tick_id
       FROM events WHERE event_type IN ('view','click')
     )
     SELECT ts, hub, price_mwh,
@@ -528,7 +539,7 @@ _STREAM_SMA_ORACLE = f"""
            {{sma20}} AS sma20,
            {{sma5f}} AS forecast_next
     FROM prices
-    WINDOW w AS (PARTITION BY hub ORDER BY ts)
+    WINDOW w AS (PARTITION BY hub ORDER BY ts, tick_id)
 """.format(
     sma5=_lag_chain_avg(5).replace("value", "price_mwh"),
     sma20=_lag_chain_avg(20).replace("value", "price_mwh"),
@@ -552,8 +563,13 @@ def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     _, prices = derive_market(spark, sf_dir)
-    return drain_streaming_result(prices, streaming_sma_forecast, "sma") \
-        .select("ts", "hub", "price_mwh", "sma5", "sma20", "forecast_next")
+    # tick_id is the same-ts tie-break the ring-buffer fold needs — two
+    # ticks at one (hub, ts) made the SMA partition-order-dependent
+    # (r8 events fuzzer); the oracle window orders identically
+    return drain_streaming_result(
+        prices, lambda s: streaming_sma_forecast(s, seq_col="tick_id"),
+        "sma").select("ts", "hub", "price_mwh", "sma5", "sma20",
+                      "forecast_next")
 
 
 # --- winsorized statistics: rank-based exact percentile bounds + clipping
@@ -669,18 +685,21 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH prices AS (
       SELECT ts, 'HUB' || CAST(user_id % 4 AS VARCHAR) AS hub,
-             value AS price_mwh
+             value AS price_mwh, event_id AS tick_id
       FROM events WHERE event_type IN ('view','click')
     ), o AS (
-      SELECT hub, ts, price_mwh,
+      SELECT hub, ts, price_mwh, tick_id,
              CASE WHEN LAG(epoch_us(ts)) OVER w IS NULL
                        OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w
-                          >= 1800000000
+                          > 1800000000
                   THEN 1 ELSE 0 END AS is_new
-      FROM prices WINDOW w AS (PARTITION BY hub ORDER BY ts)
+      -- (ts, tick_id) total order: with same-ts ties an untied cumsum
+      -- can put a non-boundary tied row BEFORE its boundary twin and
+      -- stitch it onto the previous session (r8 events fuzzer)
+      FROM prices WINDOW w AS (PARTITION BY hub ORDER BY ts, tick_id)
     ), s AS (
       SELECT *, SUM(is_new) OVER (
-               PARTITION BY hub ORDER BY ts
+               PARTITION BY hub ORDER BY ts, tick_id
                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
       FROM o
     )
@@ -693,12 +712,16 @@ def streaming_enrich_static(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
     doc="30-min-gap session windows over the streaming price feed "
         "(F.session_window in a Structured Streaming aggregation, drained "
-        "availableNow in complete mode) hash-matched against the batch "
-        "islands formulation — proves the streaming session-merge operator "
-        "computes exactly the lag+cumsum sessionization, including the "
-        "half-open boundary (gap-exactly ticks split). State per open "
-        "session is one partial aggregate; a watermark bounds retained "
-        "sessions in production append mode.",
+        "availableNow in complete mode) hash-matched against the islands "
+        "formulation. Boundary semantics, measured not assumed (r8 events "
+        "fuzzer, gap-exactly ticks): session_window's boundary is CLOSED "
+        "— a tick at exactly start+gap MERGES — so the oracle splits "
+        "strictly at gap (diff > 30min), unlike the batch extension's "
+        "half-open with_session_id convention (>=); the two operators "
+        "differ only on measure-zero exact-gap ties and each is gated "
+        "against its own convention. State per open session is one "
+        "partial aggregate; a watermark bounds retained sessions in "
+        "production append mode.",
 )
 def streaming_session_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.streaming.sinks import (

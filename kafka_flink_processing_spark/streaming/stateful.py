@@ -150,11 +150,13 @@ def _tagged_union(trades: DataFrame, prices: DataFrame) -> DataFrame:
         "ts", "hub", "account", "side", F.col("mw").cast("long").alias("mw"),
         "price_mwh", F.col("trade_id").cast("long").alias("trade_id"),
         F.lit(TRADE).alias("kind"))
+    tick_seq = (F.col("tick_id") if "tick_id" in prices.columns
+                else F.lit(0)).cast("long")
     p = prices.select(
         "ts", "hub", F.lit(None).cast("string").alias("account"),
         F.lit(None).cast("string").alias("side"),
         F.lit(None).cast("long").alias("mw"), "price_mwh",
-        F.lit(0).cast("long").alias("trade_id"), F.lit(PRICE).alias("kind"))
+        tick_seq.alias("trade_id"), F.lit(PRICE).alias("kind"))
     return t.unionByName(p)
 
 

@@ -21,6 +21,14 @@ Corpora:
                hardened in r8); the byte-arithmetic stub family is
                explicitly ASCII-scoped in its registration docs.
 
+r8b extension — adversarial EVENTS corpora for the market/temporal/PnL
+family (the reference's core): tie-heavy timestamps (total-order
+tie-break stress), sparse corpora with entire event types absent (empty
+trades -> PnL over nothing; empty windows), constant-value runs (zero
+variance -> corr/beta/VR denominators), negative prices (real in power
+markets), and a 95%-one-hub skew. Same swap-one-table staging, same
+compare; streaming drains run their full availableNow cycle per corpus.
+
 Usage: python tools/oracle_fuzz.py [--seed N] [--corpus name ...]
                                    [query ...]
 Exit 1 on any mismatch. Each failure prints the oracle_check diff.
@@ -84,6 +92,100 @@ TOTAL_TEXT = [
 
 LANGS = ["en", "de", "fr", "es"]
 SOURCES = [f"src{i}" for i in range(4)]
+
+# events-derived queries (market / temporal / PnL / streaming drains)
+EVENT_QUERIES = [
+    "amihud_illiquidity", "asof_join_events", "bollinger_bands",
+    "da_rt_asof_basis", "da_rt_asof_tolerance", "da_rt_daily_corr",
+    "distinct_count_by", "event_hourly_anomaly",
+    "event_rate_mad_outliers", "event_transition_matrix", "ewma_price",
+    "exact_quantiles_value", "forecast_backtest_sma", "forecast_sma",
+    "funnel_time_to_convert", "hourly_load_profile",
+    "hub_price_corr_matrix", "hub_spread_hourly", "json_props_stats",
+    "kyle_lambda_price_impact", "last_value_carried_forward",
+    "latest_per_key", "lead_lag_hub_beta", "max_drawdown",
+    "median_value_by_type", "ohlc_bars", "pnl_exposure",
+    "pnl_positions_fold", "pnl_positions_hybrid", "pnl_snapshot",
+    "range_join_attribution", "realized_variance_daily",
+    "retention_cohorts", "roll_spread_estimator", "rolling_median_price",
+    "running_position", "scalar_battery", "scd2_price_intervals",
+    "session_funnel", "session_window_stats", "skew_salted_distinct",
+    "sliding_window_stats", "streaming_forecast_sma",
+    "streaming_ohlc_bars", "streaming_session_stats",
+    "streaming_slippage_join", "streaming_tumbling_stats",
+    "time_range_moving_avg", "time_rollup_multigrain", "topk_recent",
+    "trade_flow_net", "tumbling_window_stats", "variance_ratio",
+    "vwap_execution_quality", "vwap_hub_day", "window_ntile_battery",
+    "window_rank_lag", "winsorized_stats",
+]
+
+EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+
+def _event_rows(rows: list[tuple]) -> list[tuple]:
+    """rows: (event_id, ts_micros_offset, user_id, event_type, value).
+    props mirrors the real corpus shape ({'k': int})."""
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1)
+    return [(eid, base + dt.timedelta(microseconds=us), uid, et, val,
+             '{"k": %d}' % (eid % 100))
+            for eid, us, uid, et, val in rows]
+
+
+def events_ties(rng: random.Random) -> list[tuple]:
+    """Many events share IDENTICAL timestamps: every window/asof/fold
+    result depends on the documented (ts, id) total-order tie-break."""
+    rows = []
+    eid = 0
+    for day in range(3):
+        for slot in range(40):
+            us = (day * 24 * 3600 + slot * 600) * 1_000_000
+            for _ in range(rng.randint(1, 6)):   # 1-6 events, same ts
+                rows.append((eid, us, rng.randrange(8),
+                             rng.choice(EVENT_TYPES),
+                             round(rng.uniform(1, 300), 2)))
+                eid += 1
+    return _event_rows(rows)
+
+
+def events_sparse(rng: random.Random) -> list[tuple]:
+    """Entire event types absent (no purchase/signup -> EMPTY trades ->
+    PnL/VWAP over nothing), single user, a 1-event day."""
+    rows = [(0, 0, 0, "view", 100.0),
+            (1, 3600 * 1_000_000, 0, "view", 101.0),
+            (2, (49 * 3600) * 1_000_000, 0, "click", 99.5)]
+    return _event_rows(rows)
+
+
+def events_extreme(rng: random.Random) -> list[tuple]:
+    """Constant-value runs (zero variance -> corr/beta/VR/Roll
+    denominators), NEGATIVE prices (real in power markets), values at
+    the dsum-documented bounds."""
+    rows = []
+    eid = 0
+    for slot in range(120):
+        us = slot * 900 * 1_000_000
+        # hub 0 (user 0/4): constant price -> zero variance everywhere
+        rows.append((eid, us, 0, rng.choice(EVENT_TYPES), 50.0)); eid += 1
+        # hub 1: negative prices
+        rows.append((eid, us, 1, rng.choice(EVENT_TYPES),
+                     round(rng.uniform(-80, -1), 2))); eid += 1
+        # hub 2: extremes within the scaled-int64 budget
+        rows.append((eid, us, 2, rng.choice(EVENT_TYPES),
+                     rng.choice([0.0, 0.01, 999999.99]))); eid += 1
+    return _event_rows(rows)
+
+
+def events_skew(rng: random.Random) -> list[tuple]:
+    """95% of events on one hub — the hot-key shape."""
+    rows = []
+    for eid in range(400):
+        uid = 0 if rng.random() < 0.95 else rng.randrange(1, 8)
+        rows.append((eid, eid * 137 * 1_000_000, uid,
+                     rng.choice(EVENT_TYPES),
+                     round(rng.uniform(1, 300), 2)))
+    return _event_rows(rows)
 
 
 def _doc_rows(texts: list[str | None]) -> list[tuple]:
@@ -154,16 +256,27 @@ CORPORA = {
     "unicode": corpus_unicode,
 }
 
+EVENT_CORPORA = {
+    "events_ties": events_ties,
+    "events_sparse": events_sparse,
+    "events_extreme": events_extreme,
+    "events_skew": events_skew,
+}
+CORPORA.update(EVENT_CORPORA)
 
-def stage_sf_dir(spark, rows: list[tuple], workdir: str) -> str:
+
+def stage_sf_dir(spark, rows: list[tuple], workdir: str,
+                 table: str = "documents") -> str:
     sf = os.path.join(workdir, "sf_fuzz")
     os.makedirs(sf, exist_ok=True)
     for t in os.listdir(BASE_SF):
-        if t != "documents.parquet":
+        if t != f"{table}.parquet":
             os.symlink(os.path.join(BASE_SF, t), os.path.join(sf, t))
-    docs = spark.createDataFrame(
-        rows, "doc_id long, text string, lang string, source string, "
-              "n_chars long")
+    schema = ("doc_id long, text string, lang string, source string, "
+              "n_chars long") if table == "documents" else \
+             ("event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    docs = spark.createDataFrame(rows, schema)
     # the real testdata ships single parquet FILES, not directories —
     # match that layout so both engines read it the same way
     tmp_out = os.path.join(workdir, "docs_out")
@@ -171,7 +284,7 @@ def stage_sf_dir(spark, rows: list[tuple], workdir: str) -> str:
     part = next(f for f in os.listdir(tmp_out)
                 if f.startswith("part-") and f.endswith(".parquet"))
     shutil.move(os.path.join(tmp_out, part),
-                os.path.join(sf, "documents.parquet"))
+                os.path.join(sf, f"{table}.parquet"))
     return sf
 
 
@@ -189,11 +302,18 @@ def main() -> int:
     for cname in corpora:
         rng = random.Random(args.seed)
         rows = CORPORA[cname](rng)
-        names = args.queries or (TOTAL_TEXT if cname == "unicode"
-                                 else DOC_QUERIES)
+        table = "events" if cname in EVENT_CORPORA else "documents"
+        if args.queries:
+            names = args.queries
+        elif cname == "unicode":
+            names = TOTAL_TEXT
+        elif table == "events":
+            names = EVENT_QUERIES
+        else:
+            names = DOC_QUERIES
         work = tempfile.mkdtemp(prefix=f"kfps_fuzz_{cname}_")
         try:
-            sf = stage_sf_dir(spark, rows, work)
+            sf = stage_sf_dir(spark, rows, work, table=table)
             con = duck_connection(sf)
             for name in names:
                 if name not in oracles:
