@@ -545,6 +545,17 @@ def _lzw_encode_gif(data: bytes, min_code: int = 8) -> bytes:
         buf = bytes([byte])
     if buf:
         emit(table[buf], width)
+        # Mirror the decoder's post-final-code width bump: the decoder
+        # appends one table entry per data code read and widens once its
+        # table hits 2^width, so after the FINAL data code it reads EOI at
+        # width+1 bits whenever the encoder's table size (next_code) just
+        # reached 2^width. The in-loop bump above only fires when an entry
+        # is CREATED; the out-of-loop emit creates none, so without this
+        # the EOI width diverges exactly when the final-segment code count
+        # lands on 255/767/1791 with byte-aligned EOI (decoder then raises
+        # "GIF LZW stream truncated" on valid encoder output).
+        if next_code == (1 << width) and width < 12:
+            width += 1
     emit(eoi, width)
     if nbits:
         out.append(acc & 0xFF)

@@ -715,9 +715,11 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
            LEAST(value, 100.0) AS lo,
            CAST(FLOOR(value) AS BIGINT) AS flr,
            CAST(CEILING(value) AS BIGINT) AS cl,
-           CASE WHEN value >= 0 THEN SQRT(value)
-                ELSE CAST('NaN' AS DOUBLE) END AS sq,  -- Spark sqrt(<0)
-                -- is NaN; DuckDB RAISES (r8 events fuzzer, neg prices)
+           CASE WHEN value < 0 THEN CAST('NaN' AS DOUBLE)
+                ELSE SQRT(value) END AS sq,  -- Spark sqrt(<0) is NaN;
+                -- DuckDB RAISES (r8 events fuzzer, neg prices). Guard
+                -- inverted so NULL value propagates as NULL (Spark
+                -- F.sqrt(NULL) is NULL), not NaN (r8 advisor).
            CAST(SIGN(value - 100.0) AS DOUBLE) AS sgn,
            CAST(TRUNC(value) AS BIGINT) AS value_int,
            YEAR(ts) AS y, MONTH(ts) AS mo, DAY(ts) AS d,

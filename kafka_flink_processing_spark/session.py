@@ -48,7 +48,12 @@ def ensure_protobuf_for_tws() -> bool:
     # python (vendor_pb/python_with_pb). Only set when the user hasn't
     # already pointed PYSPARK_PYTHON somewhere custom beyond the default.
     wrapper = os.path.join(shim_dir, "python_with_pb")
-    current = os.environ.get("PYSPARK_PYTHON", "python")
+    # Fall back to sys.executable, not `python` from PATH: in a venv
+    # launch where PATH python differs from the driver interpreter, the
+    # wrapper must exec the interpreter the driver actually runs
+    # (r8 advisor).
+    import sys
+    current = os.environ.get("PYSPARK_PYTHON") or sys.executable
     if current != wrapper and os.access(wrapper, os.X_OK):
         os.environ["KFPS_REAL_PYTHON"] = current
         os.environ["PYSPARK_PYTHON"] = wrapper
@@ -81,8 +86,21 @@ def ensure_tws_ready(spark: SparkSession) -> bool:
     wrapper = os.path.join(os.path.dirname(os.path.abspath(__file__)),
                            "vendor_pb", "python_with_pb")
     if os.access(wrapper, os.X_OK):
+        import sys
+
         sc = spark.sparkContext
         if getattr(sc, "pythonExec", None) != wrapper:
+            # Rerouting sc.pythonExec affects EVERY Python UDF created
+            # afterwards, not just tws — so the wrapper must exec the
+            # interpreter this driver runs, not whatever `python` PATH
+            # resolves to (a venv-launched vanilla session can differ).
+            # Record it both in os.environ (pre-JVM spawns inherit it)
+            # and sc.environment (PythonWorkerFactory injects these into
+            # the worker process env post-JVM). r8 advisor fix.
+            real = os.environ.get("KFPS_REAL_PYTHON") or sys.executable
+            os.environ.setdefault("KFPS_REAL_PYTHON", real)
+            if getattr(sc, "environment", None) is not None:
+                sc.environment.setdefault("KFPS_REAL_PYTHON", real)
             sc.pythonExec = wrapper
     return True
 

@@ -61,6 +61,17 @@ def zorder_column(df: DataFrame, cols: Sequence[str],
     Returns (df_with_key, key_col_name)."""
     from pyspark.sql import functions as F
 
+    # The interleaved key lives in a signed 64-bit long: bit 63 is the
+    # sign bit (a top bit landing there flips high-Z rows negative and
+    # breaks repartitionByRange ordering at the midpoint), and Spark's
+    # shiftleft wraps shifts mod 64 (>4 cols at bits=16 silently corrupts
+    # the key). Fail loudly instead.
+    if bits * len(cols) > 63:
+        raise ValueError(
+            f"zorder_column: bits*len(cols) = {bits}*{len(cols)} = "
+            f"{bits * len(cols)} exceeds 63 — the Morton key must fit a "
+            f"signed long; lower bits (e.g. {63 // len(cols)}) or drop a "
+            f"column")
     stats = df.agg(*[f(c).alias(f"{f.__name__}_{c}")
                      for c in cols for f in (F.min, F.max)]).first()
     top = (1 << bits) - 1

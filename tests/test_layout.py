@@ -78,6 +78,27 @@ def _norm_area(boxes, spans):
     ]
 
 
+def test_zorder_rejects_keys_wider_than_signed_long(spark):
+    """r9 advisor fix: bits*len(cols) > 63 must raise — bit 63 is the
+    long sign bit (high-Z rows would flip negative and break the
+    repartitionByRange order), and past 64 Spark's shiftleft wraps the
+    shift mod 64, silently corrupting the key."""
+    import pytest
+
+    from kafka_flink_processing_spark.sources.bucketed import zorder_column
+
+    ev = (load_table(spark, "events", SF)
+          .select("user_id", "value", "event_id",
+                  F.length("event_type").alias("etype_len")))
+    with pytest.raises(ValueError, match="63"):
+        zorder_column(ev, ["user_id", "value", "event_id", "etype_len"],
+                      bits=16)
+    # 4 cols at bits=15 tops out at bit 59 — fine
+    _, key = zorder_column(
+        ev, ["user_id", "value", "event_id", "etype_len"], bits=15)
+    assert key == "__z"
+
+
 def test_zorder_layout_shrinks_file_footprints_and_prunes(spark, tmp_path):
     from kafka_flink_processing_spark.sources.bucketed import write_zordered
 

@@ -284,6 +284,29 @@ def test_gif_lzw_roundtrip_across_width_boundaries():
         assert dec(enc(pat)) == pat
 
 
+def test_gif_lzw_final_code_width_bump_regression():
+    """r9 advisor fix: when the FINAL data code is the one whose table
+    entry count reaches 2^width, the decoder (which appends an entry per
+    code read) bumps to width+1 before reading EOI — the encoder's
+    out-of-loop emit creates no entry, so it must mirror the bump
+    explicitly or the EOI width diverges. Reproducers: low-redundancy
+    payloads at lengths 4206 / 8664 / 13664 (final-segment code counts
+    255/767/1791 with byte-aligned EOI) raised 'GIF LZW stream
+    truncated' on the encoder's own valid output before the fix."""
+    enc, dec, _, _ = _gif_imports()
+    rng = np.random.default_rng(0)
+    for n in [4206, 8664, 13664]:
+        data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
+        assert dec(enc(data)) == data
+    # dense sweep around each boundary so the regression stays pinned
+    # even if dictionary fill rates drift
+    for base in [4206, 8664, 13664]:
+        for delta in (-2, -1, 1, 2):
+            data = rng.integers(0, 256, base + delta,
+                                dtype=np.uint8).tobytes()
+            assert dec(enc(data)) == data
+
+
 def test_gif_lzw_corrupt_stream_raises():
     enc, dec, _, _ = _gif_imports()
     good = enc(b"hello world, hello world")
