@@ -35,17 +35,24 @@ DD = D + D
 N_MERGES = 10
 
 
-def bpe_vocab_merges(docs: DataFrame, n_merges: int = N_MERGES,
-                     text_col: str = "text") -> DataFrame:
-    """Learn the first n_merges BPE merges over whitespace words of
-    text_col; returns (merge_rank, lsym, rsym, merged, freq)."""
-    spark = docs.sparkSession
+def _word_seqs(docs: DataFrame, text_col: str) -> DataFrame:
+    """The word-frequency relation as delimiter-wrapped symbol sequences:
+    (w, freq, seq) — the tiny (Zipf) training/apply surface; the only
+    corpus-sized operation either direction is the one groupBy(word)."""
     words = (docs.select(F.explode(F.split(F.col(text_col), " ")).alias("w"))
                  .groupBy("w").agg(F.count("*").alias("freq")))
-    seqs = words.select(
-        "freq",
+    return words.select(
+        "w", "freq",
         F.concat(F.lit(D), F.array_join(F.split("w", ""), DD),
                  F.lit(D)).alias("seq"))
+
+
+def _train_merges(docs: DataFrame, n_merges: int,
+                  text_col: str) -> list[tuple]:
+    """The merge-learning loop shared by the trainer and the encoder;
+    returns [(rank, lsym, rsym, merged, freq), ...] (a <= n_merges-row
+    driver list — the k-means O(K)-scalars pattern)."""
+    seqs = _word_seqs(docs, text_col).select("freq", "seq")
     # the vocabulary relation is tiny (Zipf); cache it so the n_merges
     # argmax actions do not rescan the corpus (production: persist the
     # word-freq table once, train from it). Keep the persisted HANDLE
@@ -80,21 +87,91 @@ def bpe_vocab_merges(docs: DataFrame, n_merges: int = N_MERGES,
                 F.lit(D + best.lsym + best.rsym + D)))
     finally:
         cached.unpersist()
-    return spark.createDataFrame(
-        merges, "merge_rank long, lsym string, rsym string, "
-                "merged string, freq long")
+    return merges
 
 
-def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
-    """The DuckDB rendering: one (pair-argmax, apply-merge) CTE stage per
-    merge, generated from the same constants the Spark operator uses."""
+def bpe_vocab_merges(docs: DataFrame, n_merges: int = N_MERGES,
+                     text_col: str = "text") -> DataFrame:
+    """Learn the first n_merges BPE merges over whitespace words of
+    text_col; returns (merge_rank, lsym, rsym, merged, freq)."""
+    return docs.sparkSession.createDataFrame(
+        _train_merges(docs, n_merges, text_col),
+        "merge_rank long, lsym string, rsym string, "
+        "merged string, freq long")
+
+
+def apply_merges(seq_col, merges: list[tuple]):
+    """Column expression applying learned merges to a delimiter-wrapped
+    symbol-sequence column IN RANK ORDER — each merge is one pure-JVM
+    string replace (left-to-right non-overlapping == BPE's greedy
+    application order; see module docstring), so the whole encode stays
+    inside whole-stage codegen with no Python on row data."""
+    out = seq_col
+    for _rank, lsym, rsym, _merged, _freq in merges:
+        out = F.replace(out, F.lit(D + lsym + DD + rsym + D),
+                        F.lit(D + lsym + rsym + D))
+    return out
+
+
+def bpe_encode_words(docs: DataFrame, merges: list[tuple],
+                     text_col: str = "text") -> DataFrame:
+    """Encode the DISTINCT-WORD relation with a learned merge table:
+    (w, freq, seq, n_sub) where seq is the final symbol sequence and
+    n_sub its symbol count. This is the scale pivot of the encoder: the
+    corpus never re-materializes as subwords — Zipf keeps this relation
+    tiny, and per-doc token counts come from joining it back onto the
+    word stream (bpe_encode_tokens)."""
+    seqs = _word_seqs(docs, text_col)
+    return (seqs.withColumn("seq", apply_merges(F.col("seq"), merges))
+            .withColumn(
+                "n_sub",
+                F.size(F.split(F.expr("substring(seq, 2, length(seq) - 2)"),
+                               DD)).cast("long")))
+
+
+def bpe_encode_tokens(docs: DataFrame, n_merges: int = N_MERGES,
+                      text_col: str = "text",
+                      id_col: str = "doc_id") -> DataFrame:
+    """Train-then-encode: learn n_merges BPE merges, segment every word,
+    and return per-doc subword statistics (doc_id, n_words, n_tokens,
+    max_word_tokens) — the REAL token budget for mixing/packing stages
+    (data_mix_summary/packing_efficiency run on whitespace tokens; this
+    is the subword-accurate counterpart).
+
+    Shape at 100 TB: training touches the corpus once (groupBy(word)),
+    the merge table is an O(n_merges) driver list, the encoded vocab is
+    the Zipf-tiny word relation (broadcast into the final join), and the
+    per-doc aggregate is one map-side-combined shuffle over the exploded
+    word stream. Empty words ('' from consecutive delimiters) carry no
+    symbols and are excluded in BOTH engines."""
+    merges = _train_merges(docs, n_merges, text_col)
+    wtok = (bpe_encode_words(docs, merges, text_col)
+            .where(F.col("w") != "").select("w", "n_sub"))
+    ex = docs.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    return (ex.join(F.broadcast(wtok), "w")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").alias("n_tokens"),
+                 F.max("n_sub").alias("max_word_tokens")))
+
+
+def _oracle_stages(n_merges: int, keep_word: bool) -> list[str]:
+    """Shared CTE-stage generator: with keep_word the s-chain carries the
+    word alongside (freq, seq) so an encoder query can read the FINAL
+    word->seq mapping from s{n_merges}. The apply stage LEFT JOINs its
+    merge row so a corpus that runs dry before n_merges (p{k} empty —
+    every word already a single symbol) passes seqs through unchanged
+    instead of annihilating the chain (mirrors the engine's break)."""
+    wcol = "w, " if keep_word else ""
+    wkeep = f"s{{k}}.w, " if keep_word else ""
     stages = []
     stages.append(f"""
     w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split(text, ' ')) AS w
                 FROM documents)
           GROUP BY w),
-    s0 AS (SELECT freq,
+    s0 AS (SELECT {wcol}freq,
                   '{D}' || list_aggregate(string_split(w, ''),
                                           'string_agg', '{DD}') || '{D}'
                     AS seq
@@ -112,15 +189,44 @@ def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
              GROUP BY pr[1], pr[2]
              ORDER BY SUM(freq) DESC, pr[1], pr[2]
              LIMIT 1),
-    s{k + 1} AS (SELECT s{k}.freq,
-                        replace(s{k}.seq,
+    s{k + 1} AS (SELECT {wkeep.format(k=k)}s{k}.freq,
+                        CASE WHEN p{k}.lsym IS NULL THEN s{k}.seq
+                             ELSE replace(s{k}.seq,
                                 '{D}' || p{k}.lsym || '{DD}'
                                       || p{k}.rsym || '{D}',
                                 '{D}' || p{k}.lsym || p{k}.rsym || '{D}')
-                          AS seq
-                 FROM s{k}, p{k})""")
+                        END AS seq
+                 FROM s{k} LEFT JOIN p{k} ON TRUE)""")
+    return stages
+
+
+def bpe_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """The DuckDB rendering: one (pair-argmax, apply-merge) CTE stage per
+    merge, generated from the same constants the Spark operator uses."""
+    stages = _oracle_stages(n_merges, keep_word=False)
     selects = " UNION ALL ".join(
         f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, lsym, rsym, "
         f"lsym || rsym AS merged, CAST(freq AS BIGINT) AS freq FROM p{k}"
         for k in range(n_merges))
     return "WITH" + ",".join(stages) + "\n    " + selects
+
+
+def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB rendering of bpe_encode_tokens: the same generated
+    train stages (carrying the word through the merge chain), then the
+    word->symbol-count relation joined back onto the per-doc word stream
+    — both engines run train-then-encode end to end."""
+    stages = _oracle_stages(n_merges, keep_word=True)
+    stages.append(f"""
+    wt AS (SELECT w,
+                  CAST(len(string_split(seq[2:-2], '{DD}')) AS BIGINT)
+                    AS n_sub
+           FROM s{n_merges}
+           WHERE w <> ''),
+    ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)""")
+    final = ("SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,\n"
+             "           CAST(SUM(n_sub) AS BIGINT) AS n_tokens,\n"
+             "           CAST(MAX(n_sub) AS BIGINT) AS max_word_tokens\n"
+             "    FROM ex JOIN wt USING (w) GROUP BY doc_id")
+    return "WITH" + ",".join(stages) + "\n    " + final

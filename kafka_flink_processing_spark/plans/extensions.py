@@ -2839,3 +2839,78 @@ def bpe_vocab_merges_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.bpe import bpe_vocab_merges
 
     return bpe_vocab_merges(load_table(spark, "documents", sf_dir))
+
+
+from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
+    bpe_encode_oracle_sql,
+)
+
+
+@register(
+    "bpe_encode_tokens",
+    oracle=bpe_encode_oracle_sql(_BPE_K),
+    doc="BPE APPLY/ENCODE — the consumer of bpe_vocab_merges' learned "
+        "merge table (r8 shipped the trainer; this closes the tokenizer "
+        "story): segment every corpus word with the merges in rank order "
+        "and report per-doc subword statistics (n_words, n_tokens, "
+        "max_word_tokens) — the REAL token budget a mixing/packing stage "
+        "needs, vs the whitespace proxy in data_mix_summary. Scale "
+        "shape: the encode runs on the DISTINCT-WORD relation (Zipf-"
+        "tiny), each merge is one pure-JVM string replace (left-to-right "
+        "non-overlapping == BPE greedy order), and the corpus-sized work "
+        "is one explode + a broadcast join of the word->n_sub map + one "
+        "map-side-combined per-doc aggregate. Oracle: the trainer's "
+        "generated per-merge CTE chain carrying the word through, then "
+        "the same join/aggregate — both engines run train-then-encode "
+        "end to end. Round-trip + differential-vs-pure-Python tests in "
+        "tests/test_bpe.py.",
+    bench=True,  # ~trainer cost (10 argmax jobs) + one corpus join pass
+)
+def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.bpe import bpe_encode_tokens
+
+    return bpe_encode_tokens(load_table(spark, "documents", sf_dir))
+
+
+@register(
+    "data_mix_subword_budget",
+    oracle=f"""
+    WITH enc AS ({bpe_encode_oracle_sql(_BPE_K)}),
+    d AS (
+      SELECT d.source, d.lang, COUNT(*) AS n_docs,
+             CAST(SUM(enc.n_tokens) AS BIGINT) AS total_subword_tokens,
+             CAST(SUM(enc.n_words) AS BIGINT) AS total_ws_tokens
+      FROM documents d JOIN enc USING (doc_id)
+      GROUP BY 1, 2
+    )
+    SELECT source, lang, n_docs, total_subword_tokens, total_ws_tokens,
+           CAST(total_subword_tokens AS DOUBLE)
+             / CAST(SUM(total_subword_tokens) OVER () AS BIGINT)
+             AS token_share
+    FROM d
+    """,
+    doc="data_mix_summary re-pointed at the REAL token budget: per "
+        "(source, lang) doc counts and SUBWORD token totals from the "
+        "trained BPE segmentation (bpe_encode_tokens), plus each cell's "
+        "share of the corpus subword budget — the sampling-weight input "
+        "a token-budgeted mixing stage actually needs (whitespace counts "
+        "under-weight agglutinative/rare-word-heavy sources). Same "
+        "one-shuffle mix aggregate as data_mix_summary, fed by the "
+        "encoder's broadcast word->n_sub join.",
+)
+def data_mix_subword_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.bpe import bpe_encode_tokens
+
+    docs = load_table(spark, "documents", sf_dir)
+    enc = bpe_encode_tokens(docs)
+    d = (docs.join(enc, "doc_id")
+         .groupBy("source", "lang")
+         .agg(F.count("*").alias("n_docs"),
+              F.sum("n_tokens").alias("total_subword_tokens"),
+              F.sum("n_words").alias("total_ws_tokens")))
+    total = F.sum("total_subword_tokens").over(Window.partitionBy())
+    return d.select(
+        "source", "lang", "n_docs", "total_subword_tokens",
+        "total_ws_tokens",
+        (F.col("total_subword_tokens").cast("double") / total)
+        .alias("token_share"))

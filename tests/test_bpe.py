@@ -11,6 +11,9 @@ import duckdb
 import pytest
 
 from kafka_flink_processing_spark.operators.bpe import (
+    bpe_encode_oracle_sql,
+    bpe_encode_tokens,
+    bpe_encode_words,
     bpe_oracle_sql,
     bpe_vocab_merges,
 )
@@ -71,6 +74,83 @@ def test_oracle_sql_matches_reference(texts):
                     [(t,) for t in texts])
     got = [tuple(r) for r in con.execute(bpe_oracle_sql(6)).fetchall()]
     assert got == _reference_bpe(texts, 6)
+
+
+def _reference_encode(texts: list[str], merges):
+    """Independent greedy applier: segment each word by applying the
+    learned merges in rank order, greedy left-to-right per merge."""
+    segs = {}
+    for t in texts:
+        for w in t.split(" "):
+            if w == "" or w in segs:
+                continue
+            syms = list(w)
+            for _rank, lsym, rsym, _m, _f in merges:
+                out, i = [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == lsym
+                            and syms[i + 1] == rsym):
+                        out.append(lsym + rsym)
+                        i += 2
+                    else:
+                        out.append(syms[i])
+                        i += 1
+                syms = out
+            segs[w] = syms
+    return segs
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_encode_words_roundtrips_trainer_final_seqs(spark, texts):
+    """Encoding with the learned merges must reproduce each word's final
+    symbol sequence from the trainer's last iteration (the r8 verdict's
+    round-trip criterion)."""
+    from kafka_flink_processing_spark.operators.bpe import D, DD
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    merges = _reference_bpe(texts, 6)
+    got = {r["w"]: r["seq"]
+           for r in bpe_encode_words(docs, merges).collect()}
+    ref = _reference_encode(texts, merges)
+    for w, syms in ref.items():
+        assert got[w] == D + DD.join(syms) + D, w
+        # and n_sub is the symbol count
+    nsub = {r["w"]: r["n_sub"]
+            for r in bpe_encode_words(docs, merges).collect()}
+    for w, syms in ref.items():
+        assert nsub[w] == len(syms)
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_encode_tokens_matches_reference_counts(spark, texts):
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = _reference_bpe(texts, 6)
+    segs = _reference_encode(texts, merges)
+    got = {r["doc_id"]: (r["n_words"], r["n_tokens"], r["max_word_tokens"])
+           for r in bpe_encode_tokens(docs, 6).collect()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w != ""]
+        exp = (len(ws), sum(len(segs[w]) for w in ws),
+               max(len(segs[w]) for w in ws))
+        assert got[i] == exp
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_encode_oracle_sql_matches_reference(texts):
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    merges = _reference_bpe(texts, 6)
+    segs = _reference_encode(texts, merges)
+    got = {r[0]: r[1:] for r in
+           con.execute(bpe_encode_oracle_sql(6)).fetchall()}
+    for i, t in enumerate(texts):
+        ws = [w for w in t.split(" ") if w != ""]
+        exp = (len(ws), sum(len(segs[w]) for w in ws),
+               max(len(segs[w]) for w in ws))
+        assert got[i] == exp
 
 
 def test_self_merge_is_left_to_right_greedy(spark):
