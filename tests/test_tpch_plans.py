@@ -175,3 +175,47 @@ def test_key_skew_report_no_global_sort(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "TakeOrderedAndProject" not in plan
     assert plan.count("HashAggregate") >= 6  # partial+final per keyspace
+
+
+# --- partsupp-derived battery (r9) -----------------------------------------
+
+def test_q2_min_cost_is_single_window_no_rejoin(spark):
+    # the spec's correlated MIN subquery must plan as ONE window over the
+    # filtered join — not a second partsupp scan joined back
+    plan = plan_of(spark, "sql_q2_min_cost_supplier")
+    assert "Window" in plan
+    assert "TakeOrderedAndProject" in plan           # LIMIT 100, no global sort
+    assert plan.count("Exchange rangepartitioning") == 0
+    # size/type predicates push into the part scan
+    assert "LessThanOrEqual(p_size,15)" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q9_partsupp_join_no_cartesian_and_name_pushdown(spark):
+    plan = plan_of(spark, "sql_q9_product_type_profit")
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    # the part-name filter prunes before the fact join
+    assert "Contains(p_name,bolt)" in plan or "bolt" in plan
+
+
+def test_q11_single_partsupp_aggregate_plus_broadcast_scalar(spark):
+    plan = plan_of(spark, "sql_q11_important_stock")
+    # the threshold is a broadcast 1-row join, never a per-group subquery
+    assert "BroadcastHashJoin" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q16_not_in_is_broadcast_anti(spark):
+    plan = plan_of(spark, "sql_q16_supplier_part_counts")
+    assert "LeftAnti" in plan
+    assert "LessThan(s_acctbal,0.0)" in plan         # pushed to supplier scan
+    assert "CartesianProduct" not in plan
+
+
+def test_q20_decorrelates_to_grouped_aggregate(spark):
+    plan = plan_of(spark, "sql_q20_promotion_suppliers")
+    # the 1998 window pushes into the lineitem scan
+    assert "GreaterThanOrEqual(l_shipdate" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
