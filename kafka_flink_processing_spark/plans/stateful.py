@@ -572,6 +572,55 @@ def streaming_forecast_sma(spark: SparkSession, sf_dir: str) -> DataFrame:
                       "forecast_next")
 
 
+@register(
+    "streaming_forecast_sma_tws",
+    oracle=_STREAM_SMA_ORACLE,
+    doc="W1 on Spark 4's transformWithStateInPandas — completes the "
+        "state-layout parity story beside the PnL port: the reference's "
+        "ListState ring buffer (ForecastsJob.java:77-81) is a REAL "
+        "ListState here (bounded at 20 doubles, O(1) rewrite per hub "
+        "per batch), where applyInPandasWithState had to encode it as "
+        "an array column in a flat struct. Drained availableNow and "
+        "hash-gated against the same lag-chain SQL oracle as the batch "
+        "and applyInPandasWithState faces; stop-and-restart-from-"
+        "checkpoint pinned in tests/test_streaming.py. Requires the "
+        "RocksDB state store (conf set and restored around the drain).",
+)
+def streaming_forecast_sma_tws_q(spark: SparkSession,
+                                 sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.session import ensure_tws_ready
+    from kafka_flink_processing_spark.streaming.sinks import (
+        drain_streaming_result,
+    )
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_sma_forecast_tws,
+    )
+
+    if not ensure_tws_ready(spark):
+        raise RuntimeError(
+            "transformWithState needs google.protobuf in Spark's Python "
+            "workers; neither a wheel nor the vendored runtime is present "
+            "on this box (env-gated, like the Kafka sources)")
+    _, prices = derive_market(spark, sf_dir)
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        return drain_streaming_result(
+            prices, lambda s: streaming_sma_forecast_tws(s, seq_col="tick_id"),
+            "sma_tws").select("ts", "hub", "price_mwh", "sma5", "sma20",
+                              "forecast_next")
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 # --- winsorized statistics: rank-based exact percentile bounds + clipping
 @register(
     "winsorized_stats",

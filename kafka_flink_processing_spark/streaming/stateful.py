@@ -192,10 +192,12 @@ class PnlProcessor:
     with the account map crammed into a JSON string. At scale that's the
     difference that matters: RocksDB updates only the touched accounts
     per micro-batch (point puts) rather than rewriting one ever-growing
-    blob per hub, and the primitive brings timers/TTL for book expiry
-    when accounts churn. The fold arithmetic is the SAME HubFold shared
+    blob per hub. The fold arithmetic is the SAME HubFold shared
     with the batch operator and the spec replay, so output parity with
-    streaming_pnl and the batch plan is structural.
+    streaming_pnl and the batch plan is structural. Book-expiry TTL for
+    account churn lives in the PnlProcessorTtl subclass (event-time
+    timers evict long-flat accounts); this base processor matches the
+    reference exactly — Flink never evicts either.
 
     Declared lazily (class body imports nothing Spark-streaming-specific
     at module import): the base class lives in
@@ -208,8 +210,11 @@ class PnlProcessor:
             "accounts", "account string",
             "pos long, avg double, realized double")
 
-    def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
-                        timer_values) -> Iterator[pd.DataFrame]:
+    def _fold_batch(self, rows: Iterator[pd.DataFrame]):
+        """Shared micro-batch fold: restore state, process the batch in
+        the documented total order, write back the touched state.
+        Returns (sorted batch pdf, emitted rows, post-batch book) so
+        subclasses (TTL) can add bookkeeping without re-folding."""
         last = self._last.get()
         accounts: dict[str, tuple[int, float, float]] = {}
         if self._accounts.exists():
@@ -229,6 +234,11 @@ class PnlProcessor:
             self._last.update((float(last_price),))
         for acct, st in book_puts(before, accounts).items():
             self._accounts.updateValue((acct,), st)
+        return pdf, out, accounts
+
+    def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                        timer_values) -> Iterator[pd.DataFrame]:
+        _pdf, out, _book = self._fold_batch(rows)
         yield pd.DataFrame(out, columns=[f.name for f in _PNL_OUT.fields])
 
     def handleInitialState(self, key, initialState, timer_values) -> None:
@@ -239,6 +249,169 @@ class PnlProcessor:
 
     def close(self) -> None:
         pass
+
+
+class PnlProcessorTtl(PnlProcessor):
+    """PnlProcessor + book-expiry TTL — the state-growth story at account
+    churn, and the first real use of the timers the tws primitive
+    brings. An account that is FLAT (position 0) and has not traded for
+    ttl_ms of EVENT time is evicted from the MapState book, so it stops
+    fanning out on every price tick and its RocksDB entries are freed;
+    accounts with open positions are never evicted regardless of age.
+
+    Mechanics: when a batch leaves an account flat, an event-time timer
+    is registered at (its last trade ts + ttl_ms); when the watermark
+    passes it, handleExpiredTimer sweeps the book and removes every
+    still-flat account whose last trade is at least ttl_ms old (a sweep,
+    so one timer can retire several accounts and re-flattened accounts
+    are caught by later timers). This variant deliberately DIVERGES from
+    the reference after the TTL (the Flink job never evicts, its state
+    grows forever — PnlAndExposureJob.java:107-110): post-eviction price
+    ticks no longer emit rows for the evicted account, which is the
+    point. Requires timeMode='eventtime', i.e. a watermark on the
+    tagged-union input (streaming_pnl_tws_ttl wires both)."""
+
+    def __init__(self, ttl_ms: int) -> None:
+        self._ttl_ms = int(ttl_ms)
+
+    def init(self, handle) -> None:
+        super().init(handle)
+        self._handle = handle
+        self._last_trade = handle.getMapState(
+            "lastTrade", "account string", "ts_ms long")
+
+    def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                        timer_values) -> Iterator[pd.DataFrame]:
+        pdf, out, book = self._fold_batch(rows)
+        trades = pdf[pdf["kind"] == TRADE]
+        flat_at: dict[str, int] = {}
+        for acct, ts in zip(trades["account"], trades["ts"]):
+            ms = int(pd.Timestamp(ts).value // 1_000_000)
+            # typed put (r8 lesson): the declared long gets a Python int
+            self._last_trade.updateValue((acct,), (ms,))
+            if book.get(acct, (1,))[0] == 0:     # flat AFTER this batch
+                flat_at[acct] = ms
+        for ms in sorted(set(flat_at.values())):
+            self._handle.registerTimer(ms + self._ttl_ms)
+        yield pd.DataFrame(out, columns=[f.name for f in _PNL_OUT.fields])
+
+    def handleExpiredTimer(self, key, timerValues, expiredTimerInfo):
+        # parameter names MUST match the ABC's — the runtime invokes this
+        # with keyword arguments (timerValues=..., expiredTimerInfo=...)
+        expiry = expiredTimerInfo.getExpiryTimeInMs()
+        evict: list[str] = []
+        if self._accounts.exists():
+            for k, v in self._accounts.iterator():
+                acct = k[0]
+                if int(v[0]) != 0:
+                    continue                      # open position: keep
+                has_lt = self._last_trade.containsKey((acct,))
+                lt = (int(self._last_trade.getValue((acct,))[0])
+                      if has_lt else None)
+                if lt is None or lt + self._ttl_ms <= expiry:
+                    evict.append(acct)
+        for acct in evict:                        # mutate AFTER iterating
+            self._accounts.removeKey((acct,))
+            if self._last_trade.containsKey((acct,)):
+                self._last_trade.removeKey((acct,))
+        return iter(())
+
+
+def streaming_pnl_tws_ttl(trades: DataFrame, prices: DataFrame,
+                          ttl_ms: int,
+                          watermark_delay: str = "0 seconds") -> DataFrame:
+    """streaming_pnl_tws with book-expiry TTL (PnlProcessorTtl): evicts
+    accounts flat for > ttl_ms of event time. Event-time timers need a
+    watermark on the input and timeMode='eventtime'; same RocksDB
+    state-store requirement as the base port."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from kafka_flink_processing_spark.session import ensure_tws_ready
+
+    proc_cls = type("_PnlProcessorTtlTws",
+                    (PnlProcessorTtl, StatefulProcessor), {})
+    ensure_shipped(trades.sparkSession)
+    ensure_tws_ready(trades.sparkSession)
+    union = _tagged_union(trades, prices).withWatermark(
+        "ts", watermark_delay)
+    return (union.groupBy("hub")
+            .transformWithStateInPandas(proc_cls(ttl_ms), _PNL_OUT,
+                                        "append", "eventtime"))
+
+
+class SmaProcessor:
+    """StatefulProcessor port of the W1 rolling-SMA forecast onto Spark
+    4's transformWithStateInPandas — state-layout parity with the
+    reference's ForecastsJob (ForecastsJob.java:77-81): the <=20-price
+    ring buffer is a REAL ListState, the exact Flink primitive the
+    reference uses (applyInPandasWithState's flat struct forces an
+    array-in-a-column encoding instead). The buffer is bounded (20
+    doubles), so the per-batch rewrite is O(1) per hub; the fold is the
+    same append-trim-average arithmetic as _sma_fn, so output parity
+    with streaming_sma_forecast and the batch window plan is structural.
+
+    Declared lazily like PnlProcessor (no Spark-4-only imports at module
+    import time)."""
+
+    def init(self, handle) -> None:
+        self._buf = handle.getListState("buf", "price double")
+
+    def handleInputRows(self, key: tuple, rows: Iterator[pd.DataFrame],
+                        timer_values) -> Iterator[pd.DataFrame]:
+        buf: list[float] = ([float(r[0]) for r in self._buf.get()]
+                            if self._buf.exists() else [])
+        hub = key[0]
+        pdf = pd.concat(list(rows), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "seq"], kind="mergesort")
+        out: list[dict[str, Any]] = []
+        for ts, px in zip(pdf["ts"], pdf["price_mwh"]):
+            buf.append(float(px))
+            if len(buf) > 20:          # addAndTrim, ForecastsJob.java:77-81
+                del buf[0]
+            sma5 = sum(buf[-5:]) / min(len(buf), 5)
+            sma20 = sum(buf) / len(buf)
+            out.append({"ts": ts, "hub": hub, "price_mwh": px,
+                        "sma5": sma5, "sma20": sma20,
+                        "forecast_next": sma5})
+        # typed put (the r8 state-boundary lesson): every element coerced
+        # to the declared double before crossing into the JVM row encoder
+        self._buf.clear()
+        if buf:
+            self._buf.put([(float(v),) for v in buf])
+        yield pd.DataFrame(out, columns=[f.name for f in _SMA_OUT.fields])
+
+    def handleInitialState(self, key, initialState, timer_values) -> None:
+        pass
+
+    def handleExpiredTimer(self, key, timer_values, expired_timer_info):
+        return iter(())
+
+    def close(self) -> None:
+        pass
+
+
+def streaming_sma_forecast_tws(prices: DataFrame,
+                               key_col: str = "hub",
+                               ts_col: str = "ts",
+                               value_col: str = "price_mwh",
+                               seq_col: str | None = None) -> DataFrame:
+    """streaming_sma_forecast on transformWithStateInPandas (Spark 4):
+    same signature, same output, ListState ring buffer. Needs the
+    RocksDB state-store provider, like streaming_pnl_tws."""
+    from pyspark.sql.streaming.stateful_processor import StatefulProcessor
+
+    from kafka_flink_processing_spark.session import ensure_tws_ready
+
+    proc_cls = type("_SmaProcessorTws", (SmaProcessor, StatefulProcessor), {})
+    ensure_shipped(prices.sparkSession)
+    ensure_tws_ready(prices.sparkSession)
+    df = prices.select(
+        F.col(ts_col).alias("ts"), F.col(key_col).alias("hub"),
+        F.col(value_col).alias("price_mwh"),
+        (F.col(seq_col) if seq_col else F.lit(0)).cast("long").alias("seq"))
+    return (df.groupBy("hub")
+              .transformWithStateInPandas(proc_cls(), _SMA_OUT,
+                                          "append", "none"))
 
 
 def streaming_pnl_tws(trades: DataFrame, prices: DataFrame) -> DataFrame:

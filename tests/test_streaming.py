@@ -472,3 +472,127 @@ def test_checkpoint_restart_carries_tws_rocksdb_state(spark, market,
     assert 0 < n_first < want.count()
     assert got.count() == want.count()
     assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_streaming_sma_tws_matches_batch(spark, market, tmp_path,
+                                         rocksdb_state):
+    """The transformWithState W1 port (REAL ListState ring buffer,
+    reference ForecastsJob.java:77-81 layout) must reproduce the batch
+    window plan bit-exactly, like the applyInPandasWithState original."""
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_sma_forecast_tws,
+    )
+    _, prices = market
+    prices = prices.withColumn("seq", F.lit(0).cast("long"))
+    stream = _stream_from(spark, prices, str(tmp_path))
+    fc = streaming_sma_forecast_tws(stream, seq_col="seq")
+    run_available_now(fc, "sma_tws_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT ts, hub, price_mwh, sma5, sma20, forecast_next "
+                    "FROM sma_tws_out")
+    want = (rolling_sma_forecast(
+        prices.select("ts", "hub", "price_mwh", "seq"),
+        ["hub"], ["ts", "seq"], "price_mwh")
+        .select("ts", "hub", "price_mwh", "sma5", "sma20", "forecast_next"))
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_checkpoint_restart_carries_sma_tws_liststate(spark, market,
+                                                      tmp_path,
+                                                      rocksdb_state):
+    """Restart contract for the W1 tws port: the RocksDB ListState ring
+    buffer must restore from the checkpoint on a fresh query — the
+    resumed fold continues the window (not a cold 1-element buffer) and
+    batch-1 rows must not re-emit."""
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_sma_forecast_tws,
+    )
+    _, prices = market
+    one_hub = prices.filter(F.col("hub") == "HUB0") \
+                    .withColumn("seq", F.lit(0).cast("long"))
+    o = F.col("ts").cast("double")
+    cut = one_hub.select(o.alias("o")).approxQuantile("o", [0.5], 0.0)[0]
+    src, out, ckpt = f"{tmp_path}/src", f"{tmp_path}/out", f"{tmp_path}/ckpt"
+    one_hub.filter(o <= cut).coalesce(1).write.parquet(f"{src}/f0")
+
+    def run_once():
+        stream = (spark.readStream.schema(one_hub.schema)
+                  .parquet(f"{src}/f*"))
+        q = (streaming_sma_forecast_tws(stream, seq_col="seq")
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    run_once()                                     # batch 1
+    n_first = spark.read.parquet(out).count()
+    one_hub.filter(o > cut).coalesce(1).write.parquet(f"{src}/f1")
+    run_once()                                     # restart from checkpoint
+    got = spark.read.parquet(out).select("ts", "hub", "sma5", "sma20")
+    want = (rolling_sma_forecast(one_hub, ["hub"], ["ts", "seq"],
+                                 "price_mwh")
+            .select("ts", "hub", "sma5", "sma20"))
+    assert 0 < n_first < want.count()              # both runs contributed
+    assert got.count() == want.count()             # no dup re-emission
+    assert _rowset(got.collect()) == _rowset(want.collect())
+
+
+def test_pnl_tws_ttl_evicts_long_flat_accounts(spark, tmp_path,
+                                               rocksdb_state):
+    """Book-expiry TTL (PnlProcessorTtl): an account flat for > TTL of
+    event time is evicted by an event-time timer, so later price ticks
+    stop fanning out rows for it — the state-growth mitigation at
+    account churn. Accounts with open positions are never evicted.
+
+    Tape (hub H, TTL = 60 s, watermark delay 0):
+      b1: A buys 5 then sells 5 (flat at 10:00:30 -> timer 10:01:30),
+          B buys 3 (open), tick 10:02 (A+B rows; watermark still 0)
+      b2: tick 10:03 — watermark is now 10:02 > timer, so A is evicted
+          this batch
+      b3: tick 10:04 — only B fans out
+    """
+    import datetime as dt
+
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws_ttl,
+    )
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+
+    trades = spark.createDataFrame(
+        [(1, t(0), "A", "H", "BUY", 5, 50.0),
+         (2, t(30), "A", "H", "SELL", 5, 51.0),
+         (3, t(60), "B", "H", "BUY", 3, 52.0)],
+        "trade_id long, ts timestamp, account string, hub string, "
+        "side string, mw long, price_mwh double")
+    px_schema = "ts timestamp, hub string, price_mwh double"
+    ticks = [(t(120), "H", 53.0), (t(180), "H", 54.0), (t(240), "H", 55.0)]
+
+    trades.coalesce(1).write.parquet(f"{tmp_path}/t/f0")
+    for i, row in enumerate(ticks):
+        spark.createDataFrame([row], px_schema).coalesce(1) \
+            .write.parquet(f"{tmp_path}/p/f{i}")
+
+    ts = (spark.readStream.schema(trades.schema)
+          .option("maxFilesPerTrigger", 1).parquet(f"{tmp_path}/t/f*"))
+    px = (spark.readStream.schema(spark.createDataFrame([], px_schema)
+                                  .schema)
+          .option("maxFilesPerTrigger", 1).parquet(f"{tmp_path}/p/f*"))
+    out = streaming_pnl_tws_ttl(ts, px, ttl_ms=60_000)
+    run_available_now(out, "pnl_ttl_out", f"{tmp_path}/ckpt")
+    got = spark.sql("SELECT * FROM pnl_ttl_out").collect()
+
+    by_tick = {}
+    for r in got:
+        by_tick.setdefault(r.ts, set()).add(r.account)
+    # trade emissions + the 10:02 tick fan out both accounts
+    assert by_tick[t(120)] == {"A", "B"}
+    # after eviction the 10:04 tick fans out B only; A is gone from state
+    assert by_tick[t(240)] == {"B"}
+    # B (open position) survives every tick
+    for s in (120, 180, 240):
+        assert "B" in by_tick[t(s)]
+    # A emitted rows while in the book, none after eviction
+    a_rows = [r for r in got if r.account == "A"]
+    assert {r.ts for r in a_rows} <= {t(0), t(30), t(120), t(180)}
+    assert t(240) not in {r.ts for r in a_rows}
