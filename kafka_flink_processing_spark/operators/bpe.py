@@ -230,3 +230,54 @@ def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
              "           CAST(MAX(n_sub) AS BIGINT) AS max_word_tokens\n"
              "    FROM ex JOIN wt USING (w) GROUP BY doc_id")
     return "WITH" + ",".join(stages) + "\n    " + final
+
+
+def bpe_vocab_coverage(docs: DataFrame, n_merges: int = N_MERGES,
+                       text_col: str = "text") -> DataFrame:
+    """The eval tying the two tokenizer views together: for each learned
+    merge, how much of the corpus vocabulary it covers — is the merged
+    symbol itself a full corpus word (the merge "graduated" to a word),
+    and how many distinct words / word occurrences contain it as a
+    substring. High-rank merges with low coverage signal an over-fit
+    merge table; coverage near the top whitespace tokens
+    (vocab_top_tokens) is the health signal. All work runs on the
+    Zipf-tiny word relation with the O(n_merges)-row merge list
+    broadcast into a substring-contains join."""
+    spark = docs.sparkSession
+    merges = _train_merges(docs, n_merges, text_col)
+    mdf = spark.createDataFrame(
+        [(r, m) for r, _l, _r, m, _f in merges],
+        "merge_rank long, merged string")
+    words = (docs.select(F.explode(F.split(F.col(text_col), " "))
+                         .alias("w"))
+                 .groupBy("w").agg(F.count("*").alias("freq")))
+    hit = F.instr(F.col("w"), F.col("merged")) > 0
+    j = words.join(F.broadcast(mdf), hit)
+    return (j.groupBy("merge_rank", "merged")
+            .agg(F.countDistinct("w").alias("n_words_containing"),
+                 F.sum("freq").alias("occurrences_covered"),
+                 F.max(F.when(F.col("w") == F.col("merged"), 1)
+                       .otherwise(0)).cast("long").alias("is_full_word")))
+
+
+def bpe_vocab_coverage_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB rendering of bpe_vocab_coverage: the trainer stages, the
+    merge list re-selected from p{k}, then the same substring-contains
+    join against the word-frequency relation."""
+    stages = _oracle_stages(n_merges, keep_word=False)
+    merges = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS merge_rank, "
+        f"lsym || rsym AS merged FROM p{k}"
+        for k in range(n_merges))
+    stages.append(f"""
+    m AS ({merges})""")
+    final = ("SELECT merge_rank, merged,\n"
+             "           CAST(COUNT(DISTINCT w.w) AS BIGINT)"
+             " AS n_words_containing,\n"
+             "           CAST(SUM(w.freq) AS BIGINT)"
+             " AS occurrences_covered,\n"
+             "           CAST(MAX(CASE WHEN w.w = m.merged THEN 1 ELSE 0"
+             " END) AS BIGINT) AS is_full_word\n"
+             "    FROM m JOIN w ON contains(w.w, m.merged)\n"
+             "    GROUP BY merge_rank, merged")
+    return "WITH" + ",".join(stages) + "\n    " + final

@@ -33,6 +33,18 @@ def _norm(a: Column) -> Column:
     return F.sqrt(_dot(a, a))
 
 
+def _cosine(dot: Column, na: Column, nb: Column) -> Column:
+    """cosine = dot / (na * nb), NULL when the denominator is 0 (cosine
+    is undefined for the zero vector). This matches DuckDB, where x / 0
+    is NULL, so every oracle agrees without special-casing — while
+    Spark's ANSI mode would otherwise kill the whole job with
+    DIVIDE_BY_ZERO on the first zero-norm embedding in the corpus
+    (found by the r9 emb_degenerate fuzz family). NaN norms propagate
+    NaN in both engines (NaN != 0 under Spark's NaN semantics)."""
+    den = na * nb
+    return F.when(den != 0, dot / den)
+
+
 def with_unit_info(emb: DataFrame, vec_col: str = "embedding") -> DataFrame:
     return emb.withColumn("nrm", _norm(F.col(vec_col)))
 
@@ -47,7 +59,7 @@ def cosine_topk(emb: DataFrame, query_ids, k: int = 10,
         F.col("nrm").alias("qn"))
     c = base.select(F.col(id_col).alias("cand_id"),
                     F.col(vec_col).alias("cv"), F.col("nrm").alias("cn"))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     scored = (F.broadcast(q).join(c, F.col("query_id") != F.col("cand_id"))
                .select("query_id", "cand_id", cos.alias("cosine")))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
@@ -113,7 +125,7 @@ def lsh_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
     # arrays, and the groupBy partial-aggregates map-side (the duplicate
     # band matches collapse before the exchange). Duplicates score
     # identically, so first() is deterministic.
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     scored = (matched.select("query_id", "cand_id", cos.alias("cosine"))
               .groupBy("query_id", "cand_id")
               .agg(F.first("cosine").alias("cosine")))
@@ -148,7 +160,8 @@ def _scored_cells(base: DataFrame, cents: DataFrame, id_col: str,
                   vec_col: str) -> DataFrame:
     """Every (vector, centroid) cosine: broadcast K-row codebook against the
     partitioned corpus — N*K scored rows, never shuffled."""
-    cos_to_cent = _dot(F.col(vec_col), F.col("cv")) / (F.col("nrm") * F.col("cn"))
+    cos_to_cent = _cosine(_dot(F.col(vec_col), F.col("cv")),
+                          F.col("nrm"), F.col("cn"))
     return (base.crossJoin(F.broadcast(cents))
                 .select(F.col(id_col), F.col(vec_col), F.col("nrm"),
                         F.col("cid"), cos_to_cent.alias("ccos")))
@@ -218,7 +231,7 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
             .select("query_id", "qv", "qn",
                     F.col(id_col).alias("cand_id"),
                     F.col(vec_col).alias("cv"), F.col("nrm").alias("cn")))
-    cos = _dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
+    cos = _cosine(_dot(F.col("qv"), F.col("cv")), F.col("qn"), F.col("cn"))
     scored = cand.select("query_id", "cand_id", cos.alias("cosine"))
     w = Window.partitionBy("query_id").orderBy(F.col("cosine").desc(),
                                                F.col("cand_id"))
@@ -238,7 +251,7 @@ def cosine_pairs(emb: DataFrame, threshold: float = 0.45,
                     F.col("nrm").alias("na"))
     b = base.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
                     F.col("nrm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (a.join(b, F.col("vec_a") < F.col("vec_b"))
              .select("vec_a", "vec_b", cos.alias("cosine"))
              .filter(F.col("cosine") >= threshold))
@@ -287,7 +300,7 @@ def lsh_cosine_pairs(emb: DataFrame, threshold: float = 0.45,
     # aggregation map-side), instead of a distinct whose key is two whole
     # embedding arrays. Duplicate band matches score identically, so
     # first() is deterministic.
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     return (cand.select("vec_a", "vec_b", cos.alias("cosine"))
                 .filter(F.col("cosine") >= threshold)
                 .groupBy("vec_a", "vec_b")
@@ -333,7 +346,7 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
                    F.col("nrm").alias("na"), "cell")
     b = asg.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),
                    F.col("nrm").alias("nb"), "cell")
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     dups = (a.join(b, "cell")
              .filter(F.col("vec_a") < F.col("vec_b"))
              .select(F.col("vec_b").alias(id_col), cos.alias("cosine"))

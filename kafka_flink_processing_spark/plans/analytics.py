@@ -516,18 +516,35 @@ def packing_efficiency_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (SELECT CAST(label AS BIGINT) AS label,
                       sqrt({_DOT.format(a='embedding', b='embedding')}) AS nrm
-               FROM embeddings)
+               FROM embeddings),
+    f AS (SELECT label,
+                 CASE WHEN isfinite(nrm) AND nrm <= 1000.0 THEN nrm END
+                   AS fnrm,
+                 CASE WHEN isfinite(nrm) AND nrm <= 1000.0 THEN 0 ELSE 1
+                   END AS bad
+          FROM n)
     SELECT label, CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           {dsum_sql('nrm', 6)} / COUNT(*) AS avg_norm,
-           MIN(nrm) AS min_norm, MAX(nrm) AS max_norm
-    FROM n GROUP BY label
+           CAST(SUM(bad) AS BIGINT) AS n_flagged,
+           {dsum_sql('fnrm', 6)} / COUNT(fnrm) AS avg_norm,
+           MIN(fnrm) AS min_norm, MAX(fnrm) AS max_norm
+    FROM f GROUP BY label
     """,
     doc="per-label embedding norm statistics — the drift/health screen an "
         "embedding pipeline runs on every refresh (collapsed or exploding "
-        "norms are the first symptom of a bad encoder batch). Norms via "
-        "the shared sequential-fold dot product; the mean goes through "
-        "dsum at 6dp so it is partition-count-independent, min/max are "
-        "order-free; one K-row aggregate, no shuffle beyond it.",
+        "norms are the first symptom of a bad encoder batch). Unhealthy "
+        "norms — NaN/Inf from divergence garbage, or beyond the 1e3 "
+        "health bound (a sane encoder's norms sit orders of magnitude "
+        "below it) — are SURFACED as a per-label n_flagged count and "
+        "excluded from the moments: the r9 emb_nonfinite fuzzer found "
+        "the previous form crashing on CAST_OVERFLOW (an Inf — or any "
+        "norm past int64/10^6 — cannot enter the scaled-int exact sum, "
+        "and a health screen above all must not die on the rows it "
+        "exists to catch). The bound also keeps dsum(6dp) capacity "
+        "honest: <= 1e9 scaled units per row, ~9e9 worst-case rows per "
+        "label before overflow, ~1e17 at realistic norms. Healthy norms "
+        "via the shared sequential-fold dot product; min/max order-free; "
+        "one K-row aggregate, no shuffle beyond it. NaN <= bound is "
+        "false in BOTH engines (each sorts NaN above all doubles).",
 )
 def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
@@ -535,11 +552,18 @@ def embedding_norm_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, "embeddings", sf_dir)
     base = with_unit_info(emb)
+    # healthy = finite AND within the documented bound; NaN fails the
+    # <= in both engines (each sorts NaN above every double), and +Inf
+    # fails it too, so one comparison covers all three cases
+    healthy = ~F.isnan(F.col("nrm")) & (F.col("nrm") <= 1000.0)
+    fnrm = F.when(healthy, F.col("nrm"))
     return (base.groupBy(F.col("label").cast("long").alias("label"))
             .agg(F.count("*").alias("n_vecs"),
-                 (dsum(F.col("nrm"), 6) / F.count("*")).alias("avg_norm"),
-                 F.min("nrm").alias("min_norm"),
-                 F.max("nrm").alias("max_norm")))
+                 F.sum(F.when(healthy, 0).otherwise(1)).cast("long")
+                 .alias("n_flagged"),
+                 (dsum(fnrm, 6) / F.count(fnrm)).alias("avg_norm"),
+                 F.min(fnrm).alias("min_norm"),
+                 F.max(fnrm).alias("max_norm")))
 
 
 from kafka_flink_processing_spark.functions.text import lang_id  # noqa: E402

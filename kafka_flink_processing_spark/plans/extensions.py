@@ -1547,6 +1547,7 @@ CROSSMODAL_COS_T = EMBED_COS_T
 )
 def crossmodal_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
+        _cosine,
         _dot,
         with_unit_info,
     )
@@ -1558,7 +1559,7 @@ def crossmodal_dup_verify_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                      F.col("embedding").alias("va"), F.col("nrm").alias("na"))
     eb = base.select(F.col("vec_id").alias("doc_b"),
                      F.col("embedding").alias("vb"), F.col("nrm").alias("nb"))
-    cos = _dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb"))
+    cos = _cosine(_dot(F.col("va"), F.col("vb")), F.col("na"), F.col("nb"))
     # LEFT joins: a lexical pair whose doc lacks an embedding row (partial
     # embedding coverage is normal at corpus scale) must surface with null
     # cosine/semantic_agree for review, never vanish from the triage
@@ -2870,6 +2871,29 @@ def bpe_encode_tokens_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.bpe import bpe_encode_tokens
 
     return bpe_encode_tokens(load_table(spark, "documents", sf_dir))
+
+
+from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
+    bpe_vocab_coverage_oracle_sql,
+)
+
+
+@register(
+    "bpe_vocab_coverage",
+    oracle=bpe_vocab_coverage_oracle_sql(_BPE_K),
+    doc="the eval tying the two tokenizer views together "
+        "(vocab_top_tokens <-> bpe_vocab_merges): per learned merge, the "
+        "distinct corpus words and word occurrences containing it, and "
+        "whether it graduated to a full word — low coverage at high rank "
+        "flags an over-fit merge table. Substring-contains join of the "
+        "broadcast O(n_merges) merge list against the Zipf-tiny "
+        "word-frequency relation; identical generated trainer CTEs feed "
+        "the oracle.",
+)
+def bpe_vocab_coverage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.bpe import bpe_vocab_coverage
+
+    return bpe_vocab_coverage(load_table(spark, "documents", sf_dir))
 
 
 @register(

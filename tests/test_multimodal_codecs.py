@@ -284,27 +284,36 @@ def test_gif_lzw_roundtrip_across_width_boundaries():
         assert dec(enc(pat)) == pat
 
 
+def gif_width_bump_witness() -> bytes:
+    """A payload that FAILS decode on the pre-fix encoder (verified) and
+    round-trips on the fixed one: random.Random(0)'s first 4215 bytes.
+    Found by exhaustive per-length scan with an instrumented encoder —
+    the failing condition is final-segment table size EXACTLY 2^w AND
+    (bitpos + width) % 8 == 0 (byte-aligned EOI), a ~1-in-8000
+    conjunction on random multi-segment payloads, so plain random
+    sweeps do NOT pin it. Shared with tools/oracle_fuzz.py's
+    media_binary corpus."""
+    import random as _random
+
+    return bytes(_random.Random(0).randrange(256) for _ in range(4215))
+
+
 def test_gif_lzw_final_code_width_bump_regression():
     """r9 advisor fix: when the FINAL data code is the one whose table
     entry count reaches 2^width, the decoder (which appends an entry per
     code read) bumps to width+1 before reading EOI — the encoder's
     out-of-loop emit creates no entry, so it must mirror the bump
-    explicitly or the EOI width diverges. Reproducers: low-redundancy
-    payloads at lengths 4206 / 8664 / 13664 (final-segment code counts
-    255/767/1791 with byte-aligned EOI) raised 'GIF LZW stream
-    truncated' on the encoder's own valid output before the fix."""
+    explicitly or the EOI width diverges and the decoder raises
+    'GIF LZW stream truncated' on the encoder's own valid output."""
     enc, dec, _, _ = _gif_imports()
+    witness = gif_width_bump_witness()
+    assert dec(enc(witness)) == witness
+    # broad multi-segment sweep (blanket coverage; these lengths alone
+    # do NOT hit the boundary conjunction — the witness above does)
     rng = np.random.default_rng(0)
     for n in [4206, 8664, 13664]:
         data = rng.integers(0, 256, n, dtype=np.uint8).tobytes()
         assert dec(enc(data)) == data
-    # dense sweep around each boundary so the regression stays pinned
-    # even if dictionary fill rates drift
-    for base in [4206, 8664, 13664]:
-        for delta in (-2, -1, 1, 2):
-            data = rng.integers(0, 256, base + delta,
-                                dtype=np.uint8).tobytes()
-            assert dec(enc(data)) == data
 
 
 def test_gif_lzw_corrupt_stream_raises():

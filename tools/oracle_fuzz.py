@@ -29,6 +29,22 @@ variance -> corr/beta/VR denominators), negative prices (real in power
 markets), and a 95%-one-hub skew. Same swap-one-table staging, same
 compare; streaming drains run their full availableNow cycle per corpus.
 
+r9 extension — MEDIA and EMBEDDING families:
+  media_stress  codec-path stress via the text payloads derive from
+                (multi-segment LZW lengths, deep dictionary chains,
+                all-PNG-filter sweeps); ASCII, runs all 7 media queries
+  media_binary  full 0-255 pixel diversity incl. a PINNED witness that
+                fails the pre-r9-fix GIF encoder (final-segment table
+                size exactly 2^w + byte-aligned EOI); runs the
+                total-oracle real-codec trio
+  emb_degenerate / emb_nonfinite  adversarial `embeddings` corpora:
+                zero vectors (cosine 0/0 — found 2 ANSI DIVIDE_BY_ZERO
+                crashes, fixed via the NULL-cosine convention in
+                operators/similarity.py::_cosine), exact/near dups,
+                antipodal pairs, NaN/Inf components, float32-overflow
+                magnitudes (found embedding_norm_stats CAST_OVERFLOW,
+                fixed via the n_flagged health bound).
+
 Usage: python tools/oracle_fuzz.py [--seed N] [--corpus name ...]
                                    [query ...]
 Exit 1 on any mismatch. Each failure prints the oracle_check diff.
@@ -58,7 +74,9 @@ BASE_SF = "/root/testdata/sf0.001"
 # reproducible; tools/oracle_fuzz.py --list prints the live derivation)
 DOC_QUERIES = [
     "adaptive_quality_filter", "audio_zcr_features", "bigram_lift_top",
-    "bm25_rank", "bpe_vocab_merges", "cluster_aware_folds",
+    "bm25_rank", "bpe_encode_tokens", "bpe_vocab_coverage",
+    "bpe_vocab_merges", "cluster_aware_folds",
+    "data_mix_subword_budget",
     "corpus_entropy_by_source", "corpus_partitioned_roundtrip",
     "curation_funnel", "curation_pipeline", "curriculum_stages",
     "data_mix_summary", "decontaminate_bloom", "decontaminate_ngram",
@@ -120,6 +138,30 @@ EVENT_QUERIES = [
 ]
 
 EVENT_TYPES = ["view", "click", "purchase", "signup", "error"]
+
+# media/codec family (r9): payloads derive from documents.text, so a
+# crafted TEXT corpus reaches every codec path — long low-redundancy
+# texts force multi-segment LZW streams (the r9 advisor's GIF
+# final-code-width bug lived exactly there: payloads >= ~4.2 KB),
+# long compressible runs force deep dictionary chains and table resets,
+# and the PNG path sweeps all five filter types over many rows.
+MEDIA_QUERIES = [
+    "audio_zcr_features", "multimodal_decode_features",
+    "multimodal_frame_sample", "multimodal_gif_decode",
+    "multimodal_metadata", "multimodal_png_decode", "multimodal_resize",
+]
+
+# embedding family (r9): oracle-backed consumers of the embeddings table
+# (kmeans_embeddings / embedding_pca_variance are rows-only and skip)
+EMB_QUERIES = [
+    "crossmodal_dup_verify", "dedup_semantic", "embedding_cosine_pairs",
+    "embedding_norm_stats", "embedding_quality_stats", "ivf_probe_sweep",
+    "ivf_recall_eval", "kmeans_assign_cells", "semantic_mix_matrix",
+    "similarity_bruteforce_topk", "similarity_ivf_topk",
+    "similarity_lsh_topk",
+]
+
+EMB_DIM = 64
 
 
 def _event_rows(rows: list[tuple]) -> list[tuple]:
@@ -249,11 +291,136 @@ def corpus_unicode(rng: random.Random) -> list[tuple]:
     return _doc_rows(texts)
 
 
+def corpus_media_stress(rng: random.Random) -> list[tuple]:
+    """Codec-path stress via the text the payloads derive from:
+    low-redundancy texts at lengths sweeping past the LZW segment
+    boundaries (multi-segment streams, where the r9 GIF final-code
+    width bump bug lived), long compressible runs (deep dictionary
+    chains + 4096-entry table resets), single-symbol megadocs, and the
+    empty/NULL edges. ASCII only — the byte-derived stub oracles are
+    ASCII-scoped by their registration docs."""
+    printable = string.ascii_letters + string.digits + ".,;:!?'-() "
+    texts: list[str | None] = ["", None, "a", " " * 300]
+    # low-redundancy sweep across multi-segment LZW lengths (incl. the
+    # advisor reproducer neighborhoods 4206 / 8664 / 13664)
+    for n in [300, 1000, 2500, 4100, 4206, 4300, 6000,
+              8664, 9000, 13664, 16000]:
+        texts.append("".join(rng.choices(printable, k=n)))
+    # compressible: long runs and short repeating periods
+    texts += ["a" * 12000, "ab" * 6000, "abc " * 3000,
+              "".join(rng.choices("ab", k=10000)),
+              ("x" * 250 + "y") * 40]
+    # normal docs so grouped features keep real groups
+    for _ in range(15):
+        texts.append(" ".join(
+            "".join(rng.choices(string.ascii_lowercase, k=rng.randint(1, 8)))
+            for _ in range(rng.randint(3, 40))))
+    return _doc_rows(texts)
+
+
+def corpus_media_binary(rng: random.Random) -> list[tuple]:
+    """Full 0-255 pixel diversity at the LZW segment boundaries: pixel
+    values are ord(char) % 256, so chr(1..256) texts give the codec the
+    byte-random payloads the r9 advisor's reproducers used (printable
+    ASCII caps the symbol set at ~95 and never hits the final-segment
+    code counts 255/767/1791 that exposed the encoder's missing
+    post-final-code width bump — VERIFIED: this corpus fails on the
+    pre-fix encoder, media_stress does not). Non-ASCII text, so only
+    the TOTAL-oracle real-codec queries run it."""
+    def blob(n):
+        return "".join(chr(rng.randrange(256) or 256) for _ in range(n))
+
+    # the PINNED pre-fix-failing witness: random.Random(0) codepoints,
+    # length 4211 — found by the same instrumented scan as the unit-test
+    # witness but over with_gif_payload's EXACT pixel construction
+    # (text codes + pad-32 tail), so the failure reproduces through the
+    # registered query end to end (chr(256) stands in for byte 0 — NUL
+    # can't ride a string; ord % 256 restores it). VERIFIED: this row
+    # alone fails multimodal_gif_decode on the pre-fix encoder.
+    wrng = random.Random(0)
+    witness = "".join(chr(wrng.randrange(256) or 256) for _ in range(4211))
+    texts: list[str | None] = [witness]
+    for base in [4206, 8664, 13664]:
+        for delta in (-40, -1, 0, 1, 40):
+            texts.append(blob(base + delta))
+    texts += [blob(rng.randrange(2000, 16000)) for _ in range(10)]
+    return _doc_rows(texts)
+
+
+# real-codec queries whose oracles are total over any text AND whose
+# payload content is the per-char codepoint stream (the media_binary
+# target set)
+MEDIA_BINARY_QUERIES = [
+    "multimodal_gif_decode", "multimodal_png_decode", "audio_zcr_features",
+]
+
+
+def _emb_rows(vecs: list, rng: random.Random) -> list[tuple]:
+    return [(i, [float(x) for x in v], rng.randrange(10))
+            for i, v in enumerate(vecs)]
+
+
+def emb_degenerate(rng: random.Random) -> list[tuple]:
+    """All-finite pathological geometry: zero vectors (norm 0 -> cosine
+    0/0), exact duplicates (cosine exactly 1; dedup/LSH stress),
+    epsilon near-duplicates, constant vectors, one-hot axes, and
+    antipodal pairs — plus normal vectors so codebooks/matrices keep
+    real structure."""
+    def rnd():
+        return [rng.gauss(0, 1) for _ in range(EMB_DIM)]
+
+    vecs = []
+    vecs += [[0.0] * EMB_DIM] * 3                      # zero vectors
+    base = [rnd() for _ in range(8)]
+    vecs += base
+    vecs += [list(v) for v in base[:4]]                # exact duplicates
+    for v in base[:4]:                                 # near duplicates
+        w = list(v)
+        w[rng.randrange(EMB_DIM)] += 1e-7
+        vecs.append(w)
+    vecs += [[1.0] * EMB_DIM, [-1.0] * EMB_DIM]        # constant +/-
+    for i in range(6):                                 # one-hot axes
+        v = [0.0] * EMB_DIM
+        v[i] = 1.0
+        vecs.append(v)
+    v = rnd()
+    vecs += [v, [-x for x in v]]                       # antipodal pair
+    vecs += [rnd() for _ in range(160)]                # normal bulk
+    return _emb_rows(vecs, rng)
+
+
+def emb_nonfinite(rng: random.Random) -> list[tuple]:
+    """Non-finite and extreme-magnitude components: NaN / +-Inf entries,
+    float32-overflow magnitudes (sumsq -> inf), and denormal-scale
+    values — the rows a real embedding pipeline sees after a bad
+    normalization or a train-time divergence."""
+    def rnd(scale=1.0):
+        return [rng.gauss(0, 1) * scale for _ in range(EMB_DIM)]
+
+    vecs = []
+    v = rnd()
+    v[3] = float("nan")
+    vecs.append(v)
+    v = rnd()
+    v[0] = float("inf")
+    vecs.append(v)
+    v = rnd()
+    v[EMB_DIM - 1] = float("-inf")
+    vecs.append(v)
+    vecs.append([float("nan")] * EMB_DIM)
+    vecs += [rnd(1e25)]                    # float32 sumsq overflows to inf
+    vecs += [rnd(1e-30)]                   # denormal neighborhood
+    vecs += [rnd() for _ in range(120)]    # normal bulk
+    return _emb_rows(vecs, rng)
+
+
 CORPORA = {
     "edge_ascii": corpus_edge_ascii,
     "random_ascii": corpus_random_ascii,
     "zipf_dup": corpus_zipf_dup,
     "unicode": corpus_unicode,
+    "media_stress": corpus_media_stress,
+    "media_binary": corpus_media_binary,
 }
 
 EVENT_CORPORA = {
@@ -264,6 +431,12 @@ EVENT_CORPORA = {
 }
 CORPORA.update(EVENT_CORPORA)
 
+EMB_CORPORA = {
+    "emb_degenerate": emb_degenerate,
+    "emb_nonfinite": emb_nonfinite,
+}
+CORPORA.update(EMB_CORPORA)
+
 
 def stage_sf_dir(spark, rows: list[tuple], workdir: str,
                  table: str = "documents") -> str:
@@ -272,10 +445,13 @@ def stage_sf_dir(spark, rows: list[tuple], workdir: str,
     for t in os.listdir(BASE_SF):
         if t != f"{table}.parquet":
             os.symlink(os.path.join(BASE_SF, t), os.path.join(sf, t))
-    schema = ("doc_id long, text string, lang string, source string, "
-              "n_chars long") if table == "documents" else \
-             ("event_id long, ts timestamp, user_id long, "
-              "event_type string, value double, props string")
+    schema = {
+        "documents": ("doc_id long, text string, lang string, "
+                      "source string, n_chars long"),
+        "events": ("event_id long, ts timestamp, user_id long, "
+                   "event_type string, value double, props string"),
+        "embeddings": "vec_id long, embedding array<float>, label int",
+    }[table]
     docs = spark.createDataFrame(rows, schema)
     # the real testdata ships single parquet FILES, not directories —
     # match that layout so both engines read it the same way
@@ -302,13 +478,21 @@ def main() -> int:
     for cname in corpora:
         rng = random.Random(args.seed)
         rows = CORPORA[cname](rng)
-        table = "events" if cname in EVENT_CORPORA else "documents"
+        table = ("events" if cname in EVENT_CORPORA
+                 else "embeddings" if cname in EMB_CORPORA
+                 else "documents")
         if args.queries:
             names = args.queries
         elif cname == "unicode":
             names = TOTAL_TEXT
+        elif cname == "media_stress":
+            names = MEDIA_QUERIES
+        elif cname == "media_binary":
+            names = MEDIA_BINARY_QUERIES
         elif table == "events":
             names = EVENT_QUERIES
+        elif table == "embeddings":
+            names = EMB_QUERIES
         else:
             names = DOC_QUERIES
         work = tempfile.mkdtemp(prefix=f"kfps_fuzz_{cname}_")
