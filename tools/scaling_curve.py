@@ -55,6 +55,14 @@ QUERY_SET = ["groupby_agg_q1", "ohlc_bars", "kyle_lambda_price_impact",
 # dup structure per replica and no cross-replica matches — the honest
 # "corpus grew, dup rate stayed" shape.
 DEDUP_QUERY_SET = ["dedup_clusters", "dup_span_redact", "dedup_fuzzy_corpus"]
+# --r9 mode: the round-9 additions. BPE trainer/encoder/coverage run on
+# VERBATIM replication (same vocabulary, k-fold frequencies — the honest
+# Zipf shape of a growing corpus: the distinct-word relation the trainer
+# and encoder iterate over stays constant-size, only the one corpus-sized
+# groupBy/explode grows), and the tws SMA port drains k-fold ticks
+# through the ListState fold (state stays O(hubs x 20), output linear).
+R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
+                "data_mix_subword_budget", "streaming_forecast_sma_tws"]
 # distribution-preserving replication: bump the id columns per replica so
 # keys stay unique while every categorical/derived population (hubs from
 # user_id % 4, langs, priorities) keeps its shape
@@ -90,10 +98,13 @@ def force(df) -> None:
 def main() -> None:
     args = sys.argv[1:]
     dedup_mode = "--dedup" in args
-    args = [a for a in args if a != "--dedup"]
+    r9_mode = "--r9" in args
+    args = [a for a in args if a not in ("--dedup", "--r9")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
-    query_set = DEDUP_QUERY_SET if dedup_mode else QUERY_SET
-    tables = ["documents"] if dedup_mode else list(OFFSETS)
+    query_set = (DEDUP_QUERY_SET if dedup_mode
+                 else R9_QUERY_SET if r9_mode else QUERY_SET)
+    tables = (["documents"] if dedup_mode
+              else ["documents", "events"] if r9_mode else list(OFFSETS))
     spark = get_spark("scaling-curve")
     _ensure_loaded()
     # warm the Python worker pools once so 1x doesn't eat the fork cost
