@@ -167,18 +167,18 @@ def _oracle_stages(n_merges: int, keep_word: bool) -> list[str]:
     wkeep = f"s{{k}}.w, " if keep_word else ""
     stages = []
     stages.append(f"""
-    w AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+    w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
           FROM (SELECT unnest(string_split(text, ' ')) AS w
                 FROM documents)
           GROUP BY w),
-    s0 AS (SELECT {wcol}freq,
+    s0 AS MATERIALIZED (SELECT {wcol}freq,
                   '{D}' || list_aggregate(string_split(w, ''),
                                           'string_agg', '{DD}') || '{D}'
                     AS seq
            FROM w)""")
     for k in range(n_merges):
         stages.append(f"""
-    p{k} AS (SELECT pr[1] AS lsym, pr[2] AS rsym, SUM(freq) AS freq
+    p{k} AS MATERIALIZED (SELECT pr[1] AS lsym, pr[2] AS rsym, SUM(freq) AS freq
              FROM (SELECT freq,
                           [[syms[i], syms[i+1]] FOR i IN
                            range(1, len(syms))] AS prs
@@ -189,7 +189,7 @@ def _oracle_stages(n_merges: int, keep_word: bool) -> list[str]:
              GROUP BY pr[1], pr[2]
              ORDER BY SUM(freq) DESC, pr[1], pr[2]
              LIMIT 1),
-    s{k + 1} AS (SELECT {wkeep.format(k=k)}s{k}.freq,
+    s{k + 1} AS MATERIALIZED (SELECT {wkeep.format(k=k)}s{k}.freq,
                         CASE WHEN p{k}.lsym IS NULL THEN s{k}.seq
                              ELSE replace(s{k}.seq,
                                 '{D}' || p{k}.lsym || '{DD}'
@@ -218,7 +218,7 @@ def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
     — both engines run train-then-encode end to end."""
     stages = _oracle_stages(n_merges, keep_word=True)
     stages.append(f"""
-    wt AS (SELECT w,
+    wt AS MATERIALIZED (SELECT w,
                   CAST(len(string_split(seq[2:-2], '{DD}')) AS BIGINT)
                     AS n_sub
            FROM s{n_merges}
@@ -230,6 +230,173 @@ def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
              "           CAST(MAX(n_sub) AS BIGINT) AS max_word_tokens\n"
              "    FROM ex JOIN wt USING (w) GROUP BY doc_id")
     return "WITH" + ",".join(stages) + "\n    " + final
+
+
+N_BATCH_ITERS = 4      # batched-trainer defaults: 4 iterations x
+BATCH = 4              # up to 4 disjoint merges each = up to 16 merges
+CAND = 16              # ranked candidates scanned per iteration
+
+
+def _train_merges_batched(docs: DataFrame, n_iters: int, batch: int,
+                          cand: int, text_col: str) -> list[tuple]:
+    """Batched BPE: per iteration, rank pairs by (freq DESC, lsym, rsym),
+    scan the top `cand` candidates IN RANK ORDER, and greedily take up to
+    `batch` pairs that are SYMBOL-DISJOINT from every pair already taken
+    this iteration (neither side appears as a side of an earlier taken
+    pair); apply the taken merges in selection order, then recount.
+
+    This is the scale answer to the classic trainer's per-merge driver
+    round-trip (the r8 verdict's 'What's wrong #1'): a 30k-merge vocab
+    costs 30k sequential argmax jobs classically, but only 30k/batch
+    pair-count jobs batched — disjointness keeps the stale-count error
+    contained: applying one taken merge never destroys occurrences of a
+    later taken pair (its sides are untouched symbols), and the only new
+    adjacencies it creates involve the freshly merged symbol (which can
+    coincide with a later pair's side only when that side's string equals
+    lsym+rsym — still deterministic, applied in the same order by both
+    engines, just counted pre-apply like every batched trainer). The
+    selection is deterministic (total candidate order + greedy scan), so
+    the DuckDB oracle replays it exactly with one recursive-CTE greedy
+    scan per iteration (bpe_batched_oracle_sql).
+
+    Driver-side work stays O(cand) rows per iteration (the k-means
+    O(K)-scalars pattern); row data is touched only by pure-JVM replaces.
+    Returns [(iteration, sel_order, lsym, rsym, merged, freq), ...].
+    """
+    seqs = _word_seqs(docs, text_col).select("freq", "seq")
+    cached = seqs.persist()
+    seqs = cached
+    try:
+        out = []
+        for it in range(1, n_iters + 1):
+            pairs = (seqs
+                     .withColumn("syms", F.expr(
+                         f"split(substring(seq, 2, length(seq) - 2), "
+                         f"'{DD}')"))
+                     .select("freq", F.explode(F.expr(
+                         "zip_with(slice(syms, 1, size(syms) - 1), "
+                         "          slice(syms, 2, size(syms) - 1), "
+                         "          (a, b) -> struct(a AS lsym, b AS rsym))"
+                     )).alias("pr")))
+            top = (pairs.groupBy("pr.lsym", "pr.rsym")
+                   .agg(F.sum("freq").alias("freq"))
+                   .orderBy(F.desc("freq"), "lsym", "rsym")
+                   .limit(cand).collect())     # O(cand) scalars to driver
+            used: set[str] = set()
+            taken = []
+            for row in top:
+                if len(taken) >= batch:
+                    break
+                if row.lsym in used or row.rsym in used:
+                    continue
+                used.update((row.lsym, row.rsym))
+                taken.append(row)
+            for j, row in enumerate(taken, 1):
+                out.append((it, j, row.lsym, row.rsym,
+                            row.lsym + row.rsym, int(row.freq)))
+                seqs = seqs.withColumn("seq", F.replace(
+                    "seq",
+                    F.lit(D + row.lsym + DD + row.rsym + D),
+                    F.lit(D + row.lsym + row.rsym + D)))
+    finally:
+        cached.unpersist()
+    return out
+
+
+def bpe_vocab_merges_batched(docs: DataFrame,
+                             n_iters: int = N_BATCH_ITERS,
+                             batch: int = BATCH, cand: int = CAND,
+                             text_col: str = "text") -> DataFrame:
+    """Batched BPE vocabulary induction: up to n_iters*batch merges in
+    n_iters pair-count jobs. Returns (iteration, sel_order, lsym, rsym,
+    merged, freq); with batch=1 this degenerates to the classic trainer
+    (property-tested in tests/test_bpe.py)."""
+    return docs.sparkSession.createDataFrame(
+        _train_merges_batched(docs, n_iters, batch, cand, text_col),
+        "iteration long, sel_order long, lsym string, rsym string, "
+        "merged string, freq long")
+
+
+def bpe_batched_oracle_sql(n_iters: int = N_BATCH_ITERS,
+                           batch: int = BATCH, cand: int = CAND) -> str:
+    """DuckDB rendering of the batched trainer. Per iteration: the same
+    pair-count stage as the classic oracle, a ROW_NUMBER total ranking
+    capped at `cand`, a RECURSIVE greedy scan that walks the candidates
+    in rank order carrying the taken-symbol set as a delimiter-wrapped
+    string (contains(used, D||sym||D) is exact because symbols never
+    contain D), and `batch` static apply sub-stages each LEFT-JOINing the
+    j-th taken pair (NULL => pass-through, mirroring iterations that run
+    dry). WITH RECURSIVE + generated stages — both engines replay the
+    identical deterministic algorithm."""
+    stages = []
+    stages.append(f"""
+    w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w),
+    b0 AS MATERIALIZED (SELECT freq,
+                  '{D}' || list_aggregate(string_split(w, ''),
+                                          'string_agg', '{DD}') || '{D}'
+                    AS seq
+           FROM w)""")
+    for k in range(n_iters):
+        take = (f"(g.n_taken < {batch}"
+                f" AND NOT contains(g.used, '{D}' || r.lsym || '{D}')"
+                f" AND NOT contains(g.used, '{D}' || r.rsym || '{D}'))")
+        stages.append(f"""
+    bp{k} AS MATERIALIZED (SELECT pr[1] AS lsym, pr[2] AS rsym, SUM(freq) AS freq
+              FROM (SELECT freq,
+                           [[syms[i], syms[i+1]] FOR i IN
+                            range(1, len(syms))] AS prs
+                    FROM (SELECT freq,
+                                 string_split(seq[2:-2], '{DD}') AS syms
+                          FROM b{k})),
+                   unnest(prs) AS u(pr)
+              GROUP BY pr[1], pr[2]),
+    br{k} AS MATERIALIZED (SELECT lsym, rsym, freq,
+                     ROW_NUMBER() OVER (ORDER BY freq DESC, lsym, rsym)
+                       AS rn
+              FROM bp{k}
+              QUALIFY rn <= {cand}),
+    bg{k} AS (
+        SELECT CAST(0 AS BIGINT) AS rn, CAST(NULL AS VARCHAR) AS lsym,
+               CAST(NULL AS VARCHAR) AS rsym, CAST(NULL AS BIGINT) AS freq,
+               '' AS used, 0 AS n_taken, FALSE AS taken
+        UNION ALL
+        SELECT r.rn, r.lsym, r.rsym, r.freq,
+               CASE WHEN {take}
+                    THEN g.used || '{D}' || r.lsym || '{D}{D}'
+                                || r.rsym || '{D}'
+                    ELSE g.used END,
+               g.n_taken + CASE WHEN {take} THEN 1 ELSE 0 END,
+               {take}
+        FROM bg{k} g JOIN br{k} r ON r.rn = g.rn + 1),
+    bsel{k} AS MATERIALIZED (SELECT lsym, rsym, freq,
+                       ROW_NUMBER() OVER (ORDER BY rn) AS j
+                FROM bg{k} WHERE taken)""")
+        prev = f"b{k}"
+        for i in range(1, batch + 1):
+            stages.append(f"""
+    ba{k}_{i} AS (SELECT s.freq,
+                         CASE WHEN m.lsym IS NULL THEN s.seq
+                              ELSE replace(s.seq,
+                                 '{D}' || m.lsym || '{D}{D}'
+                                       || m.rsym || '{D}',
+                                 '{D}' || m.lsym || m.rsym || '{D}')
+                         END AS seq
+                  FROM {prev} s
+                  LEFT JOIN (SELECT lsym, rsym FROM bsel{k}
+                             WHERE j = {i}) m ON TRUE)""")
+            prev = f"ba{k}_{i}"
+        stages.append(f"""
+    b{k + 1} AS MATERIALIZED (SELECT freq, seq FROM {prev})""")
+    selects = " UNION ALL ".join(
+        f"SELECT CAST({k + 1} AS BIGINT) AS iteration, "
+        f"CAST(j AS BIGINT) AS sel_order, lsym, rsym, "
+        f"lsym || rsym AS merged, CAST(freq AS BIGINT) AS freq "
+        f"FROM bsel{k}"
+        for k in range(n_iters))
+    return "WITH RECURSIVE" + ",".join(stages) + "\n    " + selects
 
 
 def bpe_vocab_coverage(docs: DataFrame, n_merges: int = N_MERGES,
@@ -270,7 +437,7 @@ def bpe_vocab_coverage_oracle_sql(n_merges: int = N_MERGES) -> str:
         f"lsym || rsym AS merged FROM p{k}"
         for k in range(n_merges))
     stages.append(f"""
-    m AS ({merges})""")
+    m AS MATERIALIZED ({merges})""")
     final = ("SELECT merge_rank, merged,\n"
              "           CAST(COUNT(DISTINCT w.w) AS BIGINT)"
              " AS n_words_containing,\n"

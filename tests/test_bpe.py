@@ -164,3 +164,113 @@ def test_self_merge_is_left_to_right_greedy(spark):
     assert got == _reference_bpe(["aaaaa aaaaa"], 2)
     assert got[0][1:4] == ("a", "a", "aa")
     assert got[1][1:4] == ("aa", "a", "aaa")
+
+
+def _reference_bpe_batched(texts: list[str], n_iters: int, batch: int,
+                           cand: int):
+    """Independent pure-Python batched trainer: rank pairs by
+    (freq DESC, lsym, rsym), scan the top `cand` in rank order taking up
+    to `batch` symbol-disjoint pairs, apply them greedily L2R in
+    selection order, recount."""
+    words = Counter()
+    for t in texts:
+        for w in t.split(" "):
+            words[w] += 1
+    seq_list = [[list(w), f] for w, f in words.items()]
+    out = []
+    for it in range(1, n_iters + 1):
+        pc = Counter()
+        for syms, f in seq_list:
+            for i in range(len(syms) - 1):
+                pc[(syms[i], syms[i + 1])] += f
+        ranked = sorted(pc.items(),
+                        key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))[:cand]
+        used: set[str] = set()
+        taken = []
+        for (lsym, rsym), freq in ranked:
+            if len(taken) >= batch:
+                break
+            if lsym in used or rsym in used:
+                continue
+            used.update((lsym, rsym))
+            taken.append((lsym, rsym, freq))
+        for j, (lsym, rsym, freq) in enumerate(taken, 1):
+            out.append((it, j, lsym, rsym, lsym + rsym, freq))
+            for entry in seq_list:
+                syms, merged, i = entry[0], [], 0
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == lsym
+                            and syms[i + 1] == rsym):
+                        merged.append(lsym + rsym)
+                        i += 2
+                    else:
+                        merged.append(syms[i])
+                        i += 1
+                entry[0] = merged
+    return out
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_spark_batched_matches_reference(spark, texts):
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_vocab_merges_batched,
+    )
+
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    got = [tuple(r) for r in
+           bpe_vocab_merges_batched(docs, n_iters=3, batch=3, cand=8)
+           .orderBy("iteration", "sel_order").collect()]
+    assert got == _reference_bpe_batched(texts, 3, 3, 8)
+
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_batched_oracle_sql_matches_reference(texts):
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_batched_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?)",
+                    [(t,) for t in texts])
+    got = [tuple(r) for r in
+           con.execute(bpe_batched_oracle_sql(3, 3, 8)
+                       + " ORDER BY iteration, sel_order").fetchall()]
+    assert got == _reference_bpe_batched(texts, 3, 3, 8)
+
+
+def test_batch_one_degenerates_to_classic(spark):
+    """With batch=1 the batched trainer IS the classic trainer: the greedy
+    scan takes exactly the argmax pair each iteration."""
+    from kafka_flink_processing_spark.operators.bpe import (
+        _train_merges,
+        _train_merges_batched,
+    )
+
+    texts = CORPORA[0]
+    docs = spark.createDataFrame([(t,) for t in texts], "text string")
+    b1 = _train_merges_batched(docs, n_iters=6, batch=1, cand=4,
+                               text_col="text")
+    classic = _train_merges(docs, 6, "text")
+    assert [(r[2], r[3], r[4], r[5]) for r in b1] == \
+        [(r[1], r[2], r[3], r[4]) for r in classic]
+
+
+def test_batched_selection_is_symbol_disjoint(spark):
+    """No two pairs taken in the same iteration share a side symbol."""
+    from kafka_flink_processing_spark.operators.bpe import (
+        _train_merges_batched,
+    )
+
+    docs = spark.createDataFrame(
+        [(t,) for t in CORPORA[0] + CORPORA[1]], "text string")
+    rows = _train_merges_batched(docs, n_iters=3, batch=4, cand=12,
+                                 text_col="text")
+    by_iter: dict[int, list] = {}
+    for it, _j, lsym, rsym, _m, _f in rows:
+        by_iter.setdefault(it, []).append((lsym, rsym))
+    for pairs in by_iter.values():
+        seen: set[str] = set()
+        for lsym, rsym in pairs:
+            assert lsym not in seen and rsym not in seen
+            seen.update((lsym, rsym))
