@@ -399,6 +399,66 @@ def bpe_batched_oracle_sql(n_iters: int = N_BATCH_ITERS,
     return "WITH RECURSIVE" + ",".join(stages) + "\n    " + selects
 
 
+def bpe_fertility_by_lang(docs: DataFrame, n_merges: int = N_MERGES,
+                          text_col: str = "text",
+                          lang_col: str = "lang") -> DataFrame:
+    """Tokenizer FERTILITY by language — the standard
+    tokens-per-word tokenizer-quality view (a vocab trained on a mixed
+    corpus over-segments under-represented languages; fertility is the
+    gauge): train n_merges BPE merges on the whole corpus, encode the
+    distinct-word relation once, then aggregate subword counts over the
+    per-language word stream. Returns (lang, n_word_occ, n_tokens,
+    n_distinct_words, n_unmerged_occ, fertility) where n_unmerged_occ
+    counts occurrences of words no merge touched (n_sub == char length —
+    the 'tokenizer does not help this language' signal) and fertility =
+    n_tokens / n_word_occ as one exact double division of two exact
+    BIGINTs (bit-identical cross-engine; no float summation anywhere).
+
+    Scale shape: identical to bpe_encode_tokens — corpus touched once by
+    the train groupBy(word) and once by the final explode, with the
+    Zipf-tiny word->n_sub map broadcast into the join; the output is
+    O(#languages)."""
+    merges = _train_merges(docs, n_merges, text_col)
+    wtok = (bpe_encode_words(docs, merges, text_col)
+            .where(F.col("w") != "").select("w", "n_sub"))
+    ex = docs.select(F.col(lang_col).alias("lang"),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    return (ex.join(F.broadcast(wtok), "w")
+            .groupBy("lang")
+            .agg(F.count("*").alias("n_word_occ"),
+                 F.sum("n_sub").alias("n_tokens"),
+                 F.countDistinct("w").alias("n_distinct_words"),
+                 F.sum(F.when(F.col("n_sub") == F.length("w"), 1)
+                       .otherwise(0)).cast("long").alias("n_unmerged_occ"),
+                 (F.sum("n_sub").cast("double") / F.count("*"))
+                 .alias("fertility")))
+
+
+def bpe_fertility_oracle_sql(n_merges: int = N_MERGES) -> str:
+    """DuckDB rendering of bpe_fertility_by_lang: the trainer's generated
+    per-merge CTE chain carrying the word through, then the same
+    per-language join/aggregate."""
+    stages = _oracle_stages(n_merges, keep_word=True)
+    stages.append(f"""
+    wt AS MATERIALIZED (SELECT w,
+                  CAST(len(string_split(seq[2:-2], '{DD}')) AS BIGINT)
+                    AS n_sub
+           FROM s{n_merges}
+           WHERE w <> ''),
+    ex AS (SELECT lang, unnest(string_split(text, ' ')) AS w
+           FROM documents)""")
+    final = (
+        "SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_word_occ,\n"
+        "           CAST(SUM(n_sub) AS BIGINT) AS n_tokens,\n"
+        "           CAST(COUNT(DISTINCT ex.w) AS BIGINT)"
+        " AS n_distinct_words,\n"
+        "           CAST(SUM(CASE WHEN n_sub = length(ex.w) THEN 1"
+        " ELSE 0 END) AS BIGINT) AS n_unmerged_occ,\n"
+        "           CAST(SUM(n_sub) AS DOUBLE) / COUNT(*) AS fertility\n"
+        "    FROM ex JOIN wt USING (w) GROUP BY lang")
+    return "WITH" + ",".join(stages) + "\n    " + final
+
+
 def bpe_vocab_coverage(docs: DataFrame, n_merges: int = N_MERGES,
                        text_col: str = "text") -> DataFrame:
     """The eval tying the two tokenizer views together: for each learned

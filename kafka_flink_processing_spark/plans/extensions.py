@@ -2910,6 +2910,34 @@ def bpe_vocab_merges_batched_q(spark: SparkSession,
 
 
 from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
+    bpe_fertility_oracle_sql,
+)
+
+
+@register(
+    "bpe_fertility_by_lang",
+    oracle=bpe_fertility_oracle_sql(_BPE_K),
+    doc="tokenizer FERTILITY by language — tokens-per-word, the standard "
+        "tokenizer-quality-by-language gauge (a vocab trained on a mixed "
+        "corpus over-segments under-represented languages): train on the "
+        "whole corpus, encode the Zipf-tiny distinct-word relation once, "
+        "aggregate subword counts over the per-language word stream; "
+        "n_unmerged_occ counts occurrences no merge touched (the "
+        "'tokenizer does not help this language' signal) and fertility "
+        "is ONE exact double division of two exact BIGINTs (bit-"
+        "identical cross-engine, no float summation). Same scale shape "
+        "as bpe_encode_tokens: two corpus passes, broadcast word map, "
+        "O(#languages) output.",
+)
+def bpe_fertility_by_lang_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_fertility_by_lang,
+    )
+
+    return bpe_fertility_by_lang(load_table(spark, "documents", sf_dir))
+
+
+from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
     bpe_vocab_coverage_oracle_sql,
 )
 

@@ -274,3 +274,71 @@ def test_batched_selection_is_symbol_disjoint(spark):
         for lsym, rsym in pairs:
             assert lsym not in seen and rsym not in seen
             seen.update((lsym, rsym))
+
+
+LANG_CORPUS = [
+    ("the cat sat on the mat", "en"),
+    ("a cat ate the hat", "en"),
+    ("der hut tut gut", "de"),
+    ("aaa aaaa aa a", "de"),
+    ("x  y", "fr"),                 # double space -> empty word dropped
+]
+
+
+def test_fertility_by_lang_matches_reference(spark):
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_fertility_by_lang,
+    )
+
+    texts = [t for t, _l in LANG_CORPUS]
+    merges = _reference_bpe(texts, 6)
+    segs = _reference_encode(texts, merges)
+    exp: dict[str, list] = {}
+    for t, lang in LANG_CORPUS:
+        for w in t.split(" "):
+            if w != "":
+                exp.setdefault(lang, []).append(w)
+    docs = spark.createDataFrame(
+        [(i, t, l) for i, (t, l) in enumerate(LANG_CORPUS)],
+        "doc_id long, text string, lang string")
+    got = {r["lang"]: r for r in bpe_fertility_by_lang(docs, 6).collect()}
+    assert set(got) == set(exp)
+    for lang, ws in exp.items():
+        r = got[lang]
+        n_tok = sum(len(segs[w]) for w in ws)
+        assert r["n_word_occ"] == len(ws)
+        assert r["n_tokens"] == n_tok
+        assert r["n_distinct_words"] == len(set(ws))
+        assert r["n_unmerged_occ"] == sum(
+            1 for w in ws if len(segs[w]) == len(w))
+        assert r["fertility"] == n_tok / len(ws)
+
+
+def test_fertility_oracle_matches_reference():
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_fertility_oracle_sql,
+    )
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE documents(doc_id BIGINT, text VARCHAR, lang VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?, ?)",
+                    [(i, t, l) for i, (t, l) in enumerate(LANG_CORPUS)])
+    texts = [t for t, _l in LANG_CORPUS]
+    merges = _reference_bpe(texts, 6)
+    segs = _reference_encode(texts, merges)
+    exp: dict[str, list] = {}
+    for t, lang in LANG_CORPUS:
+        for w in t.split(" "):
+            if w != "":
+                exp.setdefault(lang, []).append(w)
+    got = {r[0]: r for r in
+           con.execute(bpe_fertility_oracle_sql(6)).fetchall()}
+    assert set(got) == set(exp)
+    for lang, ws in exp.items():
+        _l, occ, ntok, ndist, nunm, fert = got[lang]
+        assert occ == len(ws)
+        assert ntok == sum(len(segs[w]) for w in ws)
+        assert ndist == len(set(ws))
+        assert nunm == sum(1 for w in ws if len(segs[w]) == len(w))
+        assert fert == ntok / occ

@@ -75,7 +75,8 @@ BASE_SF = "/root/testdata/sf0.001"
 DOC_QUERIES = [
     "adaptive_quality_filter", "audio_zcr_features", "bigram_lift_top",
     "bm25_rank", "bpe_encode_tokens", "bpe_vocab_coverage",
-    "bpe_vocab_merges", "cluster_aware_folds",
+    "bpe_fertility_by_lang", "bpe_vocab_merges", "bpe_vocab_merges_batched",
+    "cluster_aware_folds",
     "data_mix_subword_budget",
     "corpus_entropy_by_source", "corpus_partitioned_roundtrip",
     "curation_funnel", "curation_pipeline", "curriculum_stages",

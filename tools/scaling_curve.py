@@ -62,7 +62,8 @@ DEDUP_QUERY_SET = ["dedup_clusters", "dup_span_redact", "dedup_fuzzy_corpus"]
 # groupBy/explode grows), and the tws SMA port drains k-fold ticks
 # through the ListState fold (state stays O(hubs x 20), output linear).
 R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
-                "data_mix_subword_budget", "streaming_forecast_sma_tws"]
+                "data_mix_subword_budget", "streaming_forecast_sma_tws",
+                "bpe_vocab_merges_batched"]
 # distribution-preserving replication: bump the id columns per replica so
 # keys stay unique while every categorical/derived population (hubs from
 # user_id % 4, langs, priorities) keeps its shape
