@@ -107,6 +107,12 @@ DOC_QUERIES = [
 TOTAL_TEXT = [
     "multimodal_png_decode", "multimodal_gif_decode", "audio_zcr_features",
     "feature_hashing", "curriculum_stages", "token_length_histogram",
+    # the BPE family is unicode-total (verified r9: Spark split(w,'') ==
+    # DuckDB string_split(w,'') and length() == len() on non-ASCII incl.
+    # astral codepoints; string order is binary UTF-8 in both engines) —
+    # all six pass the unicode corpus
+    "bpe_vocab_merges", "bpe_vocab_merges_batched", "bpe_encode_tokens",
+    "bpe_vocab_coverage", "bpe_fertility_by_lang", "data_mix_subword_budget",
 ]
 
 LANGS = ["en", "de", "fr", "es"]
