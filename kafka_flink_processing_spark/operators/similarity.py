@@ -239,6 +239,141 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def _sqd(a: Column, b: Column) -> Column:
+    """Sequential-fold squared L2 distance (index order — matches the
+    oracle's list_reduce; per-element cast to double like _dot)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x.cast("double") - y.cast("double"))
+                   * (x.cast("double") - y.cast("double"))),
+        F.lit(0.0),
+        lambda acc, x: acc + x)
+
+
+def _pq_codebook_df(spark, codebook) -> DataFrame:
+    """(m, j, cv) rows from an M x K x dsub centroid tensor."""
+    rows = [(m, j, [float(v) for v in cv])
+            for m, sub in enumerate(codebook)
+            for j, cv in enumerate(sub)]
+    return spark.createDataFrame(rows, "m int, j int, cv array<double>")
+
+
+def pq_encode(emb: DataFrame, codebook,
+              id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """Product-quantization encode (Jegou et al. 2011): per subspace m,
+    code = argmin_j ||x_m - C[m][j]||^2 (ties -> smallest j, the
+    oracle's ROW_NUMBER order). Returns (id, codes array<int>,
+    distortion double) where distortion is the reconstruction error
+    sum_m min_j ||x_m - C[m][j]||^2, folded in subspace order so the
+    double is bit-identical cross-engine.
+
+    Scale shape: the M*K-row codebook broadcasts; scoring is map-only
+    (N*M*K rows never shuffle past the map-side-combined groupBy on the
+    vector id); the output is one codes row per vector — at 100 TB this
+    IS the point of PQ: the corpus compresses ~16x (M bytes + id vs
+    M*dsub floats) and every downstream ADC scan reads codes, not
+    vectors."""
+    spark = emb.sparkSession
+    dsub = len(codebook[0][0])
+    cb = _pq_codebook_df(spark, codebook)
+    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
+    scored = (emb.crossJoin(F.broadcast(cb))
+              .select(F.col(id_col), F.col("m"), F.col("j"),
+                      _sqd(sub, F.col("cv")).alias("sqd")))
+    best = (scored.groupBy(id_col, "m")
+            .agg(F.min_by("j", F.struct(F.col("sqd"), F.col("j")))
+                 .alias("code"),
+                 F.min("sqd").alias("msqd")))
+    return (best.groupBy(id_col)
+            .agg(F.transform(
+                     F.array_sort(F.collect_list(F.struct("m", "code"))),
+                     lambda s: s.code).alias("codes"),
+                 F.aggregate(
+                     F.array_sort(F.collect_list(F.struct("m", "msqd"))),
+                     F.lit(0.0),
+                     lambda acc, s: acc + s.msqd).alias("distortion")))
+
+
+def pq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
+                id_col: str = "vec_id",
+                vec_col: str = "embedding") -> DataFrame:
+    """ANN top-k by PQ asymmetric distance computation: encode the corpus
+    once (pq_encode), build each query's M x K lookup table of exact
+    subspace distances to every centroid, then approximate
+    ||q - x||^2 ~ sum_m LUT[m][codes_x[m]] with a fixed-order fold.
+    Returns (query_id, cand_id, adist, rank), rank by (adist ASC,
+    cand_id) — fully deterministic, so the DuckDB oracle replays it
+    bit-exact.
+
+    Scale shape: the LUT side is O(|Q| * M * K) and broadcasts; the scan
+    side reads the M-byte codes relation (the compressed corpus), not
+    the vectors — the textbook memory-bandwidth win of PQ. The only
+    shuffle is the per-query top-k."""
+    spark = emb.sparkSession
+    M = len(codebook)
+    K = len(codebook[0])
+    dsub = len(codebook[0][0])
+    cb = _pq_codebook_df(spark, codebook)
+    enc = pq_encode(emb, codebook, id_col, vec_col).select(id_col, "codes")
+
+    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
+    q = emb.filter(F.col(id_col).isin(list(query_ids)))
+    lut_rows = (q.crossJoin(F.broadcast(cb))
+                .select(F.col(id_col).alias("query_id"), F.col("m"),
+                        F.col("j"), _sqd(sub, F.col("cv")).alias("lv")))
+    # array_sort by (m, j) lays the LUT out flat: index = m*K + j
+    luts = (lut_rows.groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "j", "lv"))),
+                lambda s: s.lv).alias("lut")))
+
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"),
+            m * K + F.element_at(F.col("codes"), m + 1) + 1))
+    scored = (enc.crossJoin(F.broadcast(luts))
+              .filter(F.col("query_id") != F.col(id_col))
+              .select("query_id", F.col(id_col).alias("cand_id"),
+                      adist.alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
+def pq_adc_rerank_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
+                       shortlist: int = 50,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """The production PQ pattern: ADC retrieves a `shortlist`-sized
+    candidate set from the compressed codes, then ONLY the shortlist's
+    original vectors are fetched for an exact squared-L2 re-rank —
+    recall recovers toward exact while the corpus-wide scan still reads
+    M-byte codes. Returns (query_id, cand_id, dist, rank) by exact
+    distance.
+
+    Scale shape: the code scan is the similarity_pq_topk plan; the
+    re-rank join touches |Q| * shortlist vectors (broadcastable), so
+    the full-precision corpus is read ~|Q|*R/N as often as brute force
+    would read it."""
+    short = pq_adc_topk(emb, query_ids, codebook, k=shortlist,
+                        id_col=id_col, vec_col=vec_col)
+    q = (emb.filter(F.col(id_col).isin(list(query_ids)))
+         .select(F.col(id_col).alias("query_id"),
+                 F.col(vec_col).alias("qv")))
+    cand = (short.select("query_id", "cand_id")
+            .join(emb.select(F.col(id_col).alias("cand_id"),
+                             F.col(vec_col).alias("cv")), "cand_id")
+            .join(F.broadcast(q), "query_id"))
+    scored = cand.select("query_id", "cand_id",
+                         _sqd(F.col("qv"), F.col("cv")).alias("dist"))
+    w = Window.partitionBy("query_id").orderBy(F.col("dist"),
+                                               F.col("cand_id"))
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .filter(F.col("rank") <= k))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.45,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

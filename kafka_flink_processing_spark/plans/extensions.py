@@ -649,6 +649,178 @@ def similarity_ivf_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                       F.col("rank").cast("long").alias("rank"))
 
 
+from kafka_flink_processing_spark.functions.pq_codebook import (  # noqa: E402
+    PQ_CODEBOOK,
+    PQ_DSUB,
+    PQ_K,
+    PQ_M,
+)
+
+# squared L2 distance as the same sequential list_reduce fold _DOT uses
+# (index order, per-element cast to double) — matches operators/
+# similarity.py::_sqd bit for bit
+_SQDIST = ("list_reduce(list_prepend(CAST(0.0 AS DOUBLE), "
+           "list_transform(list_zip({a}, {b}), "
+           "p -> (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)) "
+           "* (CAST(p[1] AS DOUBLE) - CAST(p[2] AS DOUBLE)))), "
+           "(acc, x) -> acc + x)")
+
+
+def _pq_codebook_values_sql() -> str:
+    """The pinned M x K x dsub PQ codebook as a VALUES list — the same
+    6dp literals the Spark operator ships (functions/pq_codebook.py)."""
+    rows = ", ".join(
+        f"({m}, {j}, {_plane_literal(list(cv))})"
+        for m, sub in enumerate(PQ_CODEBOOK)
+        for j, cv in enumerate(sub))
+    return f"SELECT m, j, cv FROM (VALUES {rows}) AS t(m, j, cv)"
+
+
+# shared encode stages: subspace scoring, per-(vec, m) argmin, codes list
+_PQ_ENC_SQL = f"""cb AS MATERIALIZED ({_pq_codebook_values_sql()}),
+    sc AS MATERIALIZED (SELECT e.vec_id, c.m, c.j,
+            {_SQDIST.format(
+                a=f'list_slice(e.embedding, c.m*{PQ_DSUB}+1, '
+                  f'c.m*{PQ_DSUB}+{PQ_DSUB})',
+                b='c.cv')} AS sqd
+         FROM embeddings e CROSS JOIN cb c),
+    best AS MATERIALIZED (SELECT vec_id, m, j AS code, sqd FROM (
+            SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                       ORDER BY sqd, j) AS rn FROM sc) WHERE rn = 1),
+    codes AS MATERIALIZED (SELECT vec_id, list(code ORDER BY m) AS codes
+                           FROM best GROUP BY vec_id)"""
+
+# ADC: sum_m LUT[m*K + codes[m]] unrolled in subspace order (left-assoc
+# addition == the Spark fold's order; term values are bit-identical)
+_PQ_ADIST = " + ".join(
+    f"lut[{m * PQ_K} + codes[{m + 1}] + 1]" for m in range(PQ_M))
+
+
+@register(
+    "similarity_pq_topk",
+    oracle=f"""
+    WITH {_PQ_ENC_SQL},
+    luts AS MATERIALIZED (SELECT vec_id AS query_id,
+                                 list(sqd ORDER BY m, j) AS lut
+            FROM sc WHERE vec_id < 5 GROUP BY vec_id),
+    scored AS (SELECT l.query_id, c.vec_id AS cand_id,
+                      {_PQ_ADIST} AS adist
+               FROM codes c CROSS JOIN luts l
+               WHERE l.query_id != c.vec_id)
+    SELECT query_id, cand_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, cand_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc=f"ANN top-k via PRODUCT QUANTIZATION + asymmetric distance "
+        f"(Jegou et al. 2011): the corpus encodes once against the "
+        f"pinned M={PQ_M} x K={PQ_K} codebook (trained offline per "
+        "subspace by the SAME distributed Lloyd trainer IVF uses, "
+        "tools/train_pq_codebook.py, 6dp literals so both engines share "
+        "exact doubles), then each query's M x K exact-subspace-distance "
+        "LUT broadcasts and approx ||q-x||^2 folds M lookups in "
+        "subspace order — fully deterministic, hash-exact vs the "
+        "recursive-free generated oracle. THE memory-bandwidth scale "
+        "path for 100 TB embedding search: the scan side reads M-byte "
+        "codes (~16x compression), not vectors; complements IVF "
+        "(cell-pruning) and LSH (bucketing). Recall vs exact L2 brute "
+        "force asserted in tests/test_pq.py.",
+    bench=True,  # first-round floor r9
+)
+def similarity_pq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import pq_adc_topk
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = pq_adc_topk(emb, query_ids=range(5), codebook=PQ_CODEBOOK, k=10)
+    return out.select("query_id", "cand_id", "adist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "similarity_pq_rerank_topk",
+    oracle=f"""
+    WITH {_PQ_ENC_SQL},
+    luts AS MATERIALIZED (SELECT vec_id AS query_id,
+                                 list(sqd ORDER BY m, j) AS lut
+            FROM sc WHERE vec_id < 5 GROUP BY vec_id),
+    adc AS (SELECT l.query_id, c.vec_id AS cand_id,
+                   {_PQ_ADIST} AS adist
+            FROM codes c CROSS JOIN luts l
+            WHERE l.query_id != c.vec_id),
+    short AS (SELECT query_id, cand_id FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+                 ORDER BY adist, cand_id) AS rn FROM adc) WHERE rn <= 50),
+    rer AS (SELECT s.query_id, s.cand_id,
+                   {_SQDIST.format(a='q.embedding', b='x.embedding')}
+                     AS dist
+            FROM short s
+            JOIN embeddings q ON q.vec_id = s.query_id
+            JOIN embeddings x ON x.vec_id = s.cand_id)
+    SELECT query_id, cand_id, dist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY dist, cand_id) AS BIGINT) AS rank
+      FROM rer
+    ) WHERE rank <= 10
+    """,
+    doc="the production PQ deployment pattern: ADC over the compressed "
+        "codes retrieves a 50-candidate shortlist, then ONLY the "
+        "shortlist's original vectors are fetched for an exact "
+        "squared-L2 re-rank — measured recall@10 vs exact brute force "
+        "recovers from ~0.4 (raw 32-bit ADC) to near-exact "
+        "(tests/test_pq.py pins the floor) while the corpus-wide scan "
+        "still reads M-byte codes. The re-rank join touches |Q|*50 "
+        "vectors (broadcast query side), so full-precision reads shrink "
+        "by ~N/(|Q|*50) vs brute force.",
+)
+def similarity_pq_rerank_topk_q(spark: SparkSession,
+                                sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        pq_adc_rerank_topk,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = pq_adc_rerank_topk(emb, query_ids=range(5), codebook=PQ_CODEBOOK,
+                             k=10, shortlist=50)
+    return out.select("query_id", "cand_id", "dist",
+                      F.col("rank").cast("long").alias("rank"))
+
+
+@register(
+    "pq_distortion_by_label",
+    oracle=f"""
+    WITH {_PQ_ENC_SQL},
+    pv AS (SELECT vec_id,
+                  list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+                                           list(sqd ORDER BY m)),
+                              (acc, x) -> acc + x) AS distortion
+           FROM best GROUP BY vec_id)
+    SELECT CAST(e.label AS BIGINT) AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           {dsum_sql('pv.distortion', 6)} / COUNT(*) AS avg_distortion,
+           MAX(pv.distortion) AS max_distortion
+    FROM pv JOIN embeddings e USING (vec_id)
+    GROUP BY e.label
+    """,
+    doc="PQ reconstruction-error audit by label: per-vector distortion = "
+        "sum_m min_j ||x_m - C[m][j]||^2 folded in subspace order (bit-"
+        "identical cross-engine), then per-label mean via the 6dp "
+        "scaled-int order-free sum and an exact MAX — the codebook-"
+        "health gauge that says when to retrain (a label whose "
+        "distortion runs hot is poorly covered by the codebook and its "
+        "ADC ranks degrade first). Same map-only encode shape as "
+        "similarity_pq_topk.",
+)
+def pq_distortion_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import pq_encode
+    emb = load_table(spark, "embeddings", sf_dir)
+    enc = pq_encode(emb, PQ_CODEBOOK)
+    j = enc.join(emb.select("vec_id", "label"), "vec_id")
+    return (j.groupBy(F.col("label").cast("long").alias("label"))
+            .agg(F.count("*").alias("n_vecs"),
+                 (dsum(F.col("distortion"), 6) / F.count("*"))
+                 .alias("avg_distortion"),
+                 F.max("distortion").alias("max_distortion")))
+
+
 @register(
     "kmeans_assign_cells",
     oracle=f"""
