@@ -374,6 +374,92 @@ def pq_adc_rerank_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
                   .filter(F.col("rank") <= k))
 
 
+def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
+                   nprobe: int = IVF_NPROBE,
+                   id_col: str = "vec_id",
+                   vec_col: str = "embedding",
+                   centroids=None) -> DataFrame:
+    """IVFADC (Jegou et al. 2011 §V, the FAISS default architecture):
+    IVF coarse-cell pruning COMPOSED with PQ asymmetric-distance scoring
+    — each query probes its `nprobe` nearest cells and scans only those
+    cells' M-byte PQ codes, so the two orthogonal scale levers multiply:
+    read nprobe/K of the corpus (IVF) at ~1/16 the bytes per row (PQ).
+    Raw vectors are encoded (no residual — the deterministic variant
+    both engines replay bit-exact; FAISS's encode_residual=false mode).
+    Returns (query_id, cand_id, adist, rank) by (adist ASC, cand_id).
+
+    Index build = ONE pass: the cell argmax and the per-subspace code
+    argmin both run as broadcast-codebook scores + map-side-combined
+    aggregations, with the cell carried through the PQ groupBys so the
+    (cell, codes) index needs no corpus-sized self-join. At 100 TB the
+    index is materialized once (partitioned by cell) and queries touch
+    nprobe cells of codes."""
+    if centroids is None:
+        from kafka_flink_processing_spark.operators.kmeans import kmeans_train
+        centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
+                                    id_col=id_col, vec_col=vec_col)
+    spark = emb.sparkSession
+    M = len(codebook)
+    K = len(codebook[0])
+    dsub = len(codebook[0][0])
+
+    # coarse quantizer: one (vector, cell) row per corpus vector
+    base = with_unit_info(emb, vec_col)
+    cents = _codebook_df(spark, centroids)
+    scored_cells = _scored_cells(base, cents, id_col, vec_col)
+    asg = _argmax_cell(scored_cells, id_col, vec_col)
+
+    # PQ-encode the assigned corpus, carrying the cell through both
+    # aggregations (functionally dependent on the id — no extra shuffle)
+    cb = _pq_codebook_df(spark, codebook)
+    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
+    pq_scored = (asg.crossJoin(F.broadcast(cb))
+                 .select(F.col(id_col), F.col("cell"), F.col("m"),
+                         F.col("j"), _sqd(sub, F.col("cv")).alias("sqd")))
+    best = (pq_scored.groupBy(id_col, "cell", "m")
+            .agg(F.min_by("j", F.struct(F.col("sqd"), F.col("j")))
+                 .alias("code")))
+    codes = (best.groupBy(id_col, "cell")
+             .agg(F.transform(
+                 F.array_sort(F.collect_list(F.struct("m", "code"))),
+                 lambda s: s.code).alias("codes")))
+
+    # query side: nprobe nearest cells + the M x K ADC lookup table
+    wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(),
+                                            F.col("cid"))
+    probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("cid").cast("long").alias("cell")))
+    subq = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
+    lut_rows = (emb.filter(F.col(id_col).isin(list(query_ids)))
+                .crossJoin(F.broadcast(cb))
+                .select(F.col(id_col).alias("query_id"), F.col("m"),
+                        F.col("j"), _sqd(subq, F.col("cv")).alias("lv")))
+    luts = (lut_rows.groupBy("query_id")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("m", "j", "lv"))),
+                lambda s: s.lv).alias("lut")))
+
+    # probed-cell code scan: each (query, candidate) joins at most once
+    # (argmax assigns one cell per vector; a query's probe cells are
+    # distinct), then M LUT lookups per candidate
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"),
+            m * K + F.element_at(F.col("codes"), m + 1) + 1))
+    cand = (codes.join(F.broadcast(probes.join(luts, "query_id")), "cell")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", F.col(id_col).alias("cand_id"),
+                    adist.alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"),
+                                               F.col("cand_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
 def cosine_pairs(emb: DataFrame, threshold: float = 0.45,
                  id_col: str = "vec_id",
                  vec_col: str = "embedding") -> DataFrame:

@@ -792,12 +792,19 @@ def similarity_pq_rerank_topk_q(spark: SparkSession,
                   list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
                                            list(sqd ORDER BY m)),
                               (acc, x) -> acc + x) AS distortion
-           FROM best GROUP BY vec_id)
+           FROM best GROUP BY vec_id),
+    f AS (SELECT vec_id,
+                 CASE WHEN isfinite(distortion) AND distortion <= 1000000.0
+                      THEN distortion END AS fd,
+                 CASE WHEN isfinite(distortion) AND distortion <= 1000000.0
+                      THEN 0 ELSE 1 END AS bad
+          FROM pv)
     SELECT CAST(e.label AS BIGINT) AS label,
            CAST(COUNT(*) AS BIGINT) AS n_vecs,
-           {dsum_sql('pv.distortion', 6)} / COUNT(*) AS avg_distortion,
-           MAX(pv.distortion) AS max_distortion
-    FROM pv JOIN embeddings e USING (vec_id)
+           CAST(SUM(bad) AS BIGINT) AS n_flagged,
+           {dsum_sql('f.fd', 6)} / COUNT(f.fd) AS avg_distortion,
+           MAX(f.fd) AS max_distortion
+    FROM f JOIN embeddings e USING (vec_id)
     GROUP BY e.label
     """,
     doc="PQ reconstruction-error audit by label: per-vector distortion = "
@@ -806,7 +813,15 @@ def similarity_pq_rerank_topk_q(spark: SparkSession,
         "scaled-int order-free sum and an exact MAX — the codebook-"
         "health gauge that says when to retrain (a label whose "
         "distortion runs hot is poorly covered by the codebook and its "
-        "ADC ranks degrade first). Same map-only encode shape as "
+        "ADC ranks degrade first). Unhealthy distortions — NaN/Inf from "
+        "non-finite components, or past the 1e6 health bound (a sane "
+        "encoder's reconstruction error sits orders of magnitude below "
+        "it) — are SURFACED as a per-label n_flagged count and excluded "
+        "from the moments, the same bound-and-flag design as "
+        "embedding_norm_stats: the r9 emb_nonfinite fuzzer found the "
+        "unbounded form crashing on CAST_OVERFLOW (NaN cannot enter the "
+        "scaled-int exact sum, and an audit must not die on the rows it "
+        "exists to catch). Same map-only encode shape as "
         "similarity_pq_topk.",
 )
 def pq_distortion_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -814,11 +829,70 @@ def pq_distortion_by_label_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, "embeddings", sf_dir)
     enc = pq_encode(emb, PQ_CODEBOOK)
     j = enc.join(emb.select("vec_id", "label"), "vec_id")
+    # healthy = finite AND within bound; NaN and +Inf both fail the <=
+    # in both engines (each sorts NaN above every double)
+    healthy = ~F.isnan(F.col("distortion")) & (F.col("distortion") <= 1e6)
+    fd = F.when(healthy, F.col("distortion"))
     return (j.groupBy(F.col("label").cast("long").alias("label"))
             .agg(F.count("*").alias("n_vecs"),
-                 (dsum(F.col("distortion"), 6) / F.count("*"))
-                 .alias("avg_distortion"),
-                 F.max("distortion").alias("max_distortion")))
+                 F.sum(F.when(healthy, 0).otherwise(1)).cast("long")
+                 .alias("n_flagged"),
+                 (dsum(fd, 6) / F.count(fd)).alias("avg_distortion"),
+                 F.max(fd).alias("max_distortion")))
+
+
+@register(
+    "similarity_ivfpq_topk",
+    oracle=f"""
+    WITH {_COSINE_BASE_SQL},
+    cent AS ({_codebook_values_sql()}),
+    asgj AS (SELECT v.vec_id, v.embedding, v.nrm, c.cid,
+                    {_DOT.format(a='v.embedding', b='c.cv')} / (v.nrm * c.cn)
+                      AS cos
+             FROM n v CROSS JOIN cent c),
+    asg AS (SELECT vec_id, CAST(cid AS BIGINT) AS cell FROM (
+              SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                         ORDER BY cos DESC, cid) AS rn
+              FROM asgj) WHERE rn = 1),
+    probes AS (SELECT vec_id AS query_id, CAST(cid AS BIGINT) AS cell FROM (
+                 SELECT *, ROW_NUMBER() OVER (PARTITION BY vec_id
+                            ORDER BY cos DESC, cid) AS rn
+                 FROM asgj WHERE vec_id < 5) WHERE rn <= {IVF_NPROBE}),
+    {_PQ_ENC_SQL},
+    luts AS MATERIALIZED (SELECT vec_id AS query_id,
+                                 list(sqd ORDER BY m, j) AS lut
+            FROM sc WHERE vec_id < 5 GROUP BY vec_id),
+    cand AS (SELECT p.query_id, c.vec_id AS cand_id, c.codes
+             FROM probes p
+             JOIN asg a ON a.cell = p.cell AND a.vec_id != p.query_id
+             JOIN codes c ON c.vec_id = a.vec_id),
+    scored AS (SELECT query_id, cand_id, {_PQ_ADIST} AS adist
+               FROM cand JOIN luts USING (query_id))
+    SELECT query_id, cand_id, adist, rank FROM (
+      SELECT *, CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY adist, cand_id) AS BIGINT) AS rank
+      FROM scored
+    ) WHERE rank <= 10
+    """,
+    doc=f"IVFADC (Jegou et al. 2011 §V — the FAISS default): IVF "
+        f"cell pruning composed with PQ asymmetric distance, probing "
+        f"nprobe={IVF_NPROBE} of {IVF_K} cells and scanning only those "
+        "cells' M-byte codes — the two orthogonal 100 TB levers multiply "
+        "(read nprobe/K of the corpus at ~1/16 the bytes per row). Both "
+        "pinned artifacts (IVF centroids + PQ codebook, 6dp literals) "
+        "are shared bit-exact with the oracle; raw vectors encoded "
+        "(FAISS encode_residual=false) so the composition stays "
+        "hash-deterministic. Recall vs brute force in tests/test_pq.py.",
+)
+def similarity_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.similarity import (
+        ivfpq_adc_topk,
+    )
+    emb = load_table(spark, "embeddings", sf_dir)
+    out = ivfpq_adc_topk(emb, query_ids=range(5), codebook=PQ_CODEBOOK,
+                         k=10, centroids=IVF_CENTROIDS)
+    return out.select("query_id", "cand_id", "adist",
+                      F.col("rank").cast("long").alias("rank"))
 
 
 @register(

@@ -166,6 +166,10 @@ EMB_QUERIES = [
     "ivf_recall_eval", "kmeans_assign_cells", "semantic_mix_matrix",
     "similarity_bruteforce_topk", "similarity_ivf_topk",
     "similarity_lsh_topk",
+    # PQ family (r9 second half): subspace argmin encode + ADC fold —
+    # NaN/Inf subspace distances and argmin ties are exactly its surface
+    "similarity_pq_topk", "similarity_pq_rerank_topk",
+    "pq_distortion_by_label", "similarity_ivfpq_topk",
 ]
 
 EMB_DIM = 64

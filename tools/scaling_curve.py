@@ -64,6 +64,13 @@ DEDUP_QUERY_SET = ["dedup_clusters", "dup_span_redact", "dedup_fuzzy_corpus"]
 R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
                 "data_mix_subword_budget", "streaming_forecast_sma_tws",
                 "bpe_vocab_merges_batched"]
+# --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
+# (vec_id offset keeps ids unique; the 5 query vectors stay the
+# originals). Expected shape: encode and the ADC code scan grow linearly
+# in corpus rows; the LUT side is constant (|Q| x M x K broadcast); the
+# re-rank join touches a constant |Q| x shortlist vector set.
+PQ_QUERY_SET = ["similarity_pq_topk", "similarity_pq_rerank_topk",
+                "pq_distortion_by_label", "similarity_ivfpq_topk"]
 # distribution-preserving replication: bump the id columns per replica so
 # keys stay unique while every categorical/derived population (hubs from
 # user_id % 4, langs, priorities) keeps its shape
@@ -71,6 +78,7 @@ OFFSETS = {
     "lineitem": {"l_orderkey": 10 ** 9},
     "events": {"event_id": 10 ** 9, "user_id": 10 ** 4},
     "documents": {"doc_id": 10 ** 9},
+    "embeddings": {"vec_id": 10 ** 9},
 }
 
 
@@ -100,12 +108,16 @@ def main() -> None:
     args = sys.argv[1:]
     dedup_mode = "--dedup" in args
     r9_mode = "--r9" in args
-    args = [a for a in args if a not in ("--dedup", "--r9")]
+    pq_mode = "--pq" in args
+    args = [a for a in args if a not in ("--dedup", "--r9", "--pq")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
     query_set = (DEDUP_QUERY_SET if dedup_mode
-                 else R9_QUERY_SET if r9_mode else QUERY_SET)
+                 else R9_QUERY_SET if r9_mode
+                 else PQ_QUERY_SET if pq_mode else QUERY_SET)
     tables = (["documents"] if dedup_mode
-              else ["documents", "events"] if r9_mode else list(OFFSETS))
+              else ["documents", "events"] if r9_mode
+              else ["embeddings"] if pq_mode
+              else ["lineitem", "events", "documents"])
     spark = get_spark("scaling-curve")
     _ensure_loaded()
     # warm the Python worker pools once so 1x doesn't eat the fork cost
