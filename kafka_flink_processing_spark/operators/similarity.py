@@ -249,12 +249,69 @@ def _sqd(a: Column, b: Column) -> Column:
         lambda acc, x: acc + x)
 
 
-def _pq_codebook_df(spark, codebook) -> DataFrame:
-    """(m, j, cv) rows from an M x K x dsub centroid tensor."""
-    rows = [(m, j, [float(v) for v in cv])
-            for m, sub in enumerate(codebook)
-            for j, cv in enumerate(sub)]
-    return spark.createDataFrame(rows, "m int, j int, cv array<double>")
+def _sqd_expr_sql(a: str, b: str) -> str:
+    """SQL rendering of _sqd (same ops, same fold order — bit-identical;
+    rendered as text so the whole PQ projection reaches the JVM in ONE
+    F.expr parse instead of thousands of py4j Column-builder calls,
+    which measured ~6 s of driver time per query at M*K*dsub = 1024
+    literals)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE)) * "
+            "(CAST(x AS DOUBLE) - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _lit_vec_sql(cv) -> str:
+    """A literal double vector; the string-cast parses via the same
+    correctly-rounded double parser every engine shares, so the 6dp
+    codebook text denotes identical bits here, in the Column API, and
+    in the DuckDB oracle."""
+    return ("array(" + ", ".join(f"CAST('{float(v)!r}' AS DOUBLE)"
+                                 for v in cv) + ")")
+
+
+def _pq_sqds_sql(vec_col: str, codebook) -> list[str]:
+    """Per subspace m: SQL for the array<double> of K squared distances
+    from the vector's m-th slice to each literal centroid — the codebook
+    enters the plan as constants, not a joined relation."""
+    dsub = len(codebook[0][0])
+    return ["array(" + ", ".join(
+        _sqd_expr_sql(f"slice({vec_col}, {m * dsub + 1}, {dsub})",
+                      _lit_vec_sql(cv)) for cv in sub_cents) + ")"
+        for m, sub_cents in enumerate(codebook)]
+
+
+def _pq_best_expr(vec_col: str, codebook) -> Column:
+    """array<struct<v double, j int>>: per subspace, the argmin centroid
+    (ties -> smallest j) and ITS squared distance, via a first-strict-min
+    fold. The fold iterates over the sqds array ITSELF (a positional
+    counter in the accumulator), so the K distance expressions evaluate
+    exactly once per row — a fold over sequence(0..K-1) indexing into
+    sqds would re-evaluate the whole array inside every lambda step.
+    Replays the oracle's ROW_NUMBER(ORDER BY sqd, j) exactly, including
+    non-finite inputs: both engines order NaN above every double, so
+    `x < acc.v` skips NaN unless everything is NaN (then j=0 wins in
+    both — the first element is always taken via the j = -1 guard)."""
+    folds = []
+    for sqds in _pq_sqds_sql(vec_col, codebook):
+        folds.append(
+            f"aggregate({sqds}, "
+            "named_struct('v', CAST('Infinity' AS DOUBLE), "
+            "'j', -1, 'i', -1), "
+            "(acc, x) -> named_struct("
+            "'v', IF(x < acc.v OR acc.j = -1, x, acc.v), "
+            "'j', IF(x < acc.v OR acc.j = -1, acc.i + 1, acc.j), "
+            "'i', acc.i + 1), "
+            "acc -> named_struct('v', acc.v, 'j', acc.j))")
+    return F.expr("array(" + ", ".join(folds) + ")")
+
+
+def _pq_lut_expr(vec_col: str, codebook) -> Column:
+    """Flat M*K ADC lookup table (index = m*K + j) as one map-side
+    expression."""
+    return F.expr(
+        "flatten(array(" + ", ".join(_pq_sqds_sql(vec_col, codebook))
+        + "))")
 
 
 def pq_encode(emb: DataFrame, codebook,
@@ -267,31 +324,23 @@ def pq_encode(emb: DataFrame, codebook,
     sum_m min_j ||x_m - C[m][j]||^2, folded in subspace order so the
     double is bit-identical cross-engine.
 
-    Scale shape: the M*K-row codebook broadcasts; scoring is map-only
-    (N*M*K rows never shuffle past the map-side-combined groupBy on the
-    vector id); the output is one codes row per vector — at 100 TB this
-    IS the point of PQ: the corpus compresses ~16x (M bytes + id vs
+    Scale shape: encode is a PURE MAP — the pinned codebook is compiled
+    into the projection as literals, so the plan is scan -> project with
+    ZERO exchanges (the crossJoin+groupBy formulation this replaced
+    shuffled N*M argmin partials for nothing). At 100 TB this IS the
+    point of PQ: one pass compresses the corpus ~16x (M bytes + id vs
     M*dsub floats) and every downstream ADC scan reads codes, not
     vectors."""
-    spark = emb.sparkSession
-    dsub = len(codebook[0][0])
-    cb = _pq_codebook_df(spark, codebook)
-    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
-    scored = (emb.crossJoin(F.broadcast(cb))
-              .select(F.col(id_col), F.col("m"), F.col("j"),
-                      _sqd(sub, F.col("cv")).alias("sqd")))
-    best = (scored.groupBy(id_col, "m")
-            .agg(F.min_by("j", F.struct(F.col("sqd"), F.col("j")))
-                 .alias("code"),
-                 F.min("sqd").alias("msqd")))
-    return (best.groupBy(id_col)
-            .agg(F.transform(
-                     F.array_sort(F.collect_list(F.struct("m", "code"))),
-                     lambda s: s.code).alias("codes"),
-                 F.aggregate(
-                     F.array_sort(F.collect_list(F.struct("m", "msqd"))),
-                     F.lit(0.0),
-                     lambda acc, s: acc + s.msqd).alias("distortion")))
+    best = _pq_best_expr(vec_col, codebook)
+    # one Project materializes the per-subspace structs; the consumers
+    # reference it twice, which CollapseProject leaves un-inlined
+    # (non-cheap expression), so the fold runs once per row
+    st = emb.select(F.col(id_col), best.alias("_pq"))
+    return st.select(
+        id_col,
+        F.transform(F.col("_pq"), lambda s: s["j"]).alias("codes"),
+        F.aggregate(F.transform(F.col("_pq"), lambda s: s["v"]),
+                    F.lit(0.0), lambda acc, x: acc + x).alias("distortion"))
 
 
 def pq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
@@ -305,27 +354,18 @@ def pq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
     cand_id) — fully deterministic, so the DuckDB oracle replays it
     bit-exact.
 
-    Scale shape: the LUT side is O(|Q| * M * K) and broadcasts; the scan
-    side reads the M-byte codes relation (the compressed corpus), not
-    the vectors — the textbook memory-bandwidth win of PQ. The only
-    shuffle is the per-query top-k."""
-    spark = emb.sparkSession
+    Scale shape: the whole query is ONE exchange (the per-query top-k):
+    encode is a pure map (literal codebook), the |Q|-row LUT side is a
+    map over the filtered queries, and the ADC scan reads the M-byte
+    codes relation (the compressed corpus), not the vectors — the
+    textbook memory-bandwidth win of PQ."""
     M = len(codebook)
     K = len(codebook[0])
-    dsub = len(codebook[0][0])
-    cb = _pq_codebook_df(spark, codebook)
     enc = pq_encode(emb, codebook, id_col, vec_col).select(id_col, "codes")
 
-    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
-    q = emb.filter(F.col(id_col).isin(list(query_ids)))
-    lut_rows = (q.crossJoin(F.broadcast(cb))
-                .select(F.col(id_col).alias("query_id"), F.col("m"),
-                        F.col("j"), _sqd(sub, F.col("cv")).alias("lv")))
-    # array_sort by (m, j) lays the LUT out flat: index = m*K + j
-    luts = (lut_rows.groupBy("query_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "j", "lv"))),
-                lambda s: s.lv).alias("lut")))
+    luts = (emb.filter(F.col(id_col).isin(list(query_ids)))
+            .select(F.col(id_col).alias("query_id"),
+                    _pq_lut_expr(vec_col, codebook).alias("lut")))
 
     adist = F.aggregate(
         F.sequence(F.lit(0), F.lit(M - 1)), F.lit(0.0),
@@ -388,12 +428,12 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
     both engines replay bit-exact; FAISS's encode_residual=false mode).
     Returns (query_id, cand_id, adist, rank) by (adist ASC, cand_id).
 
-    Index build = ONE pass: the cell argmax and the per-subspace code
-    argmin both run as broadcast-codebook scores + map-side-combined
-    aggregations, with the cell carried through the PQ groupBys so the
-    (cell, codes) index needs no corpus-sized self-join. At 100 TB the
-    index is materialized once (partitioned by cell) and queries touch
-    nprobe cells of codes."""
+    Index build = the cell argmax (broadcast centroid scores, one
+    map-side-combined exchange of N rows) followed by a pure-map PQ
+    encode (literal codebook) with the cell riding along — the (cell,
+    codes) index needs no corpus-sized self-join and no PQ shuffle. At
+    100 TB the index is materialized once (partitioned by cell) and
+    queries touch nprobe cells of codes."""
     if centroids is None:
         from kafka_flink_processing_spark.operators.kmeans import kmeans_train
         centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
@@ -401,7 +441,6 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
     spark = emb.sparkSession
     M = len(codebook)
     K = len(codebook[0])
-    dsub = len(codebook[0][0])
 
     # coarse quantizer: one (vector, cell) row per corpus vector
     base = with_unit_info(emb, vec_col)
@@ -409,22 +448,14 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
     scored_cells = _scored_cells(base, cents, id_col, vec_col)
     asg = _argmax_cell(scored_cells, id_col, vec_col)
 
-    # PQ-encode the assigned corpus, carrying the cell through both
-    # aggregations (functionally dependent on the id — no extra shuffle)
-    cb = _pq_codebook_df(spark, codebook)
-    sub = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
-    pq_scored = (asg.crossJoin(F.broadcast(cb))
-                 .select(F.col(id_col), F.col("cell"), F.col("m"),
-                         F.col("j"), _sqd(sub, F.col("cv")).alias("sqd")))
-    best = (pq_scored.groupBy(id_col, "cell", "m")
-            .agg(F.min_by("j", F.struct(F.col("sqd"), F.col("j")))
-                 .alias("code")))
-    codes = (best.groupBy(id_col, "cell")
-             .agg(F.transform(
-                 F.array_sort(F.collect_list(F.struct("m", "code"))),
-                 lambda s: s.code).alias("codes")))
+    # PQ-encode the assigned corpus — a pure map over asg (literal
+    # codebook), the cell column rides along untouched
+    codes = asg.select(
+        F.col(id_col), F.col("cell"),
+        F.transform(_pq_best_expr(vec_col, codebook),
+                    lambda s: s["j"]).alias("codes"))
 
-    # query side: nprobe nearest cells + the M x K ADC lookup table
+    # query side: nprobe nearest cells + the flat M x K ADC lookup table
     wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(),
                                             F.col("cid"))
     probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
@@ -432,15 +463,9 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
               .filter(F.col("rn") <= nprobe)
               .select(F.col(id_col).alias("query_id"),
                       F.col("cid").cast("long").alias("cell")))
-    subq = F.slice(F.col(vec_col), F.col("m") * dsub + 1, dsub)
-    lut_rows = (emb.filter(F.col(id_col).isin(list(query_ids)))
-                .crossJoin(F.broadcast(cb))
-                .select(F.col(id_col).alias("query_id"), F.col("m"),
-                        F.col("j"), _sqd(subq, F.col("cv")).alias("lv")))
-    luts = (lut_rows.groupBy("query_id")
-            .agg(F.transform(
-                F.array_sort(F.collect_list(F.struct("m", "j", "lv"))),
-                lambda s: s.lv).alias("lut")))
+    luts = (emb.filter(F.col(id_col).isin(list(query_ids)))
+            .select(F.col(id_col).alias("query_id"),
+                    _pq_lut_expr(vec_col, codebook).alias("lut")))
 
     # probed-cell code scan: each (query, candidate) joins at most once
     # (argmax assigns one cell per vector; a query's probe cells are
