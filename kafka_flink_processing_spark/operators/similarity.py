@@ -167,22 +167,59 @@ def _scored_cells(base: DataFrame, cents: DataFrame, id_col: str,
                         F.col("cid"), cos_to_cent.alias("ccos")))
 
 
-def _argmax_cell(scored_cells: DataFrame, id_col: str,
-                 vec_col: str, with_cosine: bool = False) -> DataFrame:
-    """Nearest-cell assignment (id, vec, nrm, cell[, cell_cosine]) —
-    argmax by (cosine, then smallest cid). Struct ordering is
-    lexicographic, so max_by(cid, struct(ccos, -cid)) picks exactly the
-    oracle's ROW_NUMBER(ORDER BY cos DESC, cid) = 1 row; partial-aggregates
-    map-side, so the one exchange carries ~N rows, not N*K. with_cosine
-    additionally emits the winning cosine (max over the same rows — THE
-    one copy of the tie-break, reused by kmeans_assign_cells)."""
-    tie = F.struct(F.col("ccos").alias("c"), (-F.col("cid")).alias("nj"))
-    aggs = [F.max_by("cid", tie).cast("long").alias("cell"),
-            F.first(vec_col).alias(vec_col),
-            F.first("nrm").alias("nrm")]
+def _dot_expr_sql(a: str, b: str) -> str:
+    """SQL rendering of _dot (same ops, same fold order)."""
+    return (f"aggregate(zip_with({a}, {b}, (x, y) -> "
+            "CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), "
+            "CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")
+
+
+def _ivf_best_sql(vec_col: str, nrm_col: str, centroids) -> str:
+    """struct<v double, j int>: the argmax-cosine centroid (ties ->
+    smallest cid; NULL cosines — zero-norm vectors — lose to any
+    non-NULL, and an all-NULL row keeps j=0 with v NULL), via a
+    first-strict-max fold over the K literal-centroid cosines. Replays
+    the previous max_by(cid, struct(ccos, -cid)) aggregation bit for
+    bit — NaN
+    orders above every double in both the fold's `>` and max_by's
+    struct ordering — but as a PURE MAP: the centroid table enters the
+    plan as constants, so cell assignment adds no join and no exchange.
+    `nrm_col` must be a materialized column (with_unit_info): it is
+    referenced once per centroid and must not re-evaluate."""
+    coss = []
+    for cv in centroids:
+        lit = _lit_vec_sql(cv)
+        cn = f"sqrt({_dot_expr_sql(lit, lit)})"
+        den = f"({nrm_col} * {cn})"
+        coss.append(f"CASE WHEN {den} <> 0 THEN "
+                    f"{_dot_expr_sql(vec_col, lit)} / {den} END")
+    take = ("COALESCE(x > acc.v, acc.v IS NULL AND x IS NOT NULL) "
+            "OR acc.j = -1")
+    return (f"aggregate(array({', '.join(coss)}), "
+            "named_struct('v', CAST(NULL AS DOUBLE), 'j', -1, 'i', -1), "
+            "(acc, x) -> named_struct("
+            f"'v', IF({take}, x, acc.v), "
+            f"'j', IF({take}, acc.i + 1, acc.j), "
+            "'i', acc.i + 1), "
+            "acc -> named_struct('v', acc.v, 'j', acc.j))")
+
+
+def assign_cells(base: DataFrame, centroids,
+                 id_col: str = "vec_id", vec_col: str = "embedding",
+                 with_cosine: bool = False) -> DataFrame:
+    """Map-only IVF cell assignment: same output relation as
+    the old broadcast-score + max_by aggregation — (id, cell, vec, nrm
+    [, cell_cosine]) — with the codebook compiled into the projection
+    instead of broadcast-joined and re-aggregated, removing the
+    corpus-sized exchange from every index build. `base` must already
+    carry the nrm column (with_unit_info)."""
+    st = base.withColumn(
+        "_asg", F.expr(_ivf_best_sql(vec_col, "nrm", centroids)))
+    cols = [F.col(id_col), F.col("_asg.j").cast("long").alias("cell"),
+            F.col(vec_col), F.col("nrm")]
     if with_cosine:
-        aggs.append(F.max("ccos").alias("cell_cosine"))
-    return scored_cells.groupBy(id_col).agg(*aggs)
+        cols.append(F.col("_asg.v").alias("cell_cosine"))
+    return st.select(*cols)
 
 
 def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
@@ -210,8 +247,10 @@ def ivf_cosine_topk(emb: DataFrame, query_ids, k: int = 10,
                                     id_col=id_col, vec_col=vec_col)
     base = with_unit_info(emb, vec_col)
     cents = _codebook_df(emb.sparkSession, centroids)
+    # corpus side: map-only literal-codebook assignment (no exchange);
+    # query side keeps the tiny broadcast-scored probe ranking below
+    asg = assign_cells(base, centroids, id_col, vec_col)
     scored_cells = _scored_cells(base, cents, id_col, vec_col)
-    asg = _argmax_cell(scored_cells, id_col, vec_col)
 
     wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(), F.col("cid"))
     probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
@@ -442,11 +481,12 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
     M = len(codebook)
     K = len(codebook[0])
 
-    # coarse quantizer: one (vector, cell) row per corpus vector
+    # coarse quantizer: map-only literal-codebook assignment — one
+    # (vector, cell) row per corpus vector, no exchange
     base = with_unit_info(emb, vec_col)
     cents = _codebook_df(spark, centroids)
+    asg = assign_cells(base, centroids, id_col, vec_col)
     scored_cells = _scored_cells(base, cents, id_col, vec_col)
-    asg = _argmax_cell(scored_cells, id_col, vec_col)
 
     # PQ-encode the assigned corpus — a pure map over asg (literal
     # codebook), the cell column rides along untouched
@@ -585,9 +625,7 @@ def semdedup(emb: DataFrame, threshold: float = SEMDEDUP_THRESHOLD,
         centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
                                     id_col=id_col, vec_col=vec_col)
     base = with_unit_info(emb, vec_col)
-    cents = _codebook_df(emb.sparkSession, centroids)
-    asg = _argmax_cell(_scored_cells(base, cents, id_col, vec_col),
-                       id_col, vec_col)
+    asg = assign_cells(base, centroids, id_col, vec_col)
     a = asg.select(F.col(id_col).alias("vec_a"), F.col(vec_col).alias("va"),
                    F.col("nrm").alias("na"), "cell")
     b = asg.select(F.col(id_col).alias("vec_b"), F.col(vec_col).alias("vb"),

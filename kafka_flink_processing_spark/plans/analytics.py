@@ -283,9 +283,7 @@ def lsh_threshold_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def semantic_mix_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
-        _argmax_cell,
-        _codebook_df,
-        _scored_cells,
+        assign_cells,
         with_unit_info,
     )
     from kafka_flink_processing_spark.functions.ivf_codebook import (
@@ -293,9 +291,8 @@ def semantic_mix_matrix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     emb = load_table(spark, "embeddings", sf_dir)
     base = with_unit_info(emb)
-    cents = _codebook_df(spark, IVF_CENTROIDS)
-    asg = _argmax_cell(_scored_cells(base, cents, "vec_id", "embedding"),
-                       "vec_id", "embedding").select("vec_id", "cell")
+    asg = assign_cells(base, IVF_CENTROIDS, "vec_id", "embedding") \
+        .select("vec_id", "cell")
     lab = emb.select("vec_id", F.col("label").cast("long").alias("label"))
     return (asg.join(lab, "vec_id")
             .groupBy("cell", "label")
@@ -1003,9 +1000,9 @@ def ivf_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         IVF_CENTROIDS,
     )
     from kafka_flink_processing_spark.operators.similarity import (
-        _argmax_cell,
         _codebook_df,
         _scored_cells,
+        assign_cells,
         cosine_topk,
         with_unit_info,
     )
@@ -1015,7 +1012,7 @@ def ivf_probe_sweep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = with_unit_info(emb)
     cents = _codebook_df(spark, IVF_CENTROIDS)
     scored = _scored_cells(base, cents, "vec_id", "embedding")
-    asg = _argmax_cell(scored, "vec_id", "embedding") \
+    asg = assign_cells(base, IVF_CENTROIDS, "vec_id", "embedding") \
         .select("vec_id", "cell")
     wq = Window.partitionBy("vec_id").orderBy(F.col("ccos").desc(),
                                               F.col("cid"))

@@ -915,24 +915,22 @@ def similarity_ivfpq_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "— a deterministic SQL argmax, so (unlike the iterative trainer "
         "kmeans_embeddings, rows-only by design) this is the "
         "driver-verifiable face of the k-means family. Plan shape is the "
-        "IVF quantizer's: broadcast K-row codebook, N*K scored rows never "
-        "shuffle, map-side max_by partial aggregation -> one ~N-row "
-        "exchange on vec_id.",
+        "IVF quantizer's (late-r9 rewrite): the codebook compiles into "
+        "the projection as literals and the argmax is a first-strict-max "
+        "fold — a PURE MAP, zero exchanges "
+        "(tests/test_plans.py::test_kmeans_assign_is_pure_map).",
 )
 def kmeans_assign_cells_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from kafka_flink_processing_spark.operators.similarity import (
-        _argmax_cell,
-        _codebook_df,
-        _scored_cells,
+        assign_cells,
         with_unit_info,
     )
     emb = load_table(spark, "embeddings", sf_dir)
     base = with_unit_info(emb)
-    cents = _codebook_df(spark, IVF_CENTROIDS)
-    scored = _scored_cells(base, cents, "vec_id", "embedding")
     # the IVF quantizer's own argmax (one copy of the tie-break), with the
-    # winning cosine emitted alongside
-    asg = _argmax_cell(scored, "vec_id", "embedding", with_cosine=True)
+    # winning cosine emitted alongside — map-only literal assignment
+    asg = assign_cells(base, IVF_CENTROIDS, "vec_id", "embedding",
+                       with_cosine=True)
     return asg.select("vec_id", "cell", "cell_cosine")
 
 

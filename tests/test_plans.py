@@ -383,3 +383,55 @@ def test_feature_hashing_two_dockeyed_mapside_aggs(spark):
     assert "SortMergeJoin" not in plan and "BroadcastHashJoin" not in plan
     assert plan.count("Exchange hashpartitioning") == 2
     assert "HashAggregate" in plan
+
+
+def test_pq_encode_is_pure_map(spark):
+    """PQ encode compiles the pinned codebook into the projection: scan ->
+    project, ZERO keyed exchanges (the crossJoin+groupBy formulation it
+    replaced shuffled N*M argmin partials; a regression back to that
+    shape fails here). Only load_table's RoundRobin spread may appear."""
+    from kafka_flink_processing_spark.functions.pq_codebook import (
+        PQ_CODEBOOK,
+    )
+    from kafka_flink_processing_spark.operators.similarity import pq_encode
+    from kafka_flink_processing_spark.sources.parquet import load_table
+    df = pq_encode(load_table(spark, "embeddings", SF), PQ_CODEBOOK)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    plan = plan.split("== Initial Plan ==")[0]
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan and "Aggregate" not in plan
+
+
+def test_pq_adc_topk_single_shuffle(spark):
+    """The whole ADC search is ONE keyed exchange (the per-query top-k,
+    WindowGroupLimit-bounded before it); the LUT side broadcasts, and no
+    sort-merge join or cartesian product may appear."""
+    plan = plan_of(spark, "similarity_pq_topk")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "WindowGroupLimit" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ivfpq_index_build_has_no_corpus_exchange(spark):
+    """IVFADC after the literal-assignment rewrite: BOTH index-build
+    steps (cell argmax + PQ codes) are pure maps, so the only hash
+    exchanges left are the tiny query-side probe window and the final
+    per-query top-k. Probe and LUT sides broadcast."""
+    plan = plan_of(spark, "similarity_ivfpq_topk")
+    assert plan.count("Exchange hashpartitioning") <= 2
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_kmeans_assign_is_pure_map(spark):
+    """Deterministic cell assignment is scan -> project: the literal
+    codebook needs no join and the argmax fold no aggregation — a
+    regression back to the broadcast-score + max_by groupBy (one ~N-row
+    exchange) fails here."""
+    plan = plan_of(spark, "kmeans_assign_cells")
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "Join" not in plan

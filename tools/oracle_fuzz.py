@@ -45,6 +45,16 @@ r9 extension — MEDIA and EMBEDDING families:
                 magnitudes (found embedding_norm_stats CAST_OVERFLOW,
                 fixed via the n_flagged health bound).
 
+r9b extension — RELATIONAL (TPC-H) corpora (`tpch_edge`, `tpch_sparse`,
+`tpch_skew`): the sql_q battery + every relational/analytics oracle
+referencing lineitem/orders/customer/supplier/part, selected
+mechanically by table reference. Multi-table staging with referential
+integrity; adversarial in DISTRIBUTION (childless orders, orderless
+customers, absent filter segments -> empty results and 0-numerators,
+discount exactly 0/1, all-same-date + all-same-totalprice ties, 60/70%
+single-key skew). First run: 43 queries x 3 corpora, all green — the
+family's dsum/tie-break discipline held; kept as a regression wall.
+
 Usage: python tools/oracle_fuzz.py [--seed N] [--corpus name ...]
                                    [query ...]
 Exit 1 on any mismatch. Each failure prints the oracle_check diff.
@@ -449,29 +459,173 @@ EMB_CORPORA = {
 CORPORA.update(EMB_CORPORA)
 
 
-def stage_sf_dir(spark, rows: list[tuple], workdir: str,
+# ---------------------------------------------------------------------------
+# r9b extension — RELATIONAL (TPC-H) corpora: the sql_q battery and the
+# relational/analytics queries over lineitem/orders/customer/supplier/part
+# were the last oracle family with no fuzz coverage. These corpora swap
+# ALL FIVE tables at once (referential integrity preserved: every
+# l_orderkey exists in orders, every o_custkey in customer, every
+# l_partkey/l_suppkey in part/supplier; nation/region stay the real
+# symlinks), keeping values inside the documented TPC-H-ish domains but
+# adversarial in DISTRIBUTION: empty join sides, absent filter segments
+# (empty aggregates, 0/0 ratios), total ties (rank determinism), and
+# pathological skew. Non-NULL like the real generator — NULL-handling
+# has its own dedicated queries (not_in_null_aware) with manufactured
+# NULLs.
+# ---------------------------------------------------------------------------
+
+SEGMENTS = ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD",
+            "MACHINERY"]
+PRIORITIES = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED",
+              "5-LOW"]
+P_TYPES = ["ECONOMY", "LARGE", "MEDIUM", "PROMO", "SMALL", "STANDARD"]
+P_NOUNS = ["widget", "bolt", "rod", "gear", "cog"]
+P_ADJS = ["cold", "small", "large", "blue", "red"]
+
+
+def _tpch_dt(day_offset: int):
+    import datetime as dt
+    return dt.datetime(1995, 1, 1) + dt.timedelta(days=day_offset)
+
+
+def _tpch_tables(rng: random.Random, *, segments=None, promo=True,
+                 date_days=None, skew_cust=None, skew_part=None,
+                 n_cust=100, n_supp=10, n_part=40, n_orders=300,
+                 max_lines=5, tie_dates=False, tie_prices=False,
+                 childless_orders=8, orderless_custs=10):
+    """One consistent 5-table corpus; knobs select the adversarial shape."""
+    segments = segments or SEGMENTS
+    date_days = date_days or (0, 2400)
+    customer, supplier, part, orders, lineitem = [], [], [], [], []
+    for c in range(n_cust):
+        acct = (0.0 if c % 17 == 0
+                else round(rng.uniform(-999.99, 9999.99), 2))
+        customer.append((c, f"Customer#{c:09d}", rng.randrange(25),
+                         acct, rng.choice(segments)))
+    for s in range(n_supp):
+        # acctbal ties across suppliers: Q2's min-cost tie-break stress
+        acct = round(rng.choice([111.11, 222.22, rng.uniform(0, 9000)]), 2)
+        supplier.append((s, f"Supplier#{s:09d}", rng.randrange(25), acct))
+    for p in range(n_part):
+        ptype = (rng.choice(P_TYPES) if promo
+                 else rng.choice([t for t in P_TYPES if t != "PROMO"]))
+        part.append((p, f"{rng.choice(P_ADJS)} {rng.choice(P_NOUNS)}",
+                     f"Brand#{rng.randrange(1, 25)}", ptype,
+                     rng.randrange(1, 50),
+                     round(rng.uniform(900, 2000), 2)))
+    for o in range(n_orders):
+        cust = (skew_cust if skew_cust is not None and rng.random() < 0.6
+                else rng.randrange(max(1, n_cust - orderless_custs)))
+        day = (date_days[0] if tie_dates
+               else rng.randrange(date_days[0], date_days[1]))
+        total = round(rng.choice([77777.77] if tie_prices
+                                 else [rng.uniform(1000, 400000)]), 2)
+        orders.append((o, cust, rng.choice("OFP"), total, _tpch_dt(day),
+                       rng.choice(PRIORITIES)))
+        n_lines = 0 if o < childless_orders else rng.randrange(1, max_lines)
+        for ln in range(n_lines):
+            pkey = (skew_part if skew_part is not None
+                    and rng.random() < 0.7 else rng.randrange(n_part))
+            qty = float(rng.choice([1, 1, rng.randrange(1, 51),
+                                    rng.randrange(1, 51), 100]))
+            disc = rng.choice([0.0, 0.0, 1.0, round(rng.uniform(0, .1), 2)])
+            lineitem.append((o, pkey, rng.randrange(n_supp), ln + 1, qty,
+                             round(qty * rng.uniform(900, 2000), 2), disc,
+                             round(rng.uniform(0, .08), 2),
+                             rng.choice("ANR"), rng.choice("OF"),
+                             _tpch_dt(day + rng.randrange(0, 90))))
+    return {"customer": customer, "supplier": supplier, "part": part,
+            "orders": orders, "lineitem": lineitem}
+
+
+def tpch_edge(rng: random.Random) -> dict[str, list[tuple]]:
+    """Childless orders, orderless customers, zero/negative acctbal,
+    discount exactly 0 and exactly 1 (zero revenue terms), qty extremes —
+    the outer/semi/anti-join and ratio-denominator edges."""
+    return _tpch_tables(rng)
+
+
+def tpch_sparse(rng: random.Random) -> dict[str, list[tuple]]:
+    """Entire filter populations absent: no BUILDING segment (empty Q3),
+    no PROMO parts (Q14's promo numerator is 0), every order in ONE
+    pre-filter-window month of 1995 (empty date-window aggregates
+    downstream) — empty-result hash compares and 0-denominator ratios."""
+    return _tpch_tables(
+        rng, segments=[s for s in SEGMENTS if s != "BUILDING"],
+        promo=False, date_days=(0, 28), n_orders=120, n_cust=40)
+
+
+def tpch_skew(rng: random.Random) -> dict[str, list[tuple]]:
+    """One customer holds ~60% of orders, one part ~70% of lineitems,
+    every order on the SAME date with the SAME totalprice — worst-case
+    group skew plus total ties through every rank/top-k path."""
+    return _tpch_tables(rng, skew_cust=3, skew_part=7, tie_dates=True,
+                        tie_prices=True, n_orders=400, max_lines=8)
+
+
+TPCH_CORPORA = {
+    "tpch_edge": tpch_edge,
+    "tpch_sparse": tpch_sparse,
+    "tpch_skew": tpch_skew,
+}
+CORPORA.update(TPCH_CORPORA)
+
+TPCH_TABLE_SET = {"lineitem", "orders", "customer", "supplier", "part"}
+
+
+def tpch_query_names(oracles: dict[str, str]) -> list[str]:
+    """Every oracle-gated query whose SQL references a swapped table —
+    selected mechanically so new registrations join the fuzz for free."""
+    import re as _re
+    pat = _re.compile(r"\b(" + "|".join(sorted(TPCH_TABLE_SET)) + r")\b")
+    return sorted(n for n, o in oracles.items() if pat.search(o))
+
+
+_FUZZ_SCHEMAS = {
+    "documents": ("doc_id long, text string, lang string, "
+                  "source string, n_chars long"),
+    "events": ("event_id long, ts timestamp, user_id long, "
+               "event_type string, value double, props string"),
+    "embeddings": "vec_id long, embedding array<float>, label int",
+    "customer": ("c_custkey long, c_name string, c_nationkey int, "
+                 "c_acctbal double, c_mktsegment string"),
+    "supplier": ("s_suppkey long, s_name string, s_nationkey int, "
+                 "s_acctbal double"),
+    "part": ("p_partkey long, p_name string, p_brand string, "
+             "p_type string, p_size int, p_retailprice double"),
+    "orders": ("o_orderkey long, o_custkey long, o_orderstatus string, "
+               "o_totalprice double, o_orderdate timestamp, "
+               "o_orderpriority string"),
+    "lineitem": ("l_orderkey long, l_partkey long, l_suppkey long, "
+                 "l_linenumber int, l_quantity double, "
+                 "l_extendedprice double, l_discount double, "
+                 "l_tax double, l_returnflag string, "
+                 "l_linestatus string, l_shipdate timestamp"),
+}
+
+
+def stage_sf_dir(spark, rows, workdir: str,
                  table: str = "documents") -> str:
+    """Stage a fuzz sf-dir: swapped tables written as single parquet
+    files, everything else symlinked from the real SF. `rows` is either
+    one table's row list or a {table: rows} dict (multi-table corpora —
+    the TPC-H family swaps five tables with shared keys)."""
+    tables = rows if isinstance(rows, dict) else {table: rows}
     sf = os.path.join(workdir, "sf_fuzz")
     os.makedirs(sf, exist_ok=True)
     for t in os.listdir(BASE_SF):
-        if t != f"{table}.parquet":
+        if t.removesuffix(".parquet") not in tables:
             os.symlink(os.path.join(BASE_SF, t), os.path.join(sf, t))
-    schema = {
-        "documents": ("doc_id long, text string, lang string, "
-                      "source string, n_chars long"),
-        "events": ("event_id long, ts timestamp, user_id long, "
-                   "event_type string, value double, props string"),
-        "embeddings": "vec_id long, embedding array<float>, label int",
-    }[table]
-    docs = spark.createDataFrame(rows, schema)
-    # the real testdata ships single parquet FILES, not directories —
-    # match that layout so both engines read it the same way
-    tmp_out = os.path.join(workdir, "docs_out")
-    docs.coalesce(1).write.mode("overwrite").parquet(tmp_out)
-    part = next(f for f in os.listdir(tmp_out)
-                if f.startswith("part-") and f.endswith(".parquet"))
-    shutil.move(os.path.join(tmp_out, part),
-                os.path.join(sf, f"{table}.parquet"))
+    for t, trows in tables.items():
+        df = spark.createDataFrame(trows, _FUZZ_SCHEMAS[t])
+        # the real testdata ships single parquet FILES, not directories —
+        # match that layout so both engines read it the same way
+        tmp_out = os.path.join(workdir, f"{t}_out")
+        df.coalesce(1).write.mode("overwrite").parquet(tmp_out)
+        part = next(f for f in os.listdir(tmp_out)
+                    if f.startswith("part-") and f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp_out, part),
+                    os.path.join(sf, f"{t}.parquet"))
     return sf
 
 
@@ -494,6 +648,8 @@ def main() -> int:
                  else "documents")
         if args.queries:
             names = args.queries
+        elif cname in TPCH_CORPORA:
+            names = tpch_query_names(oracles)
         elif cname == "unicode":
             names = TOTAL_TEXT
         elif cname == "media_stress":
