@@ -353,6 +353,25 @@ def _pq_lut_expr(vec_col: str, codebook) -> Column:
         + "))")
 
 
+def _ivf_centroids_lit_sql(centroids) -> str:
+    """The whole centroid table as one 2-D array literal."""
+    return ("array(" + ", ".join(_lit_vec_sql(cv) for cv in centroids)
+            + ")")
+
+
+def residual_expr(vec_col: str, cell_col: str, centroids) -> Column:
+    """vec - C_ivf[cell], elementwise in double — the quantity residual
+    IVFADC encodes (Jegou et al. 2011 §V.A): PQ distortion drops because
+    residuals concentrate near 0 once the coarse quantizer has absorbed
+    the cell mean. Map-side: the centroid table is a 2-D literal indexed
+    by the (already-computed) cell column."""
+    return F.expr(
+        f"zip_with({vec_col}, "
+        f"element_at({_ivf_centroids_lit_sql(centroids)}, "
+        f"CAST({cell_col} AS INT) + 1), "
+        "(x, y) -> CAST(x AS DOUBLE) - CAST(y AS DOUBLE))")
+
+
 def pq_encode(emb: DataFrame, codebook,
               id_col: str = "vec_id",
               vec_col: str = "embedding") -> DataFrame:
@@ -516,6 +535,72 @@ def ivfpq_adc_topk(emb: DataFrame, query_ids, codebook, k: int = 10,
             F.col("lut"),
             m * K + F.element_at(F.col("codes"), m + 1) + 1))
     cand = (codes.join(F.broadcast(probes.join(luts, "query_id")), "cell")
+            .filter(F.col("query_id") != F.col(id_col))
+            .select("query_id", F.col(id_col).alias("cand_id"),
+                    adist.alias("adist")))
+    w = Window.partitionBy("query_id").orderBy(F.col("adist"),
+                                               F.col("cand_id"))
+    return (cand.withColumn("rank", F.row_number().over(w))
+                .filter(F.col("rank") <= k))
+
+
+def ivfpq_residual_adc_topk(emb: DataFrame, query_ids, codebook,
+                            k: int = 10, nprobe: int = IVF_NPROBE,
+                            id_col: str = "vec_id",
+                            vec_col: str = "embedding",
+                            centroids=None) -> DataFrame:
+    """Residual IVFADC — the full FAISS-default encoding (Jegou et al.
+    2011 §V.A): each corpus vector PQ-encodes its RESIDUAL x - C_ivf[
+    cell(x)] rather than the raw vector, so the codebook only has to
+    cover the within-cell spread (distortion drops, recall rises at the
+    same M x K budget). The price is a per-(query, probe-cell) lookup
+    table — ||q - C_ivf[cell]||-relative distances differ per cell — but
+    that side is |Q| * nprobe rows and broadcasts.
+
+    Index build stays ALL map: literal-centroid cell argmax, literal
+    residual subtraction, literal-codebook code argmin — scan -> project,
+    zero corpus exchanges. The codebook must be residual-trained
+    (tools/train_pq_codebook.py --residual; functions/
+    pq_residual_codebook.py is the pinned artifact)."""
+    if centroids is None:
+        from kafka_flink_processing_spark.operators.kmeans import kmeans_train
+        centroids, _ = kmeans_train(emb, k=IVF_K, iters=IVF_TRAIN_ITERS,
+                                    id_col=id_col, vec_col=vec_col)
+    M = len(codebook)
+    K = len(codebook[0])
+
+    base = with_unit_info(emb, vec_col)
+    asg = assign_cells(base, centroids, id_col, vec_col)
+    resid = asg.withColumn("_rv",
+                           residual_expr(vec_col, "cell", centroids))
+    codes = resid.select(
+        F.col(id_col), F.col("cell"),
+        F.transform(_pq_best_expr("_rv", codebook),
+                    lambda s: s["j"]).alias("codes"))
+
+    # query side: nprobe nearest cells, then ONE LUT per (query, cell)
+    # over the query's residual AGAINST THAT CELL
+    cents = _codebook_df(emb.sparkSession, centroids)
+    scored_cells = _scored_cells(base, cents, id_col, vec_col)
+    wq = Window.partitionBy(id_col).orderBy(F.col("ccos").desc(),
+                                            F.col("cid"))
+    probes = (scored_cells.filter(F.col(id_col).isin(list(query_ids)))
+              .withColumn("rn", F.row_number().over(wq))
+              .filter(F.col("rn") <= nprobe)
+              .select(F.col(id_col).alias("query_id"),
+                      F.col("cid").cast("long").alias("cell"),
+                      F.col(vec_col)))
+    luts = (probes
+            .withColumn("_qr", residual_expr(vec_col, "cell", centroids))
+            .select("query_id", "cell",
+                    _pq_lut_expr("_qr", codebook).alias("lut")))
+
+    adist = F.aggregate(
+        F.sequence(F.lit(0), F.lit(M - 1)), F.lit(0.0),
+        lambda acc, m: acc + F.element_at(
+            F.col("lut"),
+            m * K + F.element_at(F.col("codes"), m + 1) + 1))
+    cand = (codes.join(F.broadcast(luts), "cell")
             .filter(F.col("query_id") != F.col(id_col))
             .select("query_id", F.col(id_col).alias("cand_id"),
                     adist.alias("adist")))

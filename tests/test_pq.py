@@ -182,6 +182,71 @@ def test_ivfpq_subset_of_probed_cells(emb, emb_np):
         assert abs(r.adist - want) < 1e-9
 
 
+def test_ivfpq_residual_recall_beats_raw(emb01, emb01_np):
+    """Residual encoding must not lose recall vs raw-vector IVFADC at
+    the same M x K budget (Jegou et al. 2011 §V.A predicts a gain):
+    measured 0.44 vs 0.40 recall@10 on the training corpus — modest on
+    these weakly-clustered synthetic embeddings, but strictly >=."""
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    from kafka_flink_processing_spark.functions.pq_residual_codebook import (
+        PQR_CODEBOOK,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        ivfpq_adc_topk,
+        ivfpq_residual_adc_topk,
+    )
+    raw = ivfpq_adc_topk(emb01, range(5), PQ_CODEBOOK, k=10,
+                         centroids=IVF_CENTROIDS).collect()
+    res = ivfpq_residual_adc_topk(emb01, range(5), PQR_CODEBOOK, k=10,
+                                  centroids=IVF_CENTROIDS).collect()
+    r_raw = _recall_at_10(emb01_np, raw)
+    r_res = _recall_at_10(emb01_np, res)
+    assert r_res >= 0.35
+    assert r_res >= r_raw
+
+
+def test_ivfpq_residual_adist_matches_numpy(emb, emb_np):
+    """Residual ADC differential: approx distance = sum_m LUT_cell[m][
+    code_m] where BOTH sides encode residuals against the candidate's
+    (resp. probed) cell centroid."""
+    from kafka_flink_processing_spark.functions.ivf_codebook import (
+        IVF_CENTROIDS,
+    )
+    from kafka_flink_processing_spark.functions.pq_residual_codebook import (
+        PQR_CODEBOOK,
+    )
+    from kafka_flink_processing_spark.operators.similarity import (
+        assign_cells,
+        ivfpq_residual_adc_topk,
+        with_unit_info,
+    )
+    ids, X = emb_np
+    idx = {v: i for i, v in enumerate(ids)}
+    CENT = np.array(IVF_CENTROIDS)
+    CBR = np.array(PQR_CODEBOOK)
+    cells = {r.vec_id: r.cell for r in
+             assign_cells(with_unit_info(emb), IVF_CENTROIDS)
+             .select("vec_id", "cell").collect()}
+
+    def np_resid_codes(v, cell):
+        r = v - CENT[cell]
+        return [((r[m * PQ_DSUB:(m + 1) * PQ_DSUB] - CBR[m]) ** 2)
+                .sum(axis=1).argmin() for m in range(PQ_M)]
+
+    rows = ivfpq_residual_adc_topk(emb, range(3), PQR_CODEBOOK, k=5,
+                                   centroids=IVF_CENTROIDS).collect()
+    assert rows
+    for r in rows:
+        cell = cells[r.cand_id]
+        qr = X[idx[r.query_id]] - CENT[cell]
+        codes = np_resid_codes(X[idx[r.cand_id]], cell)
+        want = sum(((qr[m * PQ_DSUB:(m + 1) * PQ_DSUB] - CBR[m][codes[m]])
+                    ** 2).sum() for m in range(PQ_M))
+        assert abs(r.adist - want) < 1e-9
+
+
 def test_pq_rerank_distances_are_exact(emb, emb_np):
     """Re-ranked distances are TRUE squared L2 (not approximations)."""
     ids, X = emb_np

@@ -180,6 +180,7 @@ EMB_QUERIES = [
     # NaN/Inf subspace distances and argmin ties are exactly its surface
     "similarity_pq_topk", "similarity_pq_rerank_topk",
     "pq_distortion_by_label", "similarity_ivfpq_topk",
+    "similarity_ivfpq_residual_topk",
 ]
 
 EMB_DIM = 64

@@ -70,7 +70,8 @@ R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
 # in corpus rows; the LUT side is constant (|Q| x M x K broadcast); the
 # re-rank join touches a constant |Q| x shortlist vector set.
 PQ_QUERY_SET = ["similarity_pq_topk", "similarity_pq_rerank_topk",
-                "pq_distortion_by_label", "similarity_ivfpq_topk"]
+                "pq_distortion_by_label", "similarity_ivfpq_topk",
+                "similarity_ivfpq_residual_topk"]
 # distribution-preserving replication: bump the id columns per replica so
 # keys stay unique while every categorical/derived population (hubs from
 # user_id % 4, langs, priorities) keeps its shape
