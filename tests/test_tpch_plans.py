@@ -103,13 +103,15 @@ def test_event_anomaly_windows_over_preaggregate(spark):
         "window must consume the aggregate (appear above it in the tree)"
 
 
-def test_kmeans_assign_is_broadcast_codebook_mapside_argmax(spark):
+def test_kmeans_assign_is_literal_codebook_pure_map(spark):
+    # late-r9 rewrite: the codebook compiles into the projection as
+    # literals and the argmax is a first-strict-max fold — no join, no
+    # aggregation, ZERO exchanges (previously: broadcast crossJoin +
+    # map-side max_by with one exchange on vec_id; the measured-tradeoff
+    # notes live in operators/similarity.py::_argmax_cell)
     plan = plan_of(spark, "kmeans_assign_cells")
-    # the K-row codebook broadcasts (nested-loop broadcast is fine and
-    # expected for a crossJoin against 16 rows); the argmax aggregate is
-    # partial map-side, so exactly ONE hash exchange (on vec_id) remains
-    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
-    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "Exchange hashpartitioning" not in plan
 
 
 def test_source_overlap_join_keys_on_gram(spark):
