@@ -3140,6 +3140,100 @@ def feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.sum(F.col("val") * F.col("val")).alias("sumsq")))
 
 
+_DSIR_B = 1024
+_DSIR_TARGET_LANG = "en"
+
+
+@register(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH ts AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                FROM documents),
+    g AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i+1])) AS w
+          FROM ts WHERE len(a) >= 2),
+    h AS (SELECT doc_id, lang,
+                 {_H60.format(x="'ds:' || w")} % {_DSIR_B} AS bucket
+          FROM g),
+    bstats AS MATERIALIZED (SELECT bucket,
+                 COUNT(*) AS n_r,
+                 SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                     THEN 1 ELSE 0 END) AS n_t
+          FROM h GROUP BY bucket),
+    tot AS (SELECT SUM(n_r) AS r_tot, SUM(n_t) AS t_tot FROM bstats),
+    lr AS (SELECT b.bucket,
+                  CAST(ROUND((LN(b.n_t + 1) - LN(b.n_r + 1)
+                              - LN(t.t_tot + {_DSIR_B})
+                              + LN(t.r_tot + {_DSIR_B})) * 1000000.0)
+                        AS BIGINT) AS lr6
+           FROM bstats b CROSS JOIN tot t),
+    dw AS (SELECT h.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  CAST(SUM(l.lr6) AS DOUBLE) / 1000000.0 AS dsir_weight
+           FROM h JOIN lr l USING (bucket) GROUP BY h.doc_id)
+    SELECT d.doc_id,
+           COALESCE(dw.n_bigrams, 0) AS n_bigrams,
+           COALESCE(dw.dsir_weight, 0.0) AS dsir_weight
+    FROM documents d LEFT JOIN dw USING (doc_id)
+    """,
+    doc=f"DSIR data-selection importance weights (Xie et al. 2023, "
+        f"'Data Selection for Language Models via Importance "
+        f"Resampling'): per doc, sum over its hashed word-bigram "
+        f"occurrences of log p_target(bucket) - log p_raw(bucket), "
+        f"where both distributions are Laplace-smoothed counts over "
+        f"{_DSIR_B} md5-hashed buckets and the target is the "
+        f"lang='{_DSIR_TARGET_LANG}' slice — the weight a resampling "
+        "pass feeds into selection toward the target distribution. "
+        "Cross-engine exactness: the per-BUCKET log-ratio is rounded "
+        "once to 6dp scaled ints (1024 rows, the corpus_entropy "
+        "precedent), so every per-doc sum is integer-exact and "
+        "order-free. Scale: one corpus-sized explode, one map-side-"
+        "combined 1024-group aggregation, the 1024-row stats broadcast "
+        "back onto the gram stream, one doc-keyed aggregation — no "
+        "vocabulary state, no second corpus pass; docs with <2 tokens "
+        "(incl. NULL/empty text) surface with n_bigrams=0, weight 0.",
+)
+def dsir_importance_weights_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    ts = (docs.select("doc_id", "lang", F.split("text", " ").alias("a"))
+          .filter(F.size("a") >= 2))
+    g = ts.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, size(a) - 1), "
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+        .alias("w"))
+    h = g.select(
+        "doc_id", "lang",
+        F.pmod(md5_hash60(F.concat(F.lit("ds:"), F.col("w"))),
+               F.lit(_DSIR_B)).alias("bucket"))
+    bstats = h.groupBy("bucket").agg(
+        F.count("*").alias("n_r"),
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+              .otherwise(0)).alias("n_t"))
+    tot = bstats.agg(F.sum("n_r").alias("r_tot"),
+                     F.sum("n_t").alias("t_tot"))
+    lr = (bstats.crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  F.round((F.log(F.col("n_t") + 1) - F.log(F.col("n_r") + 1)
+                           - F.log(F.col("t_tot") + _DSIR_B)
+                           + F.log(F.col("r_tot") + _DSIR_B)) * 1e6)
+                  .cast("long").alias("lr6")))
+    dw = (h.join(F.broadcast(lr), "bucket")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_bigrams"),
+               (F.sum("lr6").cast("double") / 1e6).alias("dsir_weight")))
+    return (docs.select("doc_id").join(dw, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    F.coalesce("dsir_weight", F.lit(0.0))
+                    .alias("dsir_weight")))
+
+
 from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
     N_MERGES as _BPE_K,
     bpe_oracle_sql,

@@ -87,7 +87,7 @@ DOC_QUERIES = [
     "bm25_rank", "bpe_encode_tokens", "bpe_vocab_coverage",
     "bpe_fertility_by_lang", "bpe_vocab_merges", "bpe_vocab_merges_batched",
     "cluster_aware_folds",
-    "data_mix_subword_budget",
+    "data_mix_subword_budget", "dsir_importance_weights",
     "corpus_entropy_by_source", "corpus_partitioned_roundtrip",
     "curation_funnel", "curation_pipeline", "curriculum_stages",
     "data_mix_summary", "decontaminate_bloom", "decontaminate_ngram",
