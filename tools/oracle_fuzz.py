@@ -123,6 +123,8 @@ TOTAL_TEXT = [
     # all six pass the unicode corpus
     "bpe_vocab_merges", "bpe_vocab_merges_batched", "bpe_encode_tokens",
     "bpe_vocab_coverage", "bpe_fertility_by_lang", "data_mix_subword_budget",
+    # same space-split + md5-over-UTF8-bytes idiom as feature_hashing
+    "dsir_importance_weights",
 ]
 
 LANGS = ["en", "de", "fr", "es"]
