@@ -3188,11 +3188,14 @@ _DSIR_TARGET_LANG = "en"
         "Cross-engine exactness: the per-BUCKET log-ratio is rounded "
         "once to 6dp scaled ints (1024 rows, the corpus_entropy "
         "precedent), so every per-doc sum is integer-exact and "
-        "order-free. Scale: one corpus-sized explode, one map-side-"
-        "combined 1024-group aggregation, the 1024-row stats broadcast "
-        "back onto the gram stream, one doc-keyed aggregation — no "
-        "vocabulary state, no second corpus pass; docs with <2 tokens "
-        "(incl. NULL/empty text) surface with n_bigrams=0, weight 0.",
+        "order-free. Scale: a corpus-sized explode feeds a map-side-"
+        "combined 1024-group aggregation; the 1024-row stats broadcast "
+        "back onto the gram stream for one doc-keyed aggregation. The "
+        "gram stream is RE-DERIVED for that second pass (two scans of "
+        "the raw corpus) rather than cached — materializing the "
+        "exploded bigram relation would dwarf the corpus itself; no "
+        "vocabulary state either way. Docs with <2 tokens (incl. "
+        "NULL/empty text) surface with n_bigrams=0, weight 0.",
 )
 def dsir_importance_weights_q(spark: SparkSession,
                               sf_dir: str) -> DataFrame:
