@@ -76,7 +76,19 @@ DRIVER_WINDOW = 50
 # tests/test_registry_guard.py::test_stale_bound_feasible pins the
 # pigeonhole inequality so registration growth past capacity becomes a
 # test failure that forces an explicit bound/window decision.
-STALE_BOUND = 4
+#
+# r9-end: raised 4 -> 5, same grounds as the r6 raise but taken BEFORE
+# the inequality fails instead of after. r9 ends at 199 registered
+# queries vs 50 x 4 = 200 capacity — the headroom the r6 comment cited
+# ("200 >= 167 with headroom for a round of registrations") is spent,
+# and the 8 r9 post-freeze deferrals are already promised into the r10
+# window, so r10's FIRST new registration would trip the feasibility
+# guard mid-round and force this decision under pressure. 5 gives
+# 250 >= 199 with a round of headroom restored. The generator still
+# fills oldest-first, so the EFFECTIVE refresh cadence stays
+# ~#queries/window (~4 rounds) — the bound remains the neglect
+# tripwire, not the target.
+STALE_BOUND = 5
 
 # One regression tripwire per long-stable operator family, consumed by the
 # generator AFTER the staleness-mandated set: a sentinel only takes a slot

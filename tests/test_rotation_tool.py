@@ -58,8 +58,10 @@ def test_stale_oracle_backed_never_truncated_for_rows_only(monkeypatch,
         pytest.skip("registry smaller than window")
     newest = {n: ("green" if n in set(oracle_backed) else "rows_only", "01")
               for n in names}
-    # one fresh row pins max_round=5, so every r01 signal is 4 rounds old
-    newest[oracle_backed[0]] = ("green", "05")
+    # one fresh row pins max_round = 1 + STALE_BOUND, so every r01 signal
+    # is exactly STALE_BOUND rounds old (binding whatever the bound is)
+    newest[oracle_backed[0]] = (
+        "green", f"{1 + rr.registry.STALE_BOUND:02d}")
     monkeypatch.setattr(rr, "_signals",
                         lambda: (dict(newest), set(names)))
     with pytest.raises(SystemExit):
