@@ -1172,8 +1172,11 @@ def weighted_sample_wor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                  {dsum_sql('f * ln(f)', 6)} AS s
           FROM c GROUP BY source)
     SELECT source, n_tokens, vocab_size,
-           ln(n_tokens) - s / n_tokens AS entropy_nats,
-           (ln(n_tokens) - s / n_tokens) / ln(vocab_size) AS entropy_norm
+           ROUND(ln(n_tokens) - s / n_tokens, 6) AS entropy_nats,
+           CASE WHEN vocab_size > 1
+                THEN ROUND((ln(n_tokens) - s / n_tokens)
+                           / ln(vocab_size), 6)
+                ELSE CAST(NULL AS DOUBLE) END AS entropy_norm
     FROM a
     """,
     doc="unigram Shannon entropy per source, H = ln N - (1/N)*sum(c*ln c) "
@@ -1183,11 +1186,16 @@ def weighted_sample_wor_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "identity form needs only the per-(source, token) counts — one "
         "map-side-combined aggregate, then a #sources-row reduction — "
         "never a probability materialization. Cross-engine exactness: "
-        "the only transcendental sum (c*ln c) is 6dp-rounded into scaled "
-        "int64 (functions/exact.py); the outer ln/divisions are single "
-        "IEEE ops on identical inputs. entropy_norm = H/ln(vocab) in "
-        "[0,1] (every driver source has vocab_size > 1; a single-token "
-        "source would need a guard).",
+        "the inner transcendental sum (c*ln c) is 6dp-rounded into "
+        "scaled int64 (functions/exact.py), and the OUTER entropy "
+        "columns are 6dp-pinned too, because ln is the one libm call "
+        "whose last ulp differs between the JVM and DuckDB (the "
+        "bm25/tfidf decision; a third-seed r9 fuzz sweep caught "
+        "entropy_norm one ulp apart on a random-ASCII corpus) — the "
+        "residual half-ulp-at-a-rounding-boundary risk is the same one "
+        "every ROUND-pinned key in the repo accepts. entropy_norm = "
+        "H/ln(vocab) in [0,1], NULL for a degenerate single-token "
+        "source (both engines propagate the CASE identically).",
 )
 def corpus_entropy_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, "documents", sf_dir)
@@ -1203,9 +1211,11 @@ def corpus_entropy_by_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         dsum(F.col("f") * F.log(F.col("f").cast("double")), 6).alias("s"))
     h = F.log(F.col("n_tokens").cast("double")) - F.col("s") / F.col("n_tokens")
     return a.select(
-        "source", "n_tokens", "vocab_size", h.alias("entropy_nats"),
-        (h / F.log(F.col("vocab_size").cast("double")))
-        .alias("entropy_norm"))
+        "source", "n_tokens", "vocab_size",
+        F.round(h, 6).alias("entropy_nats"),
+        F.when(F.col("vocab_size") > 1,
+               F.round(h / F.log(F.col("vocab_size").cast("double")), 6))
+        .otherwise(F.lit(None).cast("double")).alias("entropy_norm"))
 
 
 _SKEW_KEYSPACES = (

@@ -111,15 +111,19 @@ SENTINELS: list[str] = [
 # 9 r9 registrations (BPE encode/coverage/subword-budget, the 5
 # partsupp-derived TPC-H shapes, the SMA tws port) — then the 8 family
 # sentinels and the oldest-signal r05 backfill.
-# THREE hand-swaps against the generated backfill tail, each for a query
+# FOUR hand-swaps against the generated backfill tail, each for a query
 # whose oracle or engine changed THIS round (the registry convention
 # requires changed queries in the window; the generator only sees signal
 # age): scalar_battery (sqrt NULL-guard inverted), multimodal_gif_decode
 # (LZW final-code width-bump fix), embedding_norm_stats (n_flagged
-# health-bound redesign, r9 fuzzer). Evicted to make room: text_stats,
-# lang_id_quality, doc_fingerprint — r05-green droppable-tier entries at
-# age 3 (refresh next round; each is also exercised by every ASCII fuzz
-# corpus, so they do not go dark).
+# health-bound redesign, r9 fuzzer), corpus_entropy_by_source (entropy
+# columns 6dp-pinned + vocab_size=1 guard after the THIRD-seed fuzz
+# sweep caught a 1-ulp ln() divergence). Evicted to make room:
+# text_stats, lang_id_quality, doc_fingerprint, window_ntile_battery —
+# r05-green droppable-tier entries (refresh next round; the first three
+# are exercised by every ASCII fuzz corpus and the fourth by every
+# events corpus, so none go dark, and the window-function family keeps
+# its in-window ohlc_bars sentinel).
 # generated by tools/rotation_report.py --emit-priority (newest committed round: r08)
 _PRIORITY: list[str] = [
     "streaming_pnl_tws",  # never r-
@@ -158,7 +162,6 @@ _PRIORITY: list[str] = [
     "top_orders_per_customer",  # green r05
     "custdist_q13",  # green r05
     "unpivot_measures",  # green r05
-    "window_ntile_battery",  # green r05
     "forecast_sma",  # green r05
     "last_value_carried_forward",  # green r05
     "latest_per_key",  # green r05
@@ -172,6 +175,7 @@ _PRIORITY: list[str] = [
     "scalar_battery",  # green r06 — ORACLE CHANGED r9 (hand-swap)
     "multimodal_gif_decode",  # green r08 — ENGINE CHANGED r9 (hand-swap)
     "embedding_norm_stats",  # green r08 — ORACLE CHANGED r9 (hand-swap)
+    "corpus_entropy_by_source",  # green r05 — BOTH CHANGED r9 (hand-swap)
 ]
 
 

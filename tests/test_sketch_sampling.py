@@ -184,8 +184,11 @@ def test_entropy_matches_python_identity(spark):
         h = math.log(n) - s / n
         assert row.n_tokens == n
         assert row.vocab_size == len(c)
-        assert row.entropy_nats == h
-        assert row.entropy_norm == h / math.log(len(c))
+        # the engine pins both entropy columns to 6dp (ln's last ulp
+        # differs between the JVM and DuckDB — r9 third-seed fuzz find)
+        assert row.entropy_nats == pytest.approx(round(h, 6), abs=1e-9)
+        assert row.entropy_norm == pytest.approx(
+            round(h / math.log(len(c)), 6), abs=1e-9)
         assert 0.0 <= row.entropy_norm <= 1.0
 
 
