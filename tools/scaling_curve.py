@@ -64,6 +64,15 @@ DEDUP_QUERY_SET = ["dedup_clusters", "dup_span_redact", "dedup_fuzzy_corpus"]
 R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
                 "data_mix_subword_budget", "streaming_forecast_sma_tws",
                 "bpe_vocab_merges_batched"]
+# --dsir mode (r9 end): DSIR importance weights on VERBATIM replication
+# (k-fold docs, same text population — the hashed-bucket log-ratio table
+# stays 1024 rows whatever the corpus size; only the bigram stream and
+# the doc-keyed agg grow). feature_hashing rides along as the in-family
+# control: same explode -> hashed-group agg skeleton, measured ~flat in
+# the r8 curves, so any divergence between the two is DSIR's extra
+# corpus scan (the gram stream is re-derived for the second aggregation
+# rather than cached — the documented two-scan design).
+DSIR_QUERY_SET = ["dsir_importance_weights", "feature_hashing"]
 # --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
 # (vec_id offset keeps ids unique; the 5 query vectors stay the
 # originals). Expected shape: encode and the ADC code scan grow linearly
@@ -110,12 +119,15 @@ def main() -> None:
     dedup_mode = "--dedup" in args
     r9_mode = "--r9" in args
     pq_mode = "--pq" in args
-    args = [a for a in args if a not in ("--dedup", "--r9", "--pq")]
+    dsir_mode = "--dsir" in args
+    args = [a for a in args if a not in ("--dedup", "--r9", "--pq",
+                                         "--dsir")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
     query_set = (DEDUP_QUERY_SET if dedup_mode
                  else R9_QUERY_SET if r9_mode
-                 else PQ_QUERY_SET if pq_mode else QUERY_SET)
-    tables = (["documents"] if dedup_mode
+                 else PQ_QUERY_SET if pq_mode
+                 else DSIR_QUERY_SET if dsir_mode else QUERY_SET)
+    tables = (["documents"] if dedup_mode or dsir_mode
               else ["documents", "events"] if r9_mode
               else ["embeddings"] if pq_mode
               else ["lineitem", "events", "documents"])
