@@ -1,0 +1,236 @@
+"""Streaming-parity fuzzer: replay the adversarial EVENT corpora through
+the Structured Streaming stateful engines and assert exact batch parity.
+
+tools/oracle_fuzz.py hardens the BATCH plans against their DuckDB oracles;
+this tool points the same adversarial corpora at the axis oracle_fuzz
+cannot see — the streaming state machinery. Every corpus is split into
+multiple micro-batch files at shared event-time cuts (so keyed state must
+survive 2+ batch boundaries), drained availableNow, and row-set-compared
+against the trusted batch engine on the identical input:
+
+  pnl        streaming_pnl        (applyInPandasWithState, JSON book)
+  pnl_tws    streaming_pnl_tws    (transformWithState, ValueState+MapState)
+  sma        streaming_sma_forecast      (applyInPandasWithState ring)
+  sma_tws    streaming_sma_forecast_tws  (transformWithState ListState)
+
+vs pnl_positions / rolling_sma_forecast — the engines whose outputs are
+driver-hash-green against the recursive-CTE replay oracle on these same
+corpora. The r8 PnL determinism bug (same-timestamp ticks made last-price
+partition-order-dependent) is exactly this class: invisible to unit tests
+on clean data, caught only by adversarial ties — hence events_ties rides
+first. SMA threads seq=tick_id so rolling order is total under ties in
+BOTH engines (the same tie-break lesson, applied before it bites).
+
+NaN-bearing corpora (events_extreme) compare via a NaN sentinel: NaN !=
+NaN would fail set equality even when both engines emit the same rows.
+
+Usage: python tools/stream_fuzz.py [--seed N] [--corpus NAME ...]
+                                   [--engines pnl,pnl_tws,sma,sma_tws]
+"""
+
+from __future__ import annotations
+
+import argparse
+import math
+import random
+import shutil
+import sys
+import tempfile
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+sys.path.insert(0, str(Path(__file__).resolve().parent))
+
+from pyspark.sql import DataFrame, functions as F  # noqa: E402
+
+from oracle_fuzz import EVENT_CORPORA, stage_sf_dir  # noqa: E402
+
+from kafka_flink_processing_spark.operators.pnl import pnl_positions  # noqa: E402
+from kafka_flink_processing_spark.operators.windows import (  # noqa: E402
+    rolling_sma_forecast,
+)
+from kafka_flink_processing_spark.plans.stateful import derive_market  # noqa: E402
+from kafka_flink_processing_spark.session import get_spark  # noqa: E402
+from kafka_flink_processing_spark.streaming.sinks import run_available_now  # noqa: E402
+
+_ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
+            "RocksDBStateStoreProvider")
+_PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+ENGINES = ("pnl", "pnl_tws", "sma", "sma_tws")
+
+
+def _norm(v):
+    # NaN is the one value where exact row equality needs help: Python's
+    # float('nan') != float('nan') breaks set membership even for
+    # identical rows. +/-0.0 already hash and compare equal.
+    if isinstance(v, float) and math.isnan(v):
+        return "__NaN__"
+    return v
+
+
+def _rowset(rows):
+    return {tuple((k, _norm(v)) for k, v in sorted(r.asDict().items()))
+            for r in rows}
+
+
+def _split_stream(spark, df: DataFrame, base: str, cuts: list[float]):
+    """Write df as len(cuts)+1 parquet files split at shared event-time
+    cuts (same cuts for every source, like the committed multi-batch
+    parity tests: per-source cuts would let a later-ts price precede an
+    earlier-ts trade across the boundary — a genuine reorder, not a
+    state bug) and open a 1-file-per-trigger stream over them. Same-ts
+    rows never straddle a cut (<=/> on the same boundary value)."""
+    o = F.col("ts").cast("double")
+    lo = None
+    for i, hi in enumerate(list(cuts) + [None]):
+        part = df
+        if lo is not None:
+            part = part.filter(o > lo)
+        if hi is not None:
+            part = part.filter(o <= hi)
+        part.coalesce(1).write.mode("overwrite").parquet(f"{base}/f{i}")
+        lo = hi
+    return (spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1).parquet(f"{base}/f*"))
+
+
+def _drain(spark, df: DataFrame, name: str, ckpt: str):
+    run_available_now(df, name, ckpt)
+    return _rowset(spark.sql(f"SELECT * FROM {name}").collect())
+
+
+class _rocksdb_provider:
+    """transformWithState needs the RocksDB store; restore the session's
+    previous provider afterwards so the applyInPandasWithState drains
+    keep running on whatever the session had (mirrors the test fixture)."""
+
+    def __init__(self, spark):
+        self.spark = spark
+
+    def __enter__(self):
+        try:
+            self.prev = self.spark.conf.get(_PROVIDER_KEY)
+        except Exception:
+            self.prev = None
+        self.spark.conf.set(_PROVIDER_KEY, _ROCKSDB)
+
+    def __exit__(self, *exc):
+        if self.prev is None:
+            self.spark.conf.unset(_PROVIDER_KEY)
+        else:
+            self.spark.conf.set(_PROVIDER_KEY, self.prev)
+        return False
+
+
+def run_corpus(spark, cname: str, seed: int, engines: list[str],
+               tag: str) -> list[tuple[str, bool]]:
+    rng = random.Random(seed)
+    rows = EVENT_CORPORA[cname](rng)
+    work = tempfile.mkdtemp(prefix=f"kfps_sfz_{cname}_")
+    results: list[tuple[str, bool]] = []
+    try:
+        sf = stage_sf_dir(spark, rows, work, table="events")
+        trades, prices = derive_market(spark, sf)
+        # shared cuts over BOTH sources' event time -> 3 micro-batches
+        allts = (trades.select("ts").unionByName(prices.select("ts"))
+                 .select(F.col("ts").cast("double").alias("o")))
+        cuts = sorted(set(allts.approxQuantile("o", [1 / 3, 2 / 3], 0.0)))
+
+        if "pnl" in engines or "pnl_tws" in engines:
+            want_pnl = _rowset(pnl_positions(trades, prices).collect())
+        if "pnl" in engines:
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_pnl,
+            )
+            got = _drain(
+                spark,
+                streaming_pnl(
+                    _split_stream(spark, trades, f"{work}/pt", cuts),
+                    _split_stream(spark, prices, f"{work}/pp", cuts)),
+                f"sfz_{tag}_pnl", f"{work}/ck_pnl")
+            results.append(("pnl", got == want_pnl))
+        if "pnl_tws" in engines:
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_pnl_tws,
+            )
+            with _rocksdb_provider(spark):
+                got = _drain(
+                    spark,
+                    streaming_pnl_tws(
+                        _split_stream(spark, trades, f"{work}/tt", cuts),
+                        _split_stream(spark, prices, f"{work}/tp", cuts)),
+                    f"sfz_{tag}_pnl_tws", f"{work}/ck_pnl_tws")
+            results.append(("pnl_tws", got == want_pnl))
+
+        if "sma" in engines or "sma_tws" in engines:
+            # seq = tick_id: a TOTAL rolling order under same-ts ticks in
+            # both engines (seq=0 would leave ties ambiguous on BOTH
+            # sides — a spec gap, not a state bug, so close it here)
+            p2 = prices.select(
+                "ts", "hub", "price_mwh",
+                F.col("tick_id").cast("long").alias("seq"))
+            want_sma = _rowset(
+                rolling_sma_forecast(p2, ["hub"], ["ts", "seq"],
+                                     "price_mwh")
+                .select("ts", "hub", "price_mwh", "sma5", "sma20",
+                        "forecast_next").collect())
+        if "sma" in engines:
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_sma_forecast,
+            )
+            got = _drain(
+                spark,
+                streaming_sma_forecast(
+                    _split_stream(spark, p2, f"{work}/sp", cuts),
+                    seq_col="seq"),
+                f"sfz_{tag}_sma", f"{work}/ck_sma")
+            results.append(("sma", got == want_sma))
+        if "sma_tws" in engines:
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_sma_forecast_tws,
+            )
+            with _rocksdb_provider(spark):
+                got = _drain(
+                    spark,
+                    streaming_sma_forecast_tws(
+                        _split_stream(spark, p2, f"{work}/st", cuts),
+                        seq_col="seq"),
+                    f"sfz_{tag}_sma_tws", f"{work}/ck_sma_tws")
+            results.append(("sma_tws", got == want_sma))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--seed", type=int, default=7)
+    ap.add_argument("--corpus", action="append",
+                    choices=sorted(EVENT_CORPORA))
+    ap.add_argument("--engines", default=",".join(ENGINES))
+    args = ap.parse_args()
+    corpora = args.corpus or sorted(EVENT_CORPORA)
+    engines = [e for e in args.engines.split(",") if e]
+    bad = [e for e in engines if e not in ENGINES]
+    if bad:
+        ap.error(f"unknown engines {bad}; pick from {ENGINES}")
+    spark = get_spark("stream_fuzz")
+    n_pass = n_fail = 0
+    failures: list[str] = []
+    for i, cname in enumerate(corpora):
+        for engine, ok in run_corpus(spark, cname, args.seed, engines,
+                                     tag=f"{i}"):
+            if ok:
+                n_pass += 1
+            else:
+                failures.append(f"{cname}/{engine}")
+                n_fail += 1
+            print(f"[{cname}] {engine}: {'OK' if ok else 'FAIL'}",
+                  flush=True)
+    print(f"\nstream-fuzz pass={n_pass} fail={n_fail}"
+          + (f" failures: {failures}" if failures else ""))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
