@@ -56,7 +56,18 @@ from kafka_flink_processing_spark.streaming.sinks import run_available_now  # no
 _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-ENGINES = ("pnl", "pnl_tws", "sma", "sma_tws")
+ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws")
+
+# pnl_tws_ttl runs with a TTL far beyond any corpus's event-time span, so
+# no timer can expire during the drain and the output must DEGENERATE to
+# the non-TTL book exactly — the check still drives the timer
+# registration path and the lastTrade MapState (typed puts, flat-account
+# detection) under every adversarial corpus, plus the eventtime/watermark
+# wiring the other engines don't use. (A small TTL diverges from batch BY
+# DESIGN — eviction is the point — so it cannot be parity-checked here;
+# the eviction behavior itself is pinned by
+# tests/test_streaming.py::test_pnl_tws_ttl_evicts_long_flat_accounts.)
+_TTL_NEVER_MS = 10 ** 12  # ~31 years of event time
 
 
 def _norm(v):
@@ -136,7 +147,7 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                  .select(F.col("ts").cast("double").alias("o")))
         cuts = sorted(set(allts.approxQuantile("o", [1 / 3, 2 / 3], 0.0)))
 
-        if "pnl" in engines or "pnl_tws" in engines:
+        if {"pnl", "pnl_tws", "pnl_tws_ttl"} & set(engines):
             want_pnl = _rowset(pnl_positions(trades, prices).collect())
         if "pnl" in engines:
             from kafka_flink_processing_spark.streaming.stateful import (
@@ -161,6 +172,19 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                         _split_stream(spark, prices, f"{work}/tp", cuts)),
                     f"sfz_{tag}_pnl_tws", f"{work}/ck_pnl_tws")
             results.append(("pnl_tws", got == want_pnl))
+        if "pnl_tws_ttl" in engines:
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_pnl_tws_ttl,
+            )
+            with _rocksdb_provider(spark):
+                got = _drain(
+                    spark,
+                    streaming_pnl_tws_ttl(
+                        _split_stream(spark, trades, f"{work}/lt", cuts),
+                        _split_stream(spark, prices, f"{work}/lp", cuts),
+                        ttl_ms=_TTL_NEVER_MS),
+                    f"sfz_{tag}_pnl_tws_ttl", f"{work}/ck_pnl_tws_ttl")
+            results.append(("pnl_tws_ttl", got == want_pnl))
 
         if "sma" in engines or "sma_tws" in engines:
             # seq = tick_id: a TOTAL rolling order under same-ts ticks in
