@@ -56,7 +56,8 @@ from kafka_flink_processing_spark.streaming.sinks import run_available_now  # no
 _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws")
+ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws",
+           "tumbling", "session")
 
 # pnl_tws_ttl runs with a TTL far beyond any corpus's event-time span, so
 # no timer can expire during the drain and the output must DEGENERATE to
@@ -105,8 +106,9 @@ def _split_stream(spark, df: DataFrame, base: str, cuts: list[float]):
             .option("maxFilesPerTrigger", 1).parquet(f"{base}/f*"))
 
 
-def _drain(spark, df: DataFrame, name: str, ckpt: str):
-    run_available_now(df, name, ckpt)
+def _drain(spark, df: DataFrame, name: str, ckpt: str,
+           output_mode: str = "append"):
+    run_available_now(df, name, ckpt, output_mode=output_mode)
     return _rowset(spark.sql(f"SELECT * FROM {name}").collect())
 
 
@@ -221,6 +223,54 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                         seq_col="seq"),
                     f"sfz_{tag}_sma_tws", f"{work}/ck_sma_tws")
             results.append(("sma_tws", got == want_sma))
+        # windowed aggregations, complete mode: the registered streaming
+        # window queries drain ONE micro-batch (drain_streaming_result's
+        # single-file staging), so neither fuzzer has exercised window
+        # STATE across batch boundaries — tumbling partials updated by a
+        # later batch, session windows MERGING when a later batch extends
+        # them. Batch and streaming run the identical expression tree, so
+        # engine-level semantics (NaN, dsum scaling) cancel and only the
+        # stateful-aggregation machinery is under test.
+        windowed: dict[str, object] = {}
+        if {"tumbling", "session"} & set(engines):
+            from kafka_flink_processing_spark.functions.exact import dsum
+            px = prices.select("ts", "hub", "price_mwh")
+
+            def tumbling(df: DataFrame) -> DataFrame:
+                return (df.groupBy(F.window("ts", "1 hour").alias("w"),
+                                   "hub")
+                        .agg(F.count("*").alias("n_ticks"),
+                             dsum("price_mwh").alias("sum_price"),
+                             F.min("price_mwh").alias("min_price"),
+                             F.max("price_mwh").alias("max_price"))
+                        .select(F.col("w.start").alias("window_start"),
+                                F.col("w.end").alias("window_end"), "hub",
+                                "n_ticks", "sum_price", "min_price",
+                                "max_price"))
+
+            def session(df: DataFrame) -> DataFrame:
+                return (df.groupBy(
+                            F.session_window("ts", "30 minutes").alias("w"),
+                            "hub")
+                        .agg(F.count("*").alias("n_ticks"),
+                             dsum("price_mwh").alias("sum_price"))
+                        .select("hub",
+                                F.col("w.start").alias("session_start"),
+                                F.col("w.end").alias("session_end"),
+                                "n_ticks", "sum_price"))
+
+            windowed = {"tumbling": tumbling, "session": session}
+
+        for ename, build in windowed.items():
+            if ename not in engines:
+                continue
+            want = _rowset(build(px).collect())
+            got = _drain(
+                spark,
+                build(_split_stream(spark, px, f"{work}/w_{ename}", cuts)),
+                f"sfz_{tag}_{ename}", f"{work}/ck_{ename}",
+                output_mode="complete")
+            results.append((ename, got == want))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return results
