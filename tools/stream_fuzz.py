@@ -57,7 +57,7 @@ _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws",
-           "tumbling", "session")
+           "tumbling", "session", "pnl_restart", "pnl_tws_restart")
 
 # pnl_tws_ttl runs with a TTL far beyond any corpus's event-time span, so
 # no timer can expire during the drain and the output must DEGENERATE to
@@ -149,7 +149,8 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                  .select(F.col("ts").cast("double").alias("o")))
         cuts = sorted(set(allts.approxQuantile("o", [1 / 3, 2 / 3], 0.0)))
 
-        if {"pnl", "pnl_tws", "pnl_tws_ttl"} & set(engines):
+        if {"pnl", "pnl_tws", "pnl_tws_ttl",
+                "pnl_restart", "pnl_tws_restart"} & set(engines):
             want_pnl = _rowset(pnl_positions(trades, prices).collect())
         if "pnl" in engines:
             from kafka_flink_processing_spark.streaming.stateful import (
@@ -271,6 +272,69 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                 f"sfz_{tag}_{ename}", f"{work}/ck_{ename}",
                 output_mode="complete")
             results.append((ename, got == want))
+
+        # checkpoint-restart under adversity: the committed restart tests
+        # (tests/test_streaming.py) prove the resume mechanics on CLEAN
+        # data; only nasty corpora put NaN last-prices into the JSON book
+        # state and extreme doubles through the RocksDB row encoders, so
+        # the checkpoint ROUND-TRIP of adversarial state content is its
+        # own axis. Two-phase drain: f0 -> file sink + checkpoint, STOP,
+        # land f1, fresh query from the SAME checkpoint; the combined
+        # sink must equal the batch replay with no batch-1 re-emission.
+        if {"pnl_restart", "pnl_tws_restart"} & set(engines):
+            mid = [cuts[len(cuts) // 2]] if cuts else []
+
+            def _stage_part(df, base, part):
+                o = F.col("ts").cast("double")
+                flt = (o <= mid[0]) if part == 0 else (o > mid[0])
+                (df.filter(flt) if mid else df).coalesce(1) \
+                    .write.mode("overwrite").parquet(f"{base}/f{part}")
+
+            def _restart_parity(builder, base: str) -> bool:
+                out, ckpt = f"{base}/out", f"{base}/ckpt"
+                _stage_part(trades, f"{base}/t", 0)
+                _stage_part(prices, f"{base}/p", 0)
+
+                def run_once():
+                    ts = spark.readStream.schema(trades.schema) \
+                        .parquet(f"{base}/t/f*")
+                    px_ = spark.readStream.schema(prices.schema) \
+                        .parquet(f"{base}/p/f*")
+                    q = (builder(ts, px_)
+                         .writeStream.format("parquet")
+                         .option("path", out)
+                         .option("checkpointLocation", ckpt)
+                         .outputMode("append")
+                         .trigger(availableNow=True).start())
+                    q.awaitTermination()
+
+                run_once()
+                if mid:  # second phase only when there is a real cut
+                    _stage_part(trades, f"{base}/t", 1)
+                    _stage_part(prices, f"{base}/p", 1)
+                    run_once()
+                try:
+                    got = _rowset(spark.read.parquet(out).collect())
+                except Exception:  # sink never materialized: no rows
+                    got = set()
+                return got == want_pnl
+
+            if "pnl_restart" in engines:
+                from kafka_flink_processing_spark.streaming.stateful import (
+                    streaming_pnl,
+                )
+                results.append((
+                    "pnl_restart",
+                    _restart_parity(streaming_pnl, f"{work}/rs_pnl")))
+            if "pnl_tws_restart" in engines:
+                from kafka_flink_processing_spark.streaming.stateful import (
+                    streaming_pnl_tws,
+                )
+                with _rocksdb_provider(spark):
+                    results.append((
+                        "pnl_tws_restart",
+                        _restart_parity(streaming_pnl_tws,
+                                        f"{work}/rs_tws")))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return results
