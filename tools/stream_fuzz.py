@@ -1,31 +1,54 @@
-"""Streaming-parity fuzzer: replay the adversarial EVENT corpora through
-the Structured Streaming stateful engines and assert exact batch parity.
+"""Streaming-parity fuzzer: replay the adversarial corpora through the
+Structured Streaming engines and assert exact batch parity.
 
 tools/oracle_fuzz.py hardens the BATCH plans against their DuckDB oracles;
 this tool points the same adversarial corpora at the axis oracle_fuzz
-cannot see — the streaming state machinery. Every corpus is split into
-multiple micro-batch files at shared event-time cuts (so keyed state must
-survive 2+ batch boundaries), drained availableNow, and row-set-compared
-against the trusted batch engine on the identical input:
+cannot see — the streaming machinery. Every corpus is split into multiple
+micro-batch files at shared order-column cuts (so state must survive 2+
+batch boundaries), drained availableNow, and row-set-compared against the
+trusted batch engine on the identical input.
 
-  pnl        streaming_pnl        (applyInPandasWithState, JSON book)
-  pnl_tws    streaming_pnl_tws    (transformWithState, ValueState+MapState)
-  sma        streaming_sma_forecast      (applyInPandasWithState ring)
-  sma_tws    streaming_sma_forecast_tws  (transformWithState ListState)
+EVENT-corpora engines (ties/extreme/sparse/skew):
 
-vs pnl_positions / rolling_sma_forecast — the engines whose outputs are
-driver-hash-green against the recursive-CTE replay oracle on these same
-corpora. The r8 PnL determinism bug (same-timestamp ticks made last-price
+  pnl          streaming_pnl      (applyInPandasWithState, JSON book)
+  pnl_tws      streaming_pnl_tws  (transformWithState, ValueState+MapState)
+  pnl_tws_ttl  TTL variant with a never-expiring TTL: must DEGENERATE to
+               the non-TTL book while driving timer registration, the
+               lastTrade MapState, and the eventtime/watermark wiring
+  sma          streaming_sma_forecast      (applyInPandasWithState ring)
+  sma_tws      streaming_sma_forecast_tws  (transformWithState ListState)
+  tumbling     1h-window agg, complete mode — tumbling partials UPDATED
+               by later batches (the registered streaming window queries
+               stage one micro-batch, so this state had no coverage)
+  session      30min-gap session windows, complete mode — sessions
+               MERGING when a later batch extends them
+  pnl_restart / pnl_tws_restart
+               two-phase file-sink drains from the SAME checkpoint with a
+               stop between: adversarial STATE CONTENT (NaN last-prices
+               in the JSON book, extreme doubles through the RocksDB row
+               encoders) must survive the checkpoint round-trip with no
+               batch-1 re-emission
+
+vs pnl_positions / rolling_sma_forecast / the identical agg expression in
+batch. The r8 PnL determinism bug (same-timestamp ticks made last-price
 partition-order-dependent) is exactly this class: invisible to unit tests
 on clean data, caught only by adversarial ties — hence events_ties rides
 first. SMA threads seq=tick_id so rolling order is total under ties in
 BOTH engines (the same tie-break lesson, applied before it bites).
 
+DOC-corpora engines (edge_ascii/random_ascii/zipf_dup/unicode):
+
+  inc_dedup    incremental_dedup_job — the foreachBatch ingest guard's
+               epoch fan-out on NULL/empty/unicode/dup-heavy text; spec =
+               batch cross-corpus dups UNION within-epoch self-screen
+  decon        decontamination_job — Bloom-broadcast screen parity,
+               accepted = increment minus flagged
+
 NaN-bearing corpora (events_extreme) compare via a NaN sentinel: NaN !=
 NaN would fail set equality even when both engines emit the same rows.
 
 Usage: python tools/stream_fuzz.py [--seed N] [--corpus NAME ...]
-                                   [--engines pnl,pnl_tws,sma,sma_tws]
+                                   [--engines pnl,sma,inc_dedup,...]
 """
 
 from __future__ import annotations
@@ -43,7 +66,7 @@ sys.path.insert(0, str(Path(__file__).resolve().parent))
 
 from pyspark.sql import DataFrame, functions as F  # noqa: E402
 
-from oracle_fuzz import EVENT_CORPORA, stage_sf_dir  # noqa: E402
+from oracle_fuzz import CORPORA, EVENT_CORPORA, stage_sf_dir  # noqa: E402
 
 from kafka_flink_processing_spark.operators.pnl import pnl_positions  # noqa: E402
 from kafka_flink_processing_spark.operators.windows import (  # noqa: E402
@@ -51,6 +74,7 @@ from kafka_flink_processing_spark.operators.windows import (  # noqa: E402
 )
 from kafka_flink_processing_spark.plans.stateful import derive_market  # noqa: E402
 from kafka_flink_processing_spark.session import get_spark  # noqa: E402
+from kafka_flink_processing_spark.sources.parquet import load_table  # noqa: E402
 from kafka_flink_processing_spark.streaming.sinks import run_available_now  # noqa: E402
 
 _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
@@ -58,6 +82,16 @@ _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
 ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws",
            "tumbling", "session", "pnl_restart", "pnl_tws_restart")
+
+# documents-family engines: the streaming ingest-guard JOBS
+# (foreachBatch fan-out to epoch-partitioned dups/accepted sinks) have
+# only ever seen the clean sf0.001 documents; the text corpora feed them
+# NULL/empty text, unicode, and pathological duplication. Parity spec is
+# the committed job tests' (tests/test_streaming.py): cross-corpus dups
+# from the batch operator UNION within-epoch self-screen pairs, accepted
+# = increment minus flagged.
+DOC_ENGINES = ("inc_dedup", "decon")
+DOC_CORPORA = ("edge_ascii", "random_ascii", "zipf_dup", "unicode")
 
 # pnl_tws_ttl runs with a TTL far beyond any corpus's event-time span, so
 # no timer can expire during the drain and the output must DEGENERATE to
@@ -85,14 +119,15 @@ def _rowset(rows):
             for r in rows}
 
 
-def _split_stream(spark, df: DataFrame, base: str, cuts: list[float]):
-    """Write df as len(cuts)+1 parquet files split at shared event-time
+def _split_stream(spark, df: DataFrame, base: str, cuts: list[float],
+                  order_col: str = "ts"):
+    """Write df as len(cuts)+1 parquet files split at shared order-column
     cuts (same cuts for every source, like the committed multi-batch
     parity tests: per-source cuts would let a later-ts price precede an
     earlier-ts trade across the boundary — a genuine reorder, not a
-    state bug) and open a 1-file-per-trigger stream over them. Same-ts
-    rows never straddle a cut (<=/> on the same boundary value)."""
-    o = F.col("ts").cast("double")
+    state bug) and open a 1-file-per-trigger stream over them. Tied rows
+    never straddle a cut (<=/> on the same boundary value)."""
+    o = F.col(order_col).cast("double")
     lo = None
     for i, hi in enumerate(list(cuts) + [None]):
         part = df
@@ -340,24 +375,145 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
     return results
 
 
+def _read_epoch_dir(spark, path: str):
+    """Epoch-partitioned job output, or None when the sink never wrote a
+    file (legitimately empty under sparse corpora)."""
+    try:
+        return spark.read.option("basePath", path).parquet(f"{path}/epoch=*")
+    except Exception:
+        return None
+
+
+def run_doc_corpus(spark, cname: str, seed: int,
+                   engines: list[str]) -> list[tuple[str, bool]]:
+    from kafka_flink_processing_spark.operators.dedup import (
+        contamination_screen_bloom,
+        incremental_minhash_dups,
+        minhash_lsh_pairs,
+    )
+    from kafka_flink_processing_spark.streaming.jobs import (
+        decontamination_job,
+        incremental_dedup_job,
+    )
+
+    rng = random.Random(seed)
+    rows = CORPORA[cname](rng)
+    work = tempfile.mkdtemp(prefix=f"kfps_sfz_{cname}_")
+    results: list[tuple[str, bool]] = []
+    try:
+        sf = stage_sf_dir(spark, rows, work, table="documents")
+        docs = load_table(spark, "documents", sf).select("doc_id", "text")
+        ids = sorted(r.doc_id for r in docs.select("doc_id")
+                     .distinct().collect())
+
+        if "inc_dedup" in engines:
+            # corpus = lower half of ids, increment = upper half streamed
+            # in two micro-batches (the job test's shape on nasty text)
+            cut = ids[len(ids) // 2]
+            corpus = docs.filter(F.col("doc_id") < cut)
+            increment = docs.filter(F.col("doc_id") >= cut)
+            inc_ids = sorted(i for i in ids if i >= cut)
+            icut = [float(inc_ids[len(inc_ids) // 2])] \
+                if len(inc_ids) > 1 else []
+            want_cross = _rowset(incremental_minhash_dups(
+                docs, batch_cond=F.col("doc_id") >= cut).collect())
+            stream = _split_stream(spark, increment, f"{work}/inc", icut,
+                                   order_col="doc_id")
+            q = incremental_dedup_job(stream, corpus, f"{work}/dd_out",
+                                      f"{work}/dd_ckpt",
+                                      available_now=True)
+            q.awaitTermination()
+            dups = _read_epoch_dir(spark, f"{work}/dd_out/dups")
+            accepted = _read_epoch_dir(spark, f"{work}/dd_out/accepted")
+            # within-epoch self-screen expectation: epoch membership is
+            # pure file partitioning, so replay the batch pair-miner on
+            # each epoch's member set
+            members: list = []
+            for df in (dups, accepted):
+                if df is not None:
+                    members += df.select("epoch", "doc_id").collect()
+            by_epoch: dict[int, set] = {}
+            for r in members:
+                by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+            want_within = set()
+            for eids in by_epoch.values():
+                part = docs.filter(F.col("doc_id").isin(list(eids)))
+                for r in minhash_lsh_pairs(part).collect():
+                    want_within.add(tuple(sorted(dict(
+                        doc_id=max(r.doc_a, r.doc_b),
+                        dup_of=min(r.doc_a, r.doc_b),
+                        jaccard=_norm(r.jaccard)).items())))
+            got = (_rowset(dups.select("doc_id", "dup_of",
+                                       "jaccard").collect())
+                   if dups is not None else set())
+            flagged = ({r.doc_id for r in dups.select("doc_id").collect()}
+                       if dups is not None else set())
+            acc_ids = ({r.doc_id
+                        for r in accepted.select("doc_id").collect()}
+                       if accepted is not None else set())
+            ok = (got == want_cross | want_within
+                  and acc_ids == set(inc_ids) - flagged)
+            results.append(("inc_dedup", ok))
+
+        if "decon" in engines:
+            eval_cond = F.col("doc_id") % 13 == 0
+            eval_docs = docs.filter(eval_cond)
+            increment = docs.filter(~eval_cond)
+            inc_ids = sorted(i for i in ids if i % 13 != 0)
+            icut = [float(inc_ids[len(inc_ids) // 2])] \
+                if len(inc_ids) > 1 else []
+            want = _rowset(contamination_screen_bloom(
+                docs, eval_cond, n=4).collect())
+            stream = _split_stream(spark, increment, f"{work}/dc", icut,
+                                   order_col="doc_id")
+            q, bloom = decontamination_job(stream, eval_docs,
+                                           f"{work}/dc_out",
+                                           f"{work}/dc_ckpt", n=4,
+                                           available_now=True)
+            q.awaitTermination()
+            bloom.unpersist()
+            hits = _read_epoch_dir(spark, f"{work}/dc_out/contaminated")
+            accepted = _read_epoch_dir(spark, f"{work}/dc_out/accepted")
+            got = (_rowset(hits.drop("epoch").collect())
+                   if hits is not None else set())
+            flagged = ({r.doc_id for r in hits.select("doc_id").collect()}
+                       if hits is not None else set())
+            acc_ids = ({r.doc_id
+                        for r in accepted.select("doc_id").collect()}
+                       if accepted is not None else set())
+            ok = got == want and acc_ids == set(inc_ids) - flagged
+            results.append(("decon", ok))
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+    return results
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--seed", type=int, default=7)
     ap.add_argument("--corpus", action="append",
-                    choices=sorted(EVENT_CORPORA))
-    ap.add_argument("--engines", default=",".join(ENGINES))
+                    choices=sorted(EVENT_CORPORA) + sorted(DOC_CORPORA))
+    ap.add_argument("--engines",
+                    default=",".join(ENGINES + DOC_ENGINES))
     args = ap.parse_args()
-    corpora = args.corpus or sorted(EVENT_CORPORA)
+    corpora = args.corpus or (sorted(EVENT_CORPORA) + list(DOC_CORPORA))
     engines = [e for e in args.engines.split(",") if e]
-    bad = [e for e in engines if e not in ENGINES]
+    bad = [e for e in engines if e not in ENGINES + DOC_ENGINES]
     if bad:
-        ap.error(f"unknown engines {bad}; pick from {ENGINES}")
+        ap.error(f"unknown engines {bad}; pick from "
+                 f"{ENGINES + DOC_ENGINES}")
     spark = get_spark("stream_fuzz")
     n_pass = n_fail = 0
     failures: list[str] = []
     for i, cname in enumerate(corpora):
-        for engine, ok in run_corpus(spark, cname, args.seed, engines,
-                                     tag=f"{i}"):
+        if cname in EVENT_CORPORA:
+            res = run_corpus(spark, cname, args.seed,
+                             [e for e in engines if e in ENGINES],
+                             tag=f"{i}")
+        else:
+            res = run_doc_corpus(spark, cname, args.seed,
+                                 [e for e in engines if e in DOC_ENGINES])
+        for engine, ok in res:
             if ok:
                 n_pass += 1
             else:
