@@ -243,6 +243,32 @@ def events_extreme(rng: random.Random) -> list[tuple]:
     return _event_rows(rows)
 
 
+def events_oneside(rng: random.Random) -> list[tuple]:
+    """One-sided market regimes per hub (hub = user_id % 4): hub0 sees
+    ONLY trade-type events (a PnL book that never gets a price tick —
+    the last-price-None unrealized path), hub1 ONLY price-type events
+    (ticks against an empty book), hub2's prices STOP half-way (a stale
+    last price revaluing a still-growing book), hub3's prices START
+    half-way (a book founded blind, then revalued by its first tick).
+    Every engine pair must agree on what a missing market side means."""
+    trade_t = ("purchase", "signup", "error")
+    price_t = ("view", "click")
+    rows = []
+    eid = 0
+    for slot in range(160):
+        us = slot * 450 * 1_000_000
+        half = slot >= 80
+        picks = (trade_t,                          # hub0: trades only
+                 price_t,                          # hub1: prices only
+                 trade_t if half else price_t,     # hub2: prices stop
+                 price_t if half else trade_t)     # hub3: prices start
+        for uid, types in enumerate(picks):
+            rows.append((eid, us, uid, rng.choice(types),
+                         round(rng.uniform(1, 300), 2)))
+            eid += 1
+    return _event_rows(rows)
+
+
 def events_skew(rng: random.Random) -> list[tuple]:
     """95% of events on one hub — the hot-key shape."""
     rows = []
@@ -452,6 +478,7 @@ EVENT_CORPORA = {
     "events_sparse": events_sparse,
     "events_extreme": events_extreme,
     "events_skew": events_skew,
+    "events_oneside": events_oneside,
 }
 CORPORA.update(EVENT_CORPORA)
 
