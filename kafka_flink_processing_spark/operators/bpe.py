@@ -129,6 +129,32 @@ def bpe_encode_words(docs: DataFrame, merges: list[tuple],
                                DD)).cast("long")))
 
 
+def bpe_encode_tokens_with(docs: DataFrame, merges: list[tuple],
+                           text_col: str = "text",
+                           id_col: str = "doc_id") -> DataFrame:
+    """Encode from a PERSISTED merge table — the production shape (train
+    once offline, ship the artifact, encode many corpora): segment every
+    corpus word with the given merges in rank order and return per-doc
+    subword statistics (doc_id, n_words, n_tokens, max_word_tokens).
+
+    Identical output contract to bpe_encode_tokens, minus the training
+    jobs: no argmax collect ever runs, so the whole encode is ONE corpus
+    groupBy(word) + n_merges pure-JVM replaces over the Zipf-tiny word
+    relation + one broadcast join + one map-side-combined per-doc
+    aggregate. Equality with train-then-encode (same merges) is pinned in
+    tests/test_bpe.py::test_encode_from_artifact_equals_train_then_encode.
+    """
+    wtok = (bpe_encode_words(docs, merges, text_col)
+            .where(F.col("w") != "").select("w", "n_sub"))
+    ex = docs.select(F.col(id_col),
+                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
+    return (ex.join(F.broadcast(wtok), "w")
+            .groupBy(id_col)
+            .agg(F.count("*").alias("n_words"),
+                 F.sum("n_sub").alias("n_tokens"),
+                 F.max("n_sub").alias("max_word_tokens")))
+
+
 def bpe_encode_tokens(docs: DataFrame, n_merges: int = N_MERGES,
                       text_col: str = "text",
                       id_col: str = "doc_id") -> DataFrame:
@@ -145,15 +171,7 @@ def bpe_encode_tokens(docs: DataFrame, n_merges: int = N_MERGES,
     word stream. Empty words ('' from consecutive delimiters) carry no
     symbols and are excluded in BOTH engines."""
     merges = _train_merges(docs, n_merges, text_col)
-    wtok = (bpe_encode_words(docs, merges, text_col)
-            .where(F.col("w") != "").select("w", "n_sub"))
-    ex = docs.select(F.col(id_col),
-                     F.explode(F.split(F.col(text_col), " ")).alias("w"))
-    return (ex.join(F.broadcast(wtok), "w")
-            .groupBy(id_col)
-            .agg(F.count("*").alias("n_words"),
-                 F.sum("n_sub").alias("n_tokens"),
-                 F.max("n_sub").alias("max_word_tokens")))
+    return bpe_encode_tokens_with(docs, merges, text_col, id_col)
 
 
 def _oracle_stages(n_merges: int, keep_word: bool) -> list[str]:
@@ -230,6 +248,42 @@ def bpe_encode_oracle_sql(n_merges: int = N_MERGES) -> str:
              "           CAST(MAX(n_sub) AS BIGINT) AS max_word_tokens\n"
              "    FROM ex JOIN wt USING (w) GROUP BY doc_id")
     return "WITH" + ",".join(stages) + "\n    " + final
+
+
+def _sql_str(s: str) -> str:
+    """SQL string literal for a symbol (quotes doubled; the delimiter is
+    the raw \\x1f byte, embedded directly like every other oracle here)."""
+    return "'" + s.replace("'", "''") + "'"
+
+
+def bpe_encode_artifact_oracle_sql(merges: list[tuple]) -> str:
+    """DuckDB rendering of bpe_encode_tokens_with for a FIXED persisted
+    merge table: no training CTEs at all — the merge list is baked in as
+    one nested-replace expression (innermost = rank 1, exactly the order
+    apply_merges chains F.replace), applied to the word-frequency
+    relation, then the same broadcast-join/aggregate tail as the
+    train-then-encode oracle."""
+    expr = (f"'{D}' || list_aggregate(string_split(w, ''), "
+            f"'string_agg', '{DD}') || '{D}'")
+    for _rank, lsym, rsym, _merged, _freq in merges:
+        expr = (f"replace({expr}, {_sql_str(D + lsym + DD + rsym + D)}, "
+                f"{_sql_str(D + lsym + rsym + D)})")
+    return f"""WITH
+    w AS MATERIALIZED (SELECT w, CAST(COUNT(*) AS BIGINT) AS freq
+          FROM (SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents)
+          GROUP BY w),
+    wt AS MATERIALIZED (SELECT w,
+                  CAST(len(string_split(seq[2:-2], '{DD}')) AS BIGINT)
+                    AS n_sub
+           FROM (SELECT w, {expr} AS seq FROM w)
+           WHERE w <> ''),
+    ex AS (SELECT doc_id, unnest(string_split(text, ' ')) AS w
+           FROM documents)
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(n_sub) AS BIGINT) AS n_tokens,
+           CAST(MAX(n_sub) AS BIGINT) AS max_word_tokens
+    FROM ex JOIN wt USING (w) GROUP BY doc_id"""
 
 
 N_BATCH_ITERS = 4      # batched-trainer defaults: 4 iterations x

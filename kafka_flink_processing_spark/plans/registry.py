@@ -104,78 +104,70 @@ SENTINELS: list[str] = [
     "kmeans_assign_cells",        # clustering
 ]
 
-# r9 block GENERATED by `python tools/rotation_report.py --emit-priority`
-# (pasted from the generator; the guard tests hold the invariants it
-# satisfies). Contents: the 13 unproven entries — the 4 r8 post-freeze
-# deferrals (now absorbed, DEFERRED_VERIFICATION empty again) plus the
-# 9 r9 registrations (BPE encode/coverage/subword-budget, the 5
-# partsupp-derived TPC-H shapes, the SMA tws port) — then the 8 family
-# sentinels and the oldest-signal r05 backfill.
-# FOUR hand-swaps against the generated backfill tail, each for a query
-# whose oracle or engine changed THIS round (the registry convention
-# requires changed queries in the window; the generator only sees signal
-# age): scalar_battery (sqrt NULL-guard inverted), multimodal_gif_decode
-# (LZW final-code width-bump fix), embedding_norm_stats (n_flagged
-# health-bound redesign, r9 fuzzer), corpus_entropy_by_source (entropy
-# columns 6dp-pinned + vocab_size=1 guard after the THIRD-seed fuzz
-# sweep caught a 1-ulp ln() divergence). Evicted to make room:
-# text_stats, lang_id_quality, doc_fingerprint, window_ntile_battery —
-# r05-green droppable-tier entries (refresh next round; the first three
-# are exercised by every ASCII fuzz corpus and the fourth by every
-# events corpus, so none go dark, and the window-function family keeps
-# its in-window ohlc_bars sentinel).
-# generated by tools/rotation_report.py --emit-priority (newest committed round: r08)
+# r10 block GENERATED by `python tools/rotation_report.py --emit-priority`
+# (pasted verbatim — ZERO hand-swaps this round; no oracle or engine of an
+# already-green query changed before the freeze). Contents: the 9 unproven
+# entries — the 8 r9 post-freeze deferrals (PQ/IVFADC family, batched BPE,
+# fertility, DSIR; each re-verified by the r9 judge, now absorbed so
+# DEFERRED_VERIFICATION empties) plus the single r10 pre-freeze
+# registration (bpe_encode_from_artifact, the persisted-merge-table encode)
+# — then the 8 family sentinels and the oldest-signal backfill: the four
+# r05-green entries evicted by the r9 hand-swaps (window_ntile_battery,
+# text_stats, lang_id_quality, doc_fingerprint — refreshed on schedule as
+# promised), the rest of the r05 cohort, and the front of the r06 cohort
+# (the next STALE_BOUND=5 wall).
+# generated by tools/rotation_report.py --emit-priority (newest committed round: r09)
 _PRIORITY: list[str] = [
-    "streaming_pnl_tws",  # never r-
-    "streaming_forecast_sma_tws",  # never r-
-    "audio_zcr_features",  # never r-
-    "feature_hashing",  # never r-
-    "bpe_vocab_merges",  # never r-
-    "bpe_encode_tokens",  # never r-
-    "bpe_vocab_coverage",  # never r-
-    "data_mix_subword_budget",  # never r-
-    "sql_q2_min_cost_supplier",  # never r-
-    "sql_q9_product_type_profit",  # never r-
-    "sql_q11_important_stock",  # never r-
-    "sql_q16_supplier_part_counts",  # never r-
-    "sql_q20_promotion_suppliers",  # never r-
-    "sql_q3_shipping_priority",  # green r08
-    "similarity_ivf_topk",  # green r08
-    "dedup_minhash_lsh",  # green r08
-    "tumbling_window_stats",  # green r08
-    "curation_pipeline",  # green r08
-    "ohlc_bars",  # green r08
-    "multimodal_decode_features",  # green r08
-    "kmeans_assign_cells",  # green r08
-    "join_topk_orders",  # green r05
-    "semi_join_late_orders",  # green r05
-    "anti_join_customers",  # green r05
-    "correlated_avg_threshold",  # green r05
-    "approx_distinct_users",  # rows_only r05
-    "exact_quantiles_value",  # green r05
-    "not_in_null_aware",  # green r05
-    "skew_salted_distinct",  # green r05
-    "skew_salted_join",  # green r05
-    "set_union",  # green r05
-    "set_intersect",  # green r05
-    "set_except",  # green r05
-    "top_orders_per_customer",  # green r05
-    "custdist_q13",  # green r05
-    "unpivot_measures",  # green r05
-    "forecast_sma",  # green r05
-    "last_value_carried_forward",  # green r05
-    "latest_per_key",  # green r05
-    "topk_recent",  # green r05
-    "running_position",  # green r05
-    "median_value_by_type",  # green r05
-    "value_histogram",  # green r05
-    "streaming_forecast_sma",  # green r05
-    "streaming_enrich_static",  # green r05
-    "streaming_session_stats",  # green r05
-    "scalar_battery",  # green r06 — ORACLE CHANGED r9 (hand-swap)
-    "multimodal_gif_decode",  # green r08 — ENGINE CHANGED r9 (hand-swap)
-    "embedding_norm_stats",  # green r08 — ORACLE CHANGED r9 (hand-swap)
-    "corpus_entropy_by_source",  # green r05 — BOTH CHANGED r9 (hand-swap)
+    "bpe_encode_from_artifact",  # never r-
+    "similarity_pq_topk",  # never r-
+    "similarity_pq_rerank_topk",  # never r-
+    "pq_distortion_by_label",  # never r-
+    "similarity_ivfpq_topk",  # never r-
+    "similarity_ivfpq_residual_topk",  # never r-
+    "dsir_importance_weights",  # never r-
+    "bpe_vocab_merges_batched",  # never r-
+    "bpe_fertility_by_lang",  # never r-
+    "sql_q3_shipping_priority",  # green r09
+    "similarity_ivf_topk",  # green r09
+    "dedup_minhash_lsh",  # green r09
+    "tumbling_window_stats",  # green r09
+    "curation_pipeline",  # green r09
+    "ohlc_bars",  # green r09
+    "multimodal_decode_features",  # green r09
+    "kmeans_assign_cells",  # green r09
+    "window_ntile_battery",  # green r05
+    "text_stats",  # green r05
+    "lang_id_quality",  # green r05
+    "doc_fingerprint",  # green r05
+    "dedup_exact",  # green r05
+    "dedup_ngram_jaccard",  # green r05
+    "decontamination_n_sweep",  # green r05
+    "da_rt_asof_tolerance",  # green r05
+    "sql_q5_local_supplier",  # green r05
+    "sql_q6_forecast_revenue",  # green r05
+    "event_transition_matrix",  # green r05
+    "vocab_zipf_slope",  # green r05
+    "ivf_probe_sweep",  # green r05
+    "heavy_hitters_mg",  # green r05
+    "weighted_sample_wor",  # green r05
+    "key_skew_report",  # green r05
+    "funnel_time_to_convert",  # green r05
+    "hourly_load_profile",  # green r05
+    "approx_quantiles_value",  # rows_only r06
+    "pnl_positions_fold",  # green r06
+    "pnl_exposure",  # green r06
+    "pnl_snapshot",  # green r06
+    "json_props_stats",  # green r06
+    "winsorized_stats",  # green r06
+    "dedup_containment_pairs",  # green r06
+    "dedup_clusters",  # green r06
+    "cluster_aware_folds",  # green r06
+    "dedup_simhash",  # green r06
+    "similarity_bruteforce_topk",  # green r06
+    "similarity_lsh_topk",  # green r06
+    "dedup_semantic",  # green r06
+    "embedding_cosine_pairs",  # green r06
+    "train_test_split",  # green r06
 ]
 
 
@@ -193,65 +185,13 @@ _PRIORITY: list[str] = [
 # entered the r6 window's unproven tier, and the 5 r6 registrations were
 # made BEFORE the freeze.
 DEFERRED_VERIFICATION: dict[str, str] = {
-    # r9: the 4 r8 post-freeze deferrals (streaming_pnl_tws,
-    # audio_zcr_features, feature_hashing, bpe_vocab_merges) entered this
-    # round's window through the generator's unproven tier; every
-    # pre-freeze r9 registration is in the window. ONE post-freeze
-    # registration this round, deferred per the r6 convention:
-    "bpe_vocab_merges_batched":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.01 AND sf0.1 this round, plus "
-        "differential tests vs an independent pure-Python batched "
-        "reference and a batch=1==classic degeneration property "
-        "(tests/test_bpe.py) — enters the r10 window's unproven tier.",
-    "bpe_fertility_by_lang":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.01 AND sf0.1 this round, plus a "
-        "differential test vs the pure-Python encode reference "
-        "aggregated by language (tests/test_bpe.py) — enters the r10 "
-        "window's unproven tier.",
-    # The PQ family (r9 second half): product-quantization ANN, the
-    # memory-bandwidth scale path beside IVF (cell-pruning) and LSH
-    # (bucketing). Five post-freeze entries total this round — more than
-    # the convention's ideal handful, noted honestly; all five carry the
-    # full pre-registration evidence bundle.
-    "similarity_pq_topk":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "differential tests vs an independent numpy PQ implementation "
-        "and a measured 0.40 recall@10 floor (tests/test_pq.py) — "
-        "enters the r10 window's unproven tier.",
-    "similarity_pq_rerank_topk":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "an exact-distance differential test and a measured 0.78 "
-        "recall@10 floor vs brute force (tests/test_pq.py) — enters the "
-        "r10 window's unproven tier.",
-    "pq_distortion_by_label":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round; the "
-        "distortion column is differentially tested vs numpy per vector "
-        "(tests/test_pq.py::test_pq_encode_matches_numpy) — enters the "
-        "r10 window's unproven tier.",
-    "similarity_ivfpq_topk":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "a measured 0.40 recall@10 floor and an adist-identity "
-        "differential vs numpy (tests/test_pq.py) — enters the r10 "
-        "window's unproven tier.",
-    "similarity_ivfpq_residual_topk":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "a residual-ADC numpy differential and a measured "
-        "recall-beats-raw assertion (0.44 vs 0.40, tests/test_pq.py) — "
-        "enters the r10 window's unproven tier.",
-    "dsir_importance_weights":
-        "registered post-freeze (r9 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "the three ASCII fuzz corpora and a hand-corpus ordering/"
-        "totality ground truth (tests/test_dsir.py) — enters the r10 "
-        "window's unproven tier.",
+    # r10: EMPTY — all 8 r9 post-freeze deferrals entered this round's
+    # window through the generator's unproven tier, and the one r10
+    # registration (bpe_encode_from_artifact) was made BEFORE the freeze
+    # (committed three-SF tools/oracle_check.py parity: sf0.001, sf0.01,
+    # sf0.1). The r6 convention held with zero exceptions this round.
 }
+
 
 
 def _ordered() -> list[str]:

@@ -342,3 +342,65 @@ def test_fertility_oracle_matches_reference():
         assert ndist == len(set(ws))
         assert nunm == sum(1 for w in ws if len(segs[w]) == len(w))
         assert fert == ntok / occ
+
+
+# --- r10: encode from a PERSISTED merge-table artifact -------------------
+
+@pytest.mark.parametrize("texts", CORPORA)
+def test_encode_from_artifact_equals_train_then_encode(spark, texts):
+    """encode(persisted merges) == encode(train-then-encode) when the
+    artifact was trained on the same corpus — the equality the r9 verdict
+    asked to pin (task 4)."""
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_encode_tokens_with,
+    )
+
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    merges = _reference_bpe(texts, 6)   # the "persisted" artifact
+    via_artifact = sorted(
+        tuple(r) for r in bpe_encode_tokens_with(docs, merges).collect())
+    via_train = sorted(
+        tuple(r) for r in bpe_encode_tokens(docs, 6).collect())
+    assert via_artifact == via_train
+
+
+@pytest.mark.parametrize("texts", CORPORA + [
+    ["don't can't won't don't", "it's a don't"],   # quote in symbols
+])
+def test_encode_artifact_oracle_matches_spark(spark, texts):
+    """The generated nested-replace oracle must replay the Spark encode
+    exactly — including SQL-quote escaping when a learned symbol contains
+    an apostrophe."""
+    from kafka_flink_processing_spark.operators.bpe import (
+        bpe_encode_artifact_oracle_sql,
+        bpe_encode_tokens_with,
+    )
+
+    merges = _reference_bpe(texts, 6)
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string")
+    got_spark = sorted(
+        tuple(r) for r in bpe_encode_tokens_with(docs, merges).collect())
+    con = duckdb.connect()
+    con.execute("CREATE TABLE documents(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO documents VALUES (?, ?)",
+                    list(enumerate(texts)))
+    got_duck = sorted(
+        tuple(r)
+        for r in con.execute(
+            bpe_encode_artifact_oracle_sql(merges)).fetchall())
+    assert got_spark == got_duck
+
+
+def test_artifact_module_merges_are_wellformed():
+    """The pinned artifact parses, ranks are 1..n, and no symbol contains
+    the \x1f delimiter (the property the oracle's exactness relies on)."""
+    from kafka_flink_processing_spark.functions.bpe_merges import BPE_MERGES
+    from kafka_flink_processing_spark.operators.bpe import D
+
+    assert [m[0] for m in BPE_MERGES] == list(range(1, len(BPE_MERGES) + 1))
+    for _rank, lsym, rsym, merged, freq in BPE_MERGES:
+        assert merged == lsym + rsym
+        assert D not in lsym and D not in rsym
+        assert freq > 0

@@ -187,9 +187,54 @@ def test_entropy_matches_python_identity(spark):
         # the engine pins both entropy columns to 6dp (ln's last ulp
         # differs between the JVM and DuckDB — r9 third-seed fuzz find)
         assert row.entropy_nats == pytest.approx(round(h, 6), abs=1e-9)
-        assert row.entropy_norm == pytest.approx(
-            round(h / math.log(len(c)), 6), abs=1e-9)
-        assert 0.0 <= row.entropy_norm <= 1.0
+        if len(c) > 1:
+            assert row.entropy_norm == pytest.approx(
+                round(h / math.log(len(c)), 6), abs=1e-9)
+            assert 0.0 <= row.entropy_norm <= 1.0
+        else:
+            # vocab_size == 1: H/ln(1) is undefined; the engine emits NULL
+            assert row.entropy_norm is None
+
+
+def test_entropy_norm_null_for_single_token_source(spark, tmp_path):
+    """A single-token source (vocab_size == 1) must yield entropy_norm
+    NULL in BOTH engines — the r9 vocab_size=1 guard, exercised directly
+    (the sf fixtures never contain such a source, so the branch had no
+    test — r9 advice)."""
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    import duckdb
+
+    _sys.path.insert(
+        0, str(_Path(__file__).resolve().parent.parent / "tools"))
+    from oracle_fuzz import stage_sf_dir
+
+    from kafka_flink_processing_spark.plans.registry import (
+        QUERIES,
+        _ensure_loaded,
+    )
+
+    rows = [
+        (1, "aa aa aa", "en", "mono", 8),     # one distinct token
+        (2, "a b b", "en", "duo", 5),         # two distinct tokens
+    ]
+    sf = stage_sf_dir(spark, rows, str(tmp_path))
+    _ensure_loaded()
+    spec = QUERIES["corpus_entropy_by_source"]
+    got = {r.source: (r.vocab_size, r.entropy_nats, r.entropy_norm)
+           for r in spec.spark(spark, sf).collect()}
+    assert got["mono"][0] == 1
+    assert got["mono"][1] == pytest.approx(0.0)
+    assert got["mono"][2] is None
+    assert got["duo"][2] is not None and 0.0 <= got["duo"][2] <= 1.0
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW documents AS "
+                f"SELECT * FROM read_parquet('{sf}/documents.parquet')")
+    duck = {r[0]: (r[2], r[4]) for r in con.execute(spec.oracle).fetchall()}
+    assert duck["mono"] == (1, None)
+    assert duck["duo"][1] is not None
 
 
 # ---------------------------------------------------------------------------

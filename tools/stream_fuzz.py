@@ -5,8 +5,11 @@ tools/oracle_fuzz.py hardens the BATCH plans against their DuckDB oracles;
 this tool points the same adversarial corpora at the axis oracle_fuzz
 cannot see — the streaming machinery. Every corpus is split into multiple
 micro-batch files at shared order-column cuts (so state must survive 2+
-batch boundaries), drained availableNow, and row-set-compared against the
-trusted batch engine on the identical input.
+batch boundaries), drained availableNow, and compared against the trusted
+batch engine on the identical input — as MULTISETS for append-mode and
+restart drains (set semantics would dedupe a re-emitted row, hiding the
+exact failure mode those checks target), as sets for complete-mode drains
+whose memory table is replaced each trigger.
 
 EVENT-corpora engines (ties/extreme/sparse/skew):
 
@@ -55,6 +58,7 @@ from __future__ import annotations
 
 import argparse
 import math
+from collections import Counter
 import random
 import shutil
 import sys
@@ -119,6 +123,17 @@ def _rowset(rows):
             for r in rows}
 
 
+def _rowbag(rows):
+    """Multiset of normalized rows. The restart engines and every
+    append-mode drain compare BAGS, not sets: their stated purpose is
+    catching re-emission after a resume (or double-emission across
+    triggers), and a re-emitted row is byte-identical to the already-sunk
+    one — set semantics would dedupe it and hide exactly the failure mode
+    the check targets (r9 advice, medium)."""
+    return Counter(tuple((k, _norm(v)) for k, v in sorted(r.asDict().items()))
+                   for r in rows)
+
+
 def _split_stream(spark, df: DataFrame, base: str, cuts: list[float],
                   order_col: str = "ts"):
     """Write df as len(cuts)+1 parquet files split at shared order-column
@@ -143,8 +158,14 @@ def _split_stream(spark, df: DataFrame, base: str, cuts: list[float],
 
 def _drain(spark, df: DataFrame, name: str, ckpt: str,
            output_mode: str = "append"):
+    """Drain availableNow into a memory sink. Append mode accumulates
+    across triggers, so its table is compared as a BAG (double-emission
+    across batch boundaries must fail parity); complete mode replaces the
+    table each trigger, so the last trigger's full result compares as a
+    set like before."""
     run_available_now(df, name, ckpt, output_mode=output_mode)
-    return _rowset(spark.sql(f"SELECT * FROM {name}").collect())
+    rows = spark.sql(f"SELECT * FROM {name}").collect()
+    return _rowbag(rows) if output_mode == "append" else _rowset(rows)
 
 
 class _rocksdb_provider:
@@ -186,7 +207,7 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
 
         if {"pnl", "pnl_tws", "pnl_tws_ttl",
                 "pnl_restart", "pnl_tws_restart"} & set(engines):
-            want_pnl = _rowset(pnl_positions(trades, prices).collect())
+            want_pnl = _rowbag(pnl_positions(trades, prices).collect())
         if "pnl" in engines:
             from kafka_flink_processing_spark.streaming.stateful import (
                 streaming_pnl,
@@ -231,7 +252,7 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
             p2 = prices.select(
                 "ts", "hub", "price_mwh",
                 F.col("tick_id").cast("long").alias("seq"))
-            want_sma = _rowset(
+            want_sma = _rowbag(
                 rolling_sma_forecast(p2, ["hub"], ["ts", "seq"],
                                      "price_mwh")
                 .select("ts", "hub", "price_mwh", "sma5", "sma20",
@@ -320,9 +341,15 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
             mid = [cuts[len(cuts) // 2]] if cuts else []
 
             def _stage_part(df, base, part):
-                o = F.col("ts").cast("double")
-                flt = (o <= mid[0]) if part == 0 else (o > mid[0])
-                (df.filter(flt) if mid else df).coalesce(1) \
+                # guard BEFORE touching mid[0]: on a degenerate corpus
+                # with no cuts the whole df lands in part 0 (the old
+                # one-liner evaluated mid[0] eagerly and raised
+                # IndexError, making the no-cut path dead — r9 advice)
+                if mid:
+                    o = F.col("ts").cast("double")
+                    df = df.filter((o <= mid[0]) if part == 0
+                                   else (o > mid[0]))
+                df.coalesce(1) \
                     .write.mode("overwrite").parquet(f"{base}/f{part}")
 
             def _restart_parity(builder, base: str) -> bool:
@@ -349,9 +376,9 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                     _stage_part(prices, f"{base}/p", 1)
                     run_once()
                 try:
-                    got = _rowset(spark.read.parquet(out).collect())
+                    got = _rowbag(spark.read.parquet(out).collect())
                 except Exception:  # sink never materialized: no rows
-                    got = set()
+                    got = Counter()
                 return got == want_pnl
 
             if "pnl_restart" in engines:
@@ -426,17 +453,28 @@ def run_doc_corpus(spark, cname: str, seed: int,
             dups = _read_epoch_dir(spark, f"{work}/dd_out/dups")
             accepted = _read_epoch_dir(spark, f"{work}/dd_out/accepted")
             # within-epoch self-screen expectation: epoch membership is
-            # pure file partitioning, so replay the batch pair-miner on
-            # each epoch's member set
-            members: list = []
+            # pure file partitioning, derived INDEPENDENTLY from the
+            # staged micro-batch split (f0 = doc_id <= icut, f1 = rest;
+            # maxFilesPerTrigger=1 makes file k batch/epoch k) instead of
+            # from the job's own epoch column — a wrong epoch assignment
+            # by the job must FAIL the check, not shift the expectation
+            # with it (r9 advice). The job's epoch column is then
+            # asserted against this independent mapping.
+            if icut:
+                e0 = {i for i in inc_ids if float(i) <= icut[0]}
+                exp_epochs: dict[int, set] = {0: e0,
+                                              1: set(inc_ids) - e0}
+            else:
+                exp_epochs = {0: set(inc_ids)}
+            emitted: list = []
             for df in (dups, accepted):
                 if df is not None:
-                    members += df.select("epoch", "doc_id").collect()
-            by_epoch: dict[int, set] = {}
-            for r in members:
-                by_epoch.setdefault(r.epoch, set()).add(r.doc_id)
+                    emitted += df.select("epoch", "doc_id").collect()
+            epoch_ok = all(
+                r.epoch in exp_epochs and r.doc_id in exp_epochs[r.epoch]
+                for r in emitted)
             want_within = set()
-            for eids in by_epoch.values():
+            for eids in exp_epochs.values():
                 part = docs.filter(F.col("doc_id").isin(list(eids)))
                 for r in minhash_lsh_pairs(part).collect():
                     want_within.add(tuple(sorted(dict(
@@ -451,7 +489,8 @@ def run_doc_corpus(spark, cname: str, seed: int,
             acc_ids = ({r.doc_id
                         for r in accepted.select("doc_id").collect()}
                        if accepted is not None else set())
-            ok = (got == want_cross | want_within
+            ok = (epoch_ok
+                  and got == want_cross | want_within
                   and acc_ids == set(inc_ids) - flagged)
             results.append(("inc_dedup", ok))
 
