@@ -53,6 +53,17 @@ R5_25 = R4_22 | frozenset({
 R6_28 = R5_25 | frozenset({
     "ewma_price", "bollinger_bands", "cms_freq_estimate",
 })
+# R9_41 = the full r9-final headline (BENCH_r09 = its floor, total
+# 43.376 s); frozen at the start of r10 BEFORE this round's additions
+# join, per the standing BASELINE.md rule — new entries never blur the
+# drift gates of an already-floored set.
+R9_41 = R6_28 | frozenset({
+    "heavy_hitters_adaptive", "kyle_lambda_price_impact", "column_profile",
+    "token_drift_chi2", "roll_spread_estimator", "multimodal_png_decode",
+    "multimodal_gif_decode", "audio_zcr_features", "feature_hashing",
+    "bpe_vocab_merges", "bpe_encode_tokens", "bpe_vocab_merges_batched",
+    "similarity_pq_topk",
+})
 
 
 def sf_from_dir(sf_dir: str) -> float:
@@ -77,7 +88,8 @@ def main() -> None:
     # and let a subtotal silently shrink — the exact failure these sets
     # exist to catch)
     for frozen_name, frozen in (("CORE16", CORE16), ("R4_22", R4_22),
-                                ("R5_25", R5_25), ("R6_28", R6_28)):
+                                ("R5_25", R5_25), ("R6_28", R6_28),
+                                ("R9_41", R9_41)):
         missing = frozen - set(headline)
         if missing:
             raise SystemExit(
@@ -161,6 +173,7 @@ def main() -> None:
         "r4_22_subtotal": round(sum(times[q] for q in R4_22), 3),
         "r5_25_subtotal": round(sum(times[q] for q in R5_25), 3),
         "r6_28_subtotal": round(sum(times[q] for q in R6_28), 3),
+        "r9_41_subtotal": round(sum(times[q] for q in R9_41), 3),
         "sf": sf_from_dir(sf_dir),
     }))
 
