@@ -25,12 +25,22 @@ EVENT-corpora engines (ties/extreme/sparse/skew):
                stage one micro-batch, so this state had no coverage)
   session      30min-gap session windows, complete mode — sessions
                MERGING when a later batch extends them
+  pnl_tws_ttl_finite
+               the ACTUAL eviction path: a small grid-aligned TTL over
+               six micro-batches, checked against a deterministic
+               pure-Python replay of PnlProcessorTtl (watermark, timers,
+               sweep eviction, re-trade-from-zero) — see _pnl_ttl_spec
   pnl_restart / pnl_tws_restart
                two-phase file-sink drains from the SAME checkpoint with a
                stop between: adversarial STATE CONTENT (NaN last-prices
                in the JSON book, extreme doubles through the RocksDB row
                encoders) must survive the checkpoint round-trip with no
                batch-1 re-emission
+  pnl_tws_ttl_restart
+               the finite-TTL engine through the same two-phase restart:
+               timer registrations, watermark, and the lastTrade MapState
+               must survive the checkpoint; evicted accounts re-trading
+               in phase 2 must restart from a zero fold
 
 vs pnl_positions / rolling_sma_forecast / the identical agg expression in
 batch. The r8 PnL determinism bug (same-timestamp ticks made last-price
@@ -84,8 +94,9 @@ from kafka_flink_processing_spark.streaming.sinks import run_available_now  # no
 _ROCKSDB = ("org.apache.spark.sql.execution.streaming.state."
             "RocksDBStateStoreProvider")
 _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
-ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "sma", "sma_tws",
-           "tumbling", "session", "pnl_restart", "pnl_tws_restart")
+ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "pnl_tws_ttl_finite",
+           "sma", "sma_tws", "tumbling", "session",
+           "pnl_restart", "pnl_tws_restart", "pnl_tws_ttl_restart")
 
 # documents-family engines: the streaming ingest-guard JOBS
 # (foreachBatch fan-out to epoch-partitioned dups/accepted sinks) have
@@ -103,9 +114,11 @@ DOC_CORPORA = ("edge_ascii", "random_ascii", "zipf_dup", "unicode")
 # registration path and the lastTrade MapState (typed puts, flat-account
 # detection) under every adversarial corpus, plus the eventtime/watermark
 # wiring the other engines don't use. (A small TTL diverges from batch BY
-# DESIGN — eviction is the point — so it cannot be parity-checked here;
-# the eviction behavior itself is pinned by
-# tests/test_streaming.py::test_pnl_tws_ttl_evicts_long_flat_accounts.)
+# DESIGN — eviction is the point — so it cannot be checked against the
+# batch engine; the pnl_tws_ttl_finite engine below checks the actual
+# eviction path against the deterministic _pnl_ttl_spec replay instead,
+# and tests/test_streaming.py::test_pnl_tws_ttl_evicts_long_flat_accounts
+# pins the clean-tape behavior.)
 _TTL_NEVER_MS = 10 ** 12  # ~31 years of event time
 
 
@@ -191,6 +204,152 @@ class _rocksdb_provider:
         return False
 
 
+# ---------------------------------------------------------------------------
+# Finite-TTL spec replay (r9 verdict task 5): the never-expiring TTL
+# degeneration above proves the wiring, but the actual EVICTION path was
+# only ever tested on one clean 3-account tape. A finite TTL cannot be
+# parity-checked against the batch engine (eviction diverges BY DESIGN),
+# so the oracle is a deterministic pure-Python replay of PnlProcessorTtl
+# over the exact staged micro-batch composition, built on the same shared
+# HubFold the engine and the batch operator use. The three engine-timing
+# facts it encodes were pinned by direct probes against the real engine
+# (Spark 4.1, availableNow, maxFilesPerTrigger=1, delay 0s):
+#   1. watermark for batch k = floor-ms(max event ts over batches < k)
+#      (the union's single watermark column, both sources);
+#   2. a timer fires in the first batch whose watermark is >= its expiry
+#      (equality fires: probed with wm == expiry exactly);
+#   3. expired timers are processed AFTER that batch's input rows (a tick
+#      in the firing batch still fans out the about-to-be-evicted
+#      account; probed).
+# Under _split_stream staging a newly registered timer can never already
+# be expired (batch-k rows have ts > every prior batch's max), so the
+# register-then-sweep order within a batch is unobservable here.
+# ---------------------------------------------------------------------------
+
+def _to_ms(ts) -> int:
+    # the engine computes int(pd.Timestamp(ts).value // 1_000_000); same
+    # floor-division here (naive == session UTC in both paths)
+    import pandas as _pd
+    return int(_pd.Timestamp(ts).value // 1_000_000)
+
+
+def _tagged_records(t_rows, p_rows) -> list[dict]:
+    """Collected trades/prices rows -> the tagged-union record shape
+    HubFold folds (streaming/stateful.py::_tagged_union)."""
+    from kafka_flink_processing_spark.operators.netting import PRICE, TRADE
+
+    recs = []
+    for r in t_rows:
+        recs.append({"kind": TRADE, "ts": r.ts, "hub": r.hub,
+                     "trade_id": int(r.trade_id), "account": r.account,
+                     "side": r.side, "mw": int(r.mw),
+                     "price_mwh": r.price_mwh})
+    for r in p_rows:
+        recs.append({"kind": PRICE, "ts": r.ts, "hub": r.hub,
+                     "trade_id": int(r.tick_id), "price_mwh": r.price_mwh})
+    return recs
+
+
+def _split_batches(recs: list[dict], cuts: list[float]) -> list[list[dict]]:
+    """Reproduce _split_stream's staging: batch k = rows of BOTH sources
+    with cut_{k-1} < ts <= cut_k (epoch seconds, same cast-double
+    comparison). Equal file counts per source + maxFilesPerTrigger=1 put
+    file k of each source in trigger k (probe-confirmed pairing)."""
+    import pandas as _pd
+
+    bounds = list(cuts) + [None]
+    batches: list[list[dict]] = [[] for _ in bounds]
+    for r in recs:
+        o = _pd.Timestamp(r["ts"]).value / 1e9
+        k = len(bounds) - 1
+        for i, hi in enumerate(bounds):
+            if hi is not None and o <= hi:
+                k = i
+                break
+        batches[k].append(r)
+    return batches
+
+
+def _pnl_ttl_spec(batches: list[list[dict]], ttl_ms: int) -> list[dict]:
+    """Deterministic replay of PnlProcessorTtl (streaming/stateful.py)
+    over explicit micro-batches: per batch, per hub — fold rows in the
+    documented (ts, kind, trade_id) total order via the SHARED HubFold,
+    record last-trade ms, register flat-account timers at last-flat-ms +
+    ttl; then fire every timer whose expiry <= the batch's watermark and
+    sweep-evict still-flat accounts with last_trade + ttl <= expiry
+    (evicted accounts drop from the book AND lastTrade, so a re-trade
+    restarts them from a ZERO fold — realized resets, by design)."""
+    from kafka_flink_processing_spark.operators.netting import (
+        TRADE,
+        HubFold,
+        sort_key,
+    )
+
+    folds: dict[str, HubFold] = {}
+    last_trade: dict[str, dict[str, int]] = {}
+    timers: dict[str, set[int]] = {}
+    out: list[dict] = []
+    wm = 0
+    seen_max = 0
+    for batch in batches:
+        wm = seen_max                      # watermark from PRIOR batches
+        by_hub: dict[str, list[dict]] = {}
+        for r in batch:
+            by_hub.setdefault(r["hub"], []).append(r)
+            seen_max = max(seen_max, _to_ms(r["ts"]))
+        for hub, rows in by_hub.items():
+            fold = folds.setdefault(hub, HubFold())
+            rows.sort(key=sort_key)
+            for r in rows:
+                out.extend(fold.process(r))
+            _lp, book = fold.snapshot()
+            lt = last_trade.setdefault(hub, {})
+            flat_at: dict[str, int] = {}
+            for r in rows:
+                if r["kind"] != TRADE:
+                    continue
+                ms = _to_ms(r["ts"])
+                lt[r["account"]] = ms
+                if book.get(r["account"], (1,))[0] == 0:
+                    flat_at[r["account"]] = ms
+            tset = timers.setdefault(hub, set())
+            for ms in set(flat_at.values()):
+                tset.add(ms + ttl_ms)
+        for hub, tset in timers.items():   # timers fire AFTER input rows
+            fold = folds.get(hub)
+            for expiry in sorted(t for t in tset if t <= wm):
+                tset.discard(expiry)
+                if fold is None:
+                    continue
+                lt = last_trade.get(hub, {})
+                for acct in list(fold.accounts):
+                    if fold.accounts[acct].pos != 0:
+                        continue           # open position: never evicted
+                    t_last = lt.get(acct)
+                    if t_last is None or t_last + ttl_ms <= expiry:
+                        del fold.accounts[acct]
+                        lt.pop(acct, None)
+    return out
+
+
+def _dictbag(dicts: list[dict]):
+    return Counter(tuple((k, _norm(v)) for k, v in sorted(d.items()))
+                   for d in dicts)
+
+
+def _corpus_ttl_ms(t_rows, p_rows) -> int:
+    """Deterministic per-corpus TTL: ~span/5, floored to a multiple of
+    600 000 ms — the events corpora sit on whole-second (often 600 s)
+    grids, so expiries land EXACTLY on tied row timestamps and watermark
+    values (the adversarial alignment the r9 verdict asked for), with a
+    10-minute floor so degenerate corpora still wire the timer path."""
+    ms = [_to_ms(r.ts) for r in t_rows] + [_to_ms(r.ts) for r in p_rows]
+    if not ms:
+        return 600_000
+    span = max(ms) - min(ms)
+    return max(600_000, (span // 5) // 600_000 * 600_000)
+
+
 def run_corpus(spark, cname: str, seed: int, engines: list[str],
                tag: str) -> list[tuple[str, bool]]:
     rng = random.Random(seed)
@@ -244,6 +403,35 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                         ttl_ms=_TTL_NEVER_MS),
                     f"sfz_{tag}_pnl_tws_ttl", f"{work}/ck_pnl_tws_ttl")
             results.append(("pnl_tws_ttl", got == want_pnl))
+        if "pnl_tws_ttl_finite" in engines:
+            # the ACTUAL eviction path under adversity (r9 verdict task
+            # 5): a finite TTL diverges from batch BY DESIGN, so the
+            # oracle is the deterministic _pnl_ttl_spec replay over the
+            # exact staged batch composition. Six micro-batches (five
+            # cuts) give the watermark more advancement points than the
+            # shared 3-batch split, so evictions and re-trades of the
+            # same account interleave across several boundaries.
+            from kafka_flink_processing_spark.streaming.stateful import (
+                streaming_pnl_tws_ttl,
+            )
+            t_rows = trades.collect()
+            p_rows = prices.collect()
+            ttl_ms = _corpus_ttl_ms(t_rows, p_rows)
+            cuts6 = sorted(set(allts.approxQuantile(
+                "o", [i / 6 for i in range(1, 6)], 0.0)))
+            recs = _tagged_records(t_rows, p_rows)
+            want_ttl = _dictbag(
+                _pnl_ttl_spec(_split_batches(recs, cuts6), ttl_ms))
+            with _rocksdb_provider(spark):
+                got = _drain(
+                    spark,
+                    streaming_pnl_tws_ttl(
+                        _split_stream(spark, trades, f"{work}/ft", cuts6),
+                        _split_stream(spark, prices, f"{work}/fp", cuts6),
+                        ttl_ms=ttl_ms),
+                    f"sfz_{tag}_pnl_tws_ttl_finite",
+                    f"{work}/ck_pnl_tws_ttl_finite")
+            results.append(("pnl_tws_ttl_finite", got == want_ttl))
 
         if "sma" in engines or "sma_tws" in engines:
             # seq = tick_id: a TOTAL rolling order under same-ts ticks in
@@ -337,7 +525,8 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
         # own axis. Two-phase drain: f0 -> file sink + checkpoint, STOP,
         # land f1, fresh query from the SAME checkpoint; the combined
         # sink must equal the batch replay with no batch-1 re-emission.
-        if {"pnl_restart", "pnl_tws_restart"} & set(engines):
+        if {"pnl_restart", "pnl_tws_restart",
+                "pnl_tws_ttl_restart"} & set(engines):
             mid = [cuts[len(cuts) // 2]] if cuts else []
 
             def _stage_part(df, base, part):
@@ -352,7 +541,9 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                 df.coalesce(1) \
                     .write.mode("overwrite").parquet(f"{base}/f{part}")
 
-            def _restart_parity(builder, base: str) -> bool:
+            def _restart_parity(builder, base: str, want=None) -> bool:
+                if want is None:
+                    want = want_pnl
                 out, ckpt = f"{base}/out", f"{base}/ckpt"
                 _stage_part(trades, f"{base}/t", 0)
                 _stage_part(prices, f"{base}/p", 0)
@@ -379,7 +570,7 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                     got = _rowbag(spark.read.parquet(out).collect())
                 except Exception:  # sink never materialized: no rows
                     got = Counter()
-                return got == want_pnl
+                return got == want
 
             if "pnl_restart" in engines:
                 from kafka_flink_processing_spark.streaming.stateful import (
@@ -397,6 +588,31 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                         "pnl_tws_restart",
                         _restart_parity(streaming_pnl_tws,
                                         f"{work}/rs_tws")))
+            if "pnl_tws_ttl_restart" in engines:
+                # eviction state itself must survive the checkpoint
+                # round-trip: phase 1 registers timers (and possibly
+                # evicts), the query STOPS, phase 2 resumes from the
+                # checkpoint — watermark, timer registrations, and the
+                # lastTrade MapState all restored — then re-trades
+                # evicted accounts (which must restart from a ZERO fold,
+                # realized reset). Oracle = the same _pnl_ttl_spec over
+                # the two-phase batch composition.
+                from kafka_flink_processing_spark.streaming.stateful import (
+                    streaming_pnl_tws_ttl,
+                )
+                t_rows2 = trades.collect()
+                p_rows2 = prices.collect()
+                ttl2 = _corpus_ttl_ms(t_rows2, p_rows2)
+                want_ttl_rs = _dictbag(_pnl_ttl_spec(
+                    _split_batches(_tagged_records(t_rows2, p_rows2), mid),
+                    ttl2))
+                with _rocksdb_provider(spark):
+                    results.append((
+                        "pnl_tws_ttl_restart",
+                        _restart_parity(
+                            lambda ts_, px_: streaming_pnl_tws_ttl(
+                                ts_, px_, ttl_ms=ttl2),
+                            f"{work}/rs_ttl", want=want_ttl_rs)))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return results
