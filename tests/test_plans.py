@@ -435,3 +435,17 @@ def test_kmeans_assign_is_pure_map(spark):
     assert "Exchange hashpartitioning" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert "Join" not in plan
+
+
+def test_bpe_encode_from_artifact_plan_shape(spark):
+    """Encode-from-artifact is the production path: NO training jobs (the
+    merge table is a pinned literal, so nothing collects), exactly TWO
+    hash exchanges (the groupBy(word) vocab build and the final per-doc
+    aggregate), the Zipf-tiny word->n_sub map BROADCAST into the corpus
+    word stream, and no sort-merge join — a regression that re-trains
+    inline or shuffles the corpus for the join fails here."""
+    plan = plan_of(spark, "bpe_encode_from_artifact")
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
