@@ -1,6 +1,6 @@
 """Smoke pin for tools/stream_fuzz.py — the streaming-parity fuzzer.
 
-The full sweep (16 corpora x 13 engines across two families) is a manual
+The full sweep (17 corpora x 13 engines across two families) is a manual
 tool run, recorded in COVERAGE.md per round; this smoke keeps the harness
 itself from rotting: one tiny event corpus through one stateful engine and
 one windowed-aggregation engine, plus one text corpus through the

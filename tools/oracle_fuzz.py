@@ -269,6 +269,56 @@ def events_oneside(rng: random.Random) -> list[tuple]:
     return _event_rows(rows)
 
 
+def events_churn(rng: random.Random) -> list[tuple]:
+    """Account-churn tape for the finite-TTL eviction engines (r10):
+    eight churn accounts each run the evict -> re-trade-from-ZERO ->
+    re-evict cycle with the timing engineered so BOTH evictions are
+    guaranteed to fire before the next touch. Geometry: 48 h span with
+    hourly background ticks on every hub (the watermark always
+    advances), derived TTL = span/5 floored to the 600 s grid = 9.5 h
+    (tools/stream_fuzz.py::_corpus_ttl_ms), 6-batch split => ~8 h
+    batches. Each account FLATTENS at ~t=20 min (BUY and SELL share
+    eid mod 4, so both legs carry the same mw); its timer expires at
+    ~9.8 h and the watermark crosses that in the ~16 h batch — a full
+    ~13 h of hub ticks are suppressed before the account re-trades at
+    29 h FROM A ZERO FOLD (realized reset observable), flattens again,
+    and is re-evicted at ~38.8 h with the tape's last ~8 h of ticks
+    suppressed again. Adversarial alignments: every ts sits on the
+    600 s grid so timer expiries collide exactly with row timestamps
+    (a dedicated tick lands on each expiry instant); the BUY ties a
+    price tick at the same ts and the SELL ties another (kind/trade_id
+    tie-breaks on both sides of the book); four OPEN-position accounts
+    (one per hub, account-disjoint from the churn eight) buy once and
+    never sell — every sweep must skip them regardless of inactivity."""
+    trade_t = ("purchase", "signup")     # BUY leg types
+    rows = []
+    eid = 0
+
+    def add(sec, uid, et, val):
+        nonlocal eid
+        rows.append((eid, sec * 1_000_000, uid, et, round(val, 2)))
+        eid += 1
+
+    for u in range(8):                   # churn accounts: uids 0..7
+        for t0 in (600 * u, 104_400 + 600 * u):   # two bursts, 29 h apart
+            px = rng.uniform(20, 120)
+            add(t0, u, rng.choice(trade_t), px)          # BUY (eid%4 = r)
+            add(t0, u, "view", px + rng.uniform(-5, 5))  # tick TIED to BUY
+            add(t0 + 600, u, "view", px + rng.uniform(-5, 5))
+            add(t0 + 1200, u, "view", px + rng.uniform(-5, 5))
+            add(t0 + 1200, u, "error", px + rng.uniform(-5, 5))  # SELL, tie
+            # flat at t0+1200 -> timer at +TTL (34 200 s): collide a tick
+            # exactly on the expiry instant (same hub via same uid)
+            add(t0 + 1200 + 34_200, u, "click", px + rng.uniform(-5, 5))
+    for u in range(8, 12):               # open accounts: one per hub
+        add(600 * u, u, rng.choice(trade_t), rng.uniform(20, 120))
+    for h in range(49):                  # hourly ticks, all hubs, 0..48 h
+        for uid in range(4):
+            add(h * 3600, uid, "view", rng.uniform(20, 120))
+    rows.sort(key=lambda r: (r[1], r[0]))
+    return _event_rows(rows)
+
+
 def events_skew(rng: random.Random) -> list[tuple]:
     """95% of events on one hub — the hot-key shape."""
     rows = []
@@ -479,6 +529,7 @@ EVENT_CORPORA = {
     "events_extreme": events_extreme,
     "events_skew": events_skew,
     "events_oneside": events_oneside,
+    "events_churn": events_churn,
 }
 CORPORA.update(EVENT_CORPORA)
 

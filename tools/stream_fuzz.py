@@ -270,7 +270,8 @@ def _split_batches(recs: list[dict], cuts: list[float]) -> list[list[dict]]:
     return batches
 
 
-def _pnl_ttl_spec(batches: list[list[dict]], ttl_ms: int) -> list[dict]:
+def _pnl_ttl_spec(batches: list[list[dict] | None],
+                  ttl_ms: int) -> list[dict]:
     """Deterministic replay of PnlProcessorTtl (streaming/stateful.py)
     over explicit micro-batches: per batch, per hub — fold rows in the
     documented (ts, kind, trade_id) total order via the SHARED HubFold,
@@ -278,7 +279,19 @@ def _pnl_ttl_spec(batches: list[list[dict]], ttl_ms: int) -> list[dict]:
     ttl; then fire every timer whose expiry <= the batch's watermark and
     sweep-evict still-flat accounts with last_trade + ttl <= expiry
     (evicted accounts drop from the book AND lastTrade, so a re-trade
-    restarts them from a ZERO fold — realized resets, by design)."""
+    restarts them from a ZERO fold — realized resets, by design).
+
+    A `None` entry is the NO-DATA microbatch Spark appends at the end of
+    an availableNow drain once the watermark has advanced
+    (spark.sql.streaming.noDataMicroBatches.enabled, default true): the
+    watermark catches up to everything seen and expired timers fire with
+    NO input rows first. Within a single drain this is output-invisible
+    (firing emits nothing, and there is no later input to suppress), but
+    ACROSS a stop/restart it is load-bearing: phase-1 timers fire at the
+    end of phase 1, before phase 2's input — the restart engines place a
+    `None` between phases. (The probes pinned that no-data batches do
+    NOT run between data batches inside one drain: a tick in the firing
+    batch still fans out the about-to-be-evicted account.)"""
     from kafka_flink_processing_spark.operators.netting import (
         TRADE,
         HubFold,
@@ -294,7 +307,7 @@ def _pnl_ttl_spec(batches: list[list[dict]], ttl_ms: int) -> list[dict]:
     for batch in batches:
         wm = seen_max                      # watermark from PRIOR batches
         by_hub: dict[str, list[dict]] = {}
-        for r in batch:
+        for r in (batch or ()):            # None => no-data batch
             by_hub.setdefault(r["hub"], []).append(r)
             seen_max = max(seen_max, _to_ms(r["ts"]))
         for hub, rows in by_hub.items():
@@ -603,9 +616,13 @@ def run_corpus(spark, cname: str, seed: int, engines: list[str],
                 t_rows2 = trades.collect()
                 p_rows2 = prices.collect()
                 ttl2 = _corpus_ttl_ms(t_rows2, p_rows2)
-                want_ttl_rs = _dictbag(_pnl_ttl_spec(
-                    _split_batches(_tagged_records(t_rows2, p_rows2), mid),
-                    ttl2))
+                ph = _split_batches(_tagged_records(t_rows2, p_rows2),
+                                    mid)
+                # phase 1 drain ends with Spark's no-data microbatch:
+                # its timer sweep runs BEFORE phase 2's input (None
+                # sentinel; see _pnl_ttl_spec)
+                batches_rs = [ph[0], None] + ph[1:] if len(ph) > 1 else ph
+                want_ttl_rs = _dictbag(_pnl_ttl_spec(batches_rs, ttl2))
                 with _rocksdb_provider(spark):
                     results.append((
                         "pnl_tws_ttl_restart",
