@@ -73,6 +73,14 @@ R9_QUERY_SET = ["bpe_encode_tokens", "bpe_vocab_coverage",
 # corpus scan (the gram stream is re-derived for the second aggregation
 # rather than cached — the documented two-scan design).
 DSIR_QUERY_SET = ["dsir_importance_weights", "feature_hashing"]
+# --r10 mode: the persisted-merge-table encode on VERBATIM replication —
+# the distinct-word relation is IDENTICAL at every k (same vocabulary,
+# k-fold frequencies), so the vocab build + 16 replaces are flat and the
+# only growing work is the corpus explode + broadcast join + per-doc agg:
+# expect near-linear in rows with a flat constant term, and strictly
+# cheaper than bpe_encode_tokens (whose trainer argmax jobs ride along
+# in the R9 set) at every scale.
+R10_QUERY_SET = ["bpe_encode_from_artifact"]
 # --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
 # (vec_id offset keeps ids unique; the 5 query vectors stay the
 # originals). Expected shape: encode and the ADC code scan grow linearly
@@ -120,14 +128,16 @@ def main() -> None:
     r9_mode = "--r9" in args
     pq_mode = "--pq" in args
     dsir_mode = "--dsir" in args
+    r10_mode = "--r10" in args
     args = [a for a in args if a not in ("--dedup", "--r9", "--pq",
-                                         "--dsir")]
+                                         "--dsir", "--r10")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
     query_set = (DEDUP_QUERY_SET if dedup_mode
                  else R9_QUERY_SET if r9_mode
                  else PQ_QUERY_SET if pq_mode
-                 else DSIR_QUERY_SET if dsir_mode else QUERY_SET)
-    tables = (["documents"] if dedup_mode or dsir_mode
+                 else DSIR_QUERY_SET if dsir_mode
+                 else R10_QUERY_SET if r10_mode else QUERY_SET)
+    tables = (["documents"] if dedup_mode or dsir_mode or r10_mode
               else ["documents", "events"] if r9_mode
               else ["embeddings"] if pq_mode
               else ["lineitem", "events", "documents"])
