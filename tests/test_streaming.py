@@ -596,3 +596,70 @@ def test_pnl_tws_ttl_evicts_long_flat_accounts(spark, tmp_path,
     a_rows = [r for r in got if r.account == "A"]
     assert {r.ts for r in a_rows} <= {t(0), t(30), t(120), t(180)}
     assert t(240) not in {r.ts for r in a_rows}
+
+
+def test_pnl_tws_ttl_restart_fires_timers_at_drain_end(spark, tmp_path,
+                                                       rocksdb_state):
+    """The drain-end NO-DATA microbatch (the r10 events_churn fuzz find,
+    minimal committed form): an availableNow drain appends one no-data
+    batch once the watermark has advanced, so a timer whose expiry the
+    PHASE-1 watermark already covers fires at the END of phase 1 — NOT
+    after phase 2's first input rows. Tape (TTL = 60 s, delay 0):
+
+      phase 1 (one batch): A buys 5 / sells 5 (flat at 10:00:10, timer
+        10:01:10), B buys 3 (open), tick 10:01:40 — the batch's own
+        watermark is still 0, so A fans out on that tick; then the
+        drain-end no-data batch runs with wm = 10:01:40 > timer and
+        EVICTS A.
+      phase 2 (restart from the checkpoint): tick 10:01:50 — if timers
+        only fired after input rows, A would fan out here one last time;
+        the drain-end semantics say it must NOT. B always does.
+    """
+    import datetime as dt
+
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws_ttl,
+    )
+
+    def t(s):
+        return dt.datetime(2024, 1, 1, 10, 0, 0) + dt.timedelta(seconds=s)
+
+    trades = spark.createDataFrame(
+        [(1, t(0), "A", "H", "BUY", 5, 50.0),
+         (2, t(10), "A", "H", "SELL", 5, 51.0),
+         (3, t(20), "B", "H", "BUY", 3, 52.0)],
+        "trade_id long, ts timestamp, account string, hub string, "
+        "side string, mw long, price_mwh double")
+    px_schema = "ts timestamp, hub string, price_mwh double"
+    out, ckpt = f"{tmp_path}/out", f"{tmp_path}/ckpt"
+
+    def run_once():
+        ts = (spark.readStream.schema(trades.schema)
+              .parquet(f"{tmp_path}/t/f*"))
+        px = (spark.readStream
+              .schema(spark.createDataFrame([], px_schema).schema)
+              .parquet(f"{tmp_path}/p/f*"))
+        q = (streaming_pnl_tws_ttl(ts, px, ttl_ms=60_000)
+             .writeStream.format("parquet").option("path", out)
+             .option("checkpointLocation", ckpt)
+             .outputMode("append").trigger(availableNow=True).start())
+        q.awaitTermination()
+
+    trades.coalesce(1).write.parquet(f"{tmp_path}/t/f0")
+    spark.createDataFrame([(t(100), "H", 53.0)], px_schema) \
+        .coalesce(1).write.parquet(f"{tmp_path}/p/f0")
+    run_once()                                   # phase 1 + no-data batch
+    spark.createDataFrame([], trades.schema) \
+        .coalesce(1).write.parquet(f"{tmp_path}/t/f1")
+    spark.createDataFrame([(t(110), "H", 54.0)], px_schema) \
+        .coalesce(1).write.parquet(f"{tmp_path}/p/f1")
+    run_once()                                   # phase 2 from checkpoint
+
+    got = spark.read.parquet(out).collect()
+    by_tick = {}
+    for r in got:
+        by_tick.setdefault(r.ts, set()).add(r.account)
+    # phase-1 tick: watermark hadn't advanced yet, A still in the book
+    assert by_tick[t(100)] == {"A", "B"}
+    # phase-2 tick: A was evicted by the phase-1 drain-end no-data batch
+    assert by_tick[t(110)] == {"B"}
