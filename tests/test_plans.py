@@ -449,3 +449,39 @@ def test_bpe_encode_from_artifact_plan_shape(spark):
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_decontaminate_bloom_plan_shape(spark):
+    """The Bloom screen's corpus side is a broadcast probe (the 128 KiB
+    bitmap), never a corpus-keyed shuffle JOIN of eval x train grams: no
+    cartesian product, and the hash exchanges stay bounded at the four
+    structural ones (bitmap bit_or agg, the post-filter (doc, gram)
+    recount, and the flagged->shingles doc join sides — AQE converts that
+    last join to broadcast at runtime; the pre-AQE plan may show it as
+    sort-merge, which is why the pin is on exchange count, not join
+    strategy)."""
+    plan = plan_of(spark, "decontaminate_bloom")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 4
+
+
+def test_dedup_minhash_lsh_plan_shape(spark):
+    """MinHash-LSH is BANDED — candidate pairs come from per-band bucket
+    joins, never an all-pairs corpus x corpus comparison: no cartesian
+    product anywhere, and the exchange count stays bounded by the banded
+    structure (signature build + band bucket joins + the final pair
+    aggregation), not by corpus size."""
+    plan = plan_of(spark, "dedup_minhash_lsh")
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 8
+
+
+def test_curation_pipeline_plan_shape(spark):
+    """The composed curation funnel collapses to ONE corpus-keyed
+    exchange end-to-end (quality scoring and filtering are map-side; the
+    single shuffle is the per-source aggregation) — a regression that
+    re-shuffles between stages fails here."""
+    plan = plan_of(spark, "curation_pipeline")
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
