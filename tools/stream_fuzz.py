@@ -291,7 +291,12 @@ def _pnl_ttl_spec(batches: list[list[dict] | None],
     end of phase 1, before phase 2's input — the restart engines place a
     `None` between phases. (The probes pinned that no-data batches do
     NOT run between data batches inside one drain: a tick in the firing
-    batch still fans out the about-to-be-evicted account.)"""
+    batch still fans out the about-to-be-evicted account. The mechanism
+    itself was verified FALSIFIABLY: with
+    spark.sql.streaming.noDataMicroBatches.enabled=false the same
+    restart tape keeps the account alive into phase 2 — exactly the
+    no-sentinel model — and with the default it is evicted at drain
+    end.)"""
     from kafka_flink_processing_spark.operators.netting import (
         TRADE,
         HubFold,
