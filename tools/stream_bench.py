@@ -157,8 +157,76 @@ def run_job(spark, job, corpus, increment, label):
         }))
 
 
+def run_ttl_state(spark):
+    """Part 4 (r10): QUANTIFY the TTL's state-growth win. A 16-epoch
+    account-CHURN tape — 250 fresh accounts per epoch trade flat and
+    never return, four ticks close each epoch — drives the same tws
+    engine twice: no TTL (the reference's semantics: the book grows
+    forever, every tick fans out every account ever seen) vs a
+    2-epoch-span TTL (flat accounts evicted once the watermark passes
+    last-trade + TTL). The claims under test, read off
+    stateOperators.numRowsTotal: no-TTL state grows LINEARLY in epochs
+    (~2 rows per account x 250/epoch + hubs), TTL state PLATEAUS at the
+    ~2-epoch active window; and the no-TTL OUTPUT (tick fan-out) grows
+    quadratically-ish across the tape while TTL output stays flat."""
+    import datetime as dt
+
+    from kafka_flink_processing_spark.streaming.stateful import (
+        streaming_pnl_tws,
+        streaming_pnl_tws_ttl,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    N_EP, PER_EP, W = 16, 250, 3600
+    trows, prows = [], []
+    tid = 0
+    for e in range(N_EP):
+        t0 = e * W
+        for i in range(PER_EP):
+            ts = base + dt.timedelta(seconds=t0 + (i % 60) * 10)
+            acct, hub = f"A{e}_{i}", f"HUB{i % 4}"
+            px = 50.0 + (i % 7)
+            trows.append((tid, ts, acct, hub, "BUY", 5, px)); tid += 1
+            trows.append((tid, ts, acct, hub, "SELL", 5, px + 1.0)); tid += 1
+        for h in range(4):
+            prows.append((base + dt.timedelta(seconds=t0 + W - 10),
+                          f"HUB{h}", 60.0, 10_000_000 + e * 4 + h))
+    trades = spark.createDataFrame(
+        trows, "trade_id long, ts timestamp, account string, hub string, "
+               "side string, mw long, price_mwh double")
+    prices = spark.createDataFrame(
+        prows, "ts timestamp, hub string, price_mwh double, tick_id long")
+
+    key = "spark.sql.streaming.stateStore.providerClass"
+    try:
+        prev = spark.conf.get(key)
+    except Exception:
+        prev = None
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming.state."
+                        "RocksDBStateStoreProvider")
+    try:
+        run_stateful(spark, "pnl_tws_no_ttl_churn",
+                     lambda s: streaming_pnl_tws(s["t"], s["p"]),
+                     {"t": trades, "p": prices}, n_epochs=N_EP)
+        run_stateful(spark, "pnl_tws_ttl_2epoch_churn",
+                     lambda s: streaming_pnl_tws_ttl(s["t"], s["p"],
+                                                     ttl_ms=2 * W * 1000),
+                     {"t": trades, "p": prices}, n_epochs=N_EP)
+    finally:
+        if prev is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, prev)
+
+
 def main():
     spark = get_spark("stream-bench")
+    if "--ttl" in sys.argv[1:]:
+        from kafka_flink_processing_spark.session import ensure_tws_ready
+        if not ensure_tws_ready(spark):
+            raise SystemExit("transformWithState unavailable on this box")
+        run_ttl_state(spark)
+        return
     sf01 = "/root/testdata/sf0.1"
     sf001 = "/root/testdata/sf0.01"
     docs_big = load_table(spark, "documents", sf01).select("doc_id", "text")
