@@ -21,11 +21,17 @@ import stream_fuzz  # noqa: E402
 
 def test_event_engines_smoke(spark):
     # events_sparse is the smallest corpus (3 rows); pnl exercises the
-    # stateful fold adapter, tumbling the complete-mode windowed drain
+    # stateful fold adapter, tumbling the complete-mode windowed drain,
+    # and pnl_tws_ttl_finite the _pnl_ttl_spec replay machinery (batch
+    # reconstruction, watermark/timer model, dict-bag compare) — the one
+    # engine whose oracle is pure Python rather than the batch plan, so
+    # a spec-side refactor break fails in CI, not on the next sweep
     results = dict(stream_fuzz.run_corpus(
-        spark, "events_sparse", seed=7, engines=["pnl", "tumbling"],
+        spark, "events_sparse", seed=7,
+        engines=["pnl", "tumbling", "pnl_tws_ttl_finite"],
         tag="smoke"))
-    assert results == {"pnl": True, "tumbling": True}
+    assert results == {"pnl": True, "tumbling": True,
+                       "pnl_tws_ttl_finite": True}
 
 
 def test_doc_engines_smoke(spark):
