@@ -3237,6 +3237,220 @@ def dsir_importance_weights_q(spark: SparkSession,
                     .alias("dsir_weight")))
 
 
+_PPL_B = 4096  # hashed-LM buckets; 4x DSIR's 1024 — the LM is the product
+               # here, not just a ratio, so collision noise matters more
+
+
+@register(
+    "ccnet_perplexity_buckets",
+    oracle=f"""
+    WITH ts AS (SELECT doc_id, lang, string_split(text, ' ') AS a
+                FROM documents),
+    g AS (SELECT doc_id, lang,
+                 unnest(list_transform(range(1, len(a)),
+                        i -> a[i] || ' ' || a[i+1])) AS w
+          FROM ts WHERE len(a) >= 2),
+    h AS (SELECT doc_id, lang,
+                 {_H60.format(x="'pp:' || w")} % {_PPL_B} AS bucket
+          FROM g),
+    bstats AS MATERIALIZED (SELECT bucket,
+                 SUM(CASE WHEN lang = '{_DSIR_TARGET_LANG}'
+                     THEN 1 ELSE 0 END) AS n_t
+          FROM h GROUP BY bucket),
+    tot AS (SELECT SUM(n_t) AS t_tot FROM bstats),
+    lm AS (SELECT b.bucket,
+                  CAST(ROUND((LN(b.n_t + 1) - LN(t.t_tot + {_PPL_B}))
+                             * 1000000.0) AS BIGINT) AS logp6
+           FROM bstats b CROSS JOIN tot t),
+    sc AS (SELECT h.doc_id,
+                  CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+                  -SUM(l.logp6) AS ce6
+           FROM h JOIN lm l USING (bucket) GROUP BY h.doc_id),
+    sx AS (SELECT doc_id, n_bigrams,
+                  CAST(ce6 AS DOUBLE) / (n_bigrams * 1000000.0) AS xent_nats
+           FROM sc),
+    b2 AS (SELECT doc_id, n_bigrams, xent_nats,
+                  CAST(FLOOR(xent_nats * 100.0) AS BIGINT) AS ce_c
+           FROM sx),
+    hist AS (SELECT ce_c, CAST(COUNT(*) AS BIGINT) AS cnt
+             FROM b2 GROUP BY ce_c),
+    cdf AS (SELECT ce_c,
+                   COALESCE(SUM(cnt) OVER (ORDER BY ce_c
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                     0) AS cum_before,
+                   SUM(cnt) OVER () AS total
+            FROM hist),
+    ter AS (SELECT ce_c,
+                   CAST(1 + (3 * cum_before) // total AS BIGINT)
+                     AS ppl_tercile
+            FROM cdf)
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           s.xent_nats AS xent_nats,
+           t.ppl_tercile AS ppl_tercile
+    FROM documents d
+    LEFT JOIN b2 s USING (doc_id)
+    LEFT JOIN ter t ON s.ce_c = t.ce_c
+    """,
+    doc=f"CCNet-style perplexity quality bucketing (Wenzek et al. 2020, "
+        f"'CCNet: Extracting High Quality Monolingual Datasets from Web "
+        f"Crawl Data'): score every document by its cross-entropy under "
+        f"a language model trained on the trusted slice "
+        f"(lang='{_DSIR_TARGET_LANG}' here, Wikipedia in the paper), "
+        f"then split the corpus into head/middle/tail terciles of that "
+        f"score — the standard keep-the-head crawl filter. The LM is a "
+        f"hashed unigram-over-bigram-buckets model (the KenLM stand-in "
+        f"this container supports): every word bigram hashes into one "
+        f"of {_PPL_B} md5 buckets, Laplace-smoothed counts give log "
+        "p(bucket), and a doc's score is the mean negative log-prob of "
+        "its bigrams in nats (xent_nats; perplexity = e^xent, monotone, "
+        "deliberately not materialized — exp() is the one step the "
+        "engines could disagree on at 1 ulp). Cross-engine exactness is "
+        "the DSIR recipe: per-BUCKET log-probs round once to 6dp scaled "
+        "ints, so per-doc sums are integer-exact and order-free, and "
+        "the final division is one IEEE op on identical integers. "
+        "Terciles use the curriculum_stages histogram-of-values CDF on "
+        "CENTINAT bins, not NTILE — a global NTILE is a single-"
+        "partition sort of the corpus (100 TB scale-killer) and splits "
+        "ties nondeterministically; here all docs in the same centinat "
+        "bin share a tercile, the histogram is a map-side-combined "
+        "aggregate to <=~2000 bins, and the bin->tercile map broadcasts "
+        "back. Scale: two corpus scans for the bigram stream (the "
+        "documented DSIR trade — materializing the exploded grams would "
+        f"dwarf the corpus), one {_PPL_B}-row broadcast, one doc-keyed "
+        "aggregation, one bounded histogram. Honest cost note: because "
+        "the tercile boundaries are an aggregate OF the per-doc scores, "
+        "the lazy plan recomputes the score branch for the histogram "
+        "side of the join (visible in the pinned plan shape) — a "
+        "registered query must not leak a persisted handle (the r8 "
+        "persist-leak finding), so the leak-free lazy form pays the "
+        "score passes twice; a production pipeline persists the "
+        "~24 B/doc score relation once before the tercile join, the "
+        "operators/bpe.py persist-then-reuse pattern. Docs with <2 "
+        "tokens (incl. "
+        "NULL/empty text) surface with n_bigrams=0 and NULL score/"
+        "tercile — unscorable is visible, not silently head or tail.",
+    bench=True,  # joins the headline: first-round floor rule (BASELINE.md)
+)
+def ccnet_perplexity_buckets_q(spark: SparkSession,
+                               sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.functions.text import md5_hash60
+
+    docs = load_table(spark, "documents", sf_dir)
+    ts = (docs.select("doc_id", "lang", F.split("text", " ").alias("a"))
+          .filter(F.size("a") >= 2))
+    g = ts.select(
+        "doc_id", "lang",
+        F.explode(F.expr(
+            "transform(sequence(1, size(a) - 1), "
+            "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
+        .alias("w"))
+    h = g.select(
+        "doc_id", "lang",
+        F.pmod(md5_hash60(F.concat(F.lit("pp:"), F.col("w"))),
+               F.lit(_PPL_B)).alias("bucket"))
+    bstats = h.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+              .otherwise(0)).alias("n_t"))
+    tot = bstats.agg(F.sum("n_t").alias("t_tot"))
+    lm = (bstats.crossJoin(F.broadcast(tot))
+          .select("bucket",
+                  F.round((F.log(F.col("n_t") + 1)
+                           - F.log(F.col("t_tot") + _PPL_B)) * 1e6)
+                  .cast("long").alias("logp6")))
+    sc = (h.join(F.broadcast(lm), "bucket")
+          .groupBy("doc_id")
+          .agg(F.count("*").alias("n_bigrams"),
+               (-F.sum("logp6")).alias("ce6")))
+    sx = sc.select(
+        "doc_id", "n_bigrams",
+        (F.col("ce6").cast("double")
+         / (F.col("n_bigrams") * F.lit(1000000.0))).alias("xent_nats"))
+    b2 = sx.select("doc_id", "n_bigrams", "xent_nats",
+                   F.floor(F.col("xent_nats") * 100.0).alias("ce_c"))
+    hist = b2.groupBy("ce_c").agg(F.count("*").alias("cnt"))
+    w_cdf = (Window.orderBy("ce_c")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    cdf = hist.select(
+        "ce_c",
+        F.coalesce(F.sum("cnt").over(w_cdf), F.lit(0)).alias("cum_before"),
+        F.sum("cnt").over(Window.partitionBy()).alias("total"))
+    ter = cdf.select(
+        "ce_c",
+        (F.lit(1) + F.expr("(3 * cum_before) div total"))
+        .alias("ppl_tercile"))
+    scored = (b2.join(F.broadcast(ter), "ce_c")
+              .select("doc_id", "n_bigrams", "xent_nats", "ppl_tercile"))
+    return (docs.select("doc_id").join(scored, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("n_bigrams", F.lit(0)).alias("n_bigrams"),
+                    "xent_nats", "ppl_tercile"))
+
+
+@register(
+    "dedup_cluster_survivors",
+    oracle=f"""
+    WITH RECURSIVE
+    {_MINHASH_PAIRS_CTES.replace('WITH ', '', 1).format(
+        sig=_minhash_sig_sql().strip().lstrip(), bands='{bands}')}
+    ,
+    edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+              UNION SELECT doc_b, doc_a FROM pairs),
+    reach(a, b) AS (
+      SELECT doc_id, doc_id FROM documents
+      UNION
+      SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS doc_id, MIN(b) AS canonical_id
+                 FROM reach GROUP BY a),
+    q AS (SELECT c.doc_id, c.canonical_id, d.n_chars
+          FROM clusters c JOIN documents d USING (doc_id)),
+    r AS (SELECT doc_id, canonical_id,
+                 FIRST_VALUE(doc_id) OVER (
+                   PARTITION BY canonical_id
+                   ORDER BY n_chars DESC, doc_id) AS survivor_id
+          FROM q)
+    SELECT doc_id, canonical_id, survivor_id,
+           doc_id = survivor_id AS is_survivor
+    FROM r
+    """.format(bands=_minhash_bands_sql()),
+    doc="NEAR-dup survivor selection: one kept document per MinHash-LSH "
+        "connected component — the decision step a production dedup "
+        "actually ships (Lee et al. 2022 keep one per duplicate "
+        "cluster; RefinedWeb keeps the longest). Survivor = the "
+        "longest member by n_chars, doc_id tie-break; every row "
+        "carries its cluster's survivor_id plus an is_survivor flag "
+        "so the filter is one predicate downstream. Complements "
+        "dedup_keep_best, which ranks within EXACT normalized-text "
+        "clusters — this ranks within the transitive LSH near-dup "
+        "components where members genuinely differ. Both orderings "
+        "put NULL n_chars last (Spark desc default == DuckDB default "
+        "null order), so the pick is deterministic on any corpus. "
+        "Scale: cost on top of the audited dedup_clusters shape "
+        "(banded candidates ~ O(dups), iterative min-label "
+        "propagation, rounds = component diameter) is one broadcast-"
+        "sized join to n_chars and one window PARTITIONED by cluster "
+        "id — near-dup components are small by construction, so no "
+        "single partition ever sees more than a cluster.",
+)
+def dedup_cluster_survivors_q(spark: SparkSession,
+                              sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.cluster import (
+        connected_components,
+    )
+    docs = load_table(spark, "documents", sf_dir)
+    pairs = minhash_lsh_pairs(docs, n=3, threshold=0.6)
+    cc = connected_components(pairs, docs.select("doc_id"))
+    q = cc.join(docs.select("doc_id", "n_chars"), "doc_id")
+    w = Window.partitionBy("canonical_id").orderBy(
+        F.col("n_chars").desc(), F.col("doc_id").asc())
+    r = q.select("doc_id", "canonical_id",
+                 F.first("doc_id").over(w).alias("survivor_id"))
+    return r.select(
+        "doc_id", "canonical_id", "survivor_id",
+        (F.col("doc_id") == F.col("survivor_id")).alias("is_survivor"))
+
+
 from kafka_flink_processing_spark.operators.bpe import (  # noqa: E402
     N_MERGES as _BPE_K,
     bpe_oracle_sql,

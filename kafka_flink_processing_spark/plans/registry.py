@@ -185,11 +185,26 @@ _PRIORITY: list[str] = [
 # entered the r6 window's unproven tier, and the 5 r6 registrations were
 # made BEFORE the freeze.
 DEFERRED_VERIFICATION: dict[str, str] = {
-    # r10: EMPTY — all 8 r9 post-freeze deferrals entered this round's
-    # window through the generator's unproven tier, and the one r10
-    # registration (bpe_encode_from_artifact) was made BEFORE the freeze
-    # (committed three-SF tools/oracle_check.py parity: sf0.001, sf0.01,
-    # sf0.1). The r6 convention held with zero exceptions this round.
+    # r10: all 8 r9 post-freeze deferrals entered this round's window
+    # through the generator's unproven tier, and the one r10 pre-freeze
+    # registration (bpe_encode_from_artifact) carried committed three-SF
+    # tools/oracle_check.py parity. EXACTLY TWO post-freeze registrations
+    # this round (the convention's ceiling, set by the r9 verdict task 3),
+    # each with the full evidence bundle:
+    "ccnet_perplexity_buckets":
+        "registered post-freeze (r10 second half); tools/oracle_check.py "
+        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
+        "semantics ground truth on hand corpora (common-vs-rare bigram "
+        "ordering, tercile monotonicity/balance, <2-token totality — "
+        "tests/test_ccnet_survivors.py) — enters the r11 window's "
+        "unproven tier.",
+    "dedup_cluster_survivors":
+        "registered post-freeze (r10 second half); tools/oracle_check.py "
+        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
+        "semantics ground truth on hand corpora (longest-member-wins, "
+        "doc_id tie-break, singleton self-survival, one-survivor-per-"
+        "cluster — tests/test_ccnet_survivors.py) — enters the r11 "
+        "window's unproven tier.",
 }
 
 

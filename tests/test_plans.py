@@ -451,6 +451,25 @@ def test_bpe_encode_from_artifact_plan_shape(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_ccnet_perplexity_plan_shape(spark):
+    """The CCNet scorer stays broadcast-shaped: the 4096-bucket LM and
+    the 1-row totals broadcast onto the bigram stream (the two
+    BroadcastNestedLoopJoin Cross nodes are those 1-row totals — benign),
+    the centinat histogram is a tiny aggregate whose bin->tercile map
+    also broadcasts, and the ONLY sort-merge join is the final
+    corpus-sized doc_id left join that surfaces unscorable docs. No
+    cartesian product, no range exchange, and the single-partition
+    exchanges stay bounded at the structural three (LM totals, tercile
+    CDF window over <=~2000 bins) — a regression that sorts the corpus
+    globally for the terciles (NTILE-style) fails the bound."""
+    plan = plan_of(spark, "ccnet_perplexity_buckets")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("SortMergeJoin") == 1
+    assert plan.count("BroadcastExchange") >= 4
+    assert plan.count("Exchange SinglePartition") <= 3
+
+
 def test_decontaminate_bloom_plan_shape(spark):
     """The Bloom screen's corpus side is a broadcast probe (the 128 KiB
     bitmap), never a corpus-keyed shuffle JOIN of eval x train grams: no

@@ -86,7 +86,8 @@ DOC_QUERIES = [
     "adaptive_quality_filter", "audio_zcr_features", "bigram_lift_top",
     "bm25_rank", "bpe_encode_tokens", "bpe_vocab_coverage",
     "bpe_fertility_by_lang", "bpe_vocab_merges", "bpe_vocab_merges_batched",
-    "cluster_aware_folds",
+    "ccnet_perplexity_buckets", "cluster_aware_folds",
+    "dedup_cluster_survivors",
     "data_mix_subword_budget", "dsir_importance_weights",
     "corpus_entropy_by_source", "corpus_partitioned_roundtrip",
     "curation_funnel", "curation_pipeline", "curriculum_stages",
@@ -125,6 +126,9 @@ TOTAL_TEXT = [
     "bpe_vocab_coverage", "bpe_fertility_by_lang", "data_mix_subword_budget",
     # same space-split + md5-over-UTF8-bytes idiom as feature_hashing
     "dsir_importance_weights",
+    # same idiom again (r10): bigrams -> md5 buckets -> integer log-prob
+    # sums; the tercile map is pure integer arithmetic on bin counts
+    "ccnet_perplexity_buckets",
 ]
 
 LANGS = ["en", "de", "fr", "es"]
