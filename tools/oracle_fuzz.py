@@ -84,7 +84,8 @@ BASE_SF = "/root/testdata/sf0.001"
 # reproducible; tools/oracle_fuzz.py --list prints the live derivation)
 DOC_QUERIES = [
     "adaptive_quality_filter", "audio_zcr_features", "bigram_lift_top",
-    "bm25_rank", "bpe_encode_tokens", "bpe_vocab_coverage",
+    "bm25_rank", "bpe_encode_from_artifact", "bpe_encode_tokens",
+    "bpe_vocab_coverage",
     "bpe_fertility_by_lang", "bpe_vocab_merges", "bpe_vocab_merges_batched",
     "ccnet_perplexity_buckets", "cluster_aware_folds",
     "dedup_cluster_survivors",
@@ -124,6 +125,8 @@ TOTAL_TEXT = [
     # all six pass the unicode corpus
     "bpe_vocab_merges", "bpe_vocab_merges_batched", "bpe_encode_tokens",
     "bpe_vocab_coverage", "bpe_fertility_by_lang", "data_mix_subword_budget",
+    # applies the same pinned merges via the same replace idiom (r10)
+    "bpe_encode_from_artifact",
     # same space-split + md5-over-UTF8-bytes idiom as feature_hashing
     "dsir_importance_weights",
     # same idiom again (r10): bigrams -> md5 buckets -> integer log-prob
