@@ -81,6 +81,19 @@ DSIR_QUERY_SET = ["dsir_importance_weights", "feature_hashing"]
 # cheaper than bpe_encode_tokens (whose trainer argmax jobs ride along
 # in the R9 set) at every scale.
 R10_QUERY_SET = ["bpe_encode_from_artifact"]
+# --r10b mode (late r10): the two post-freeze registrations, on the
+# DUP-RATE-PRESERVING perturbed replication (same rationale as --dedup:
+# verbatim k-fold would make every doc an exact dup of its replicas and
+# the LSH candidate volume would grow O(k^2) per bucket — a workload
+# artifact masquerading as a plan slope). Perturbation is harmless to
+# the other two: the hashed LM/bucket tables stay fixed-size whatever
+# the tokens look like. Read in-family pairs: ccnet_perplexity_buckets
+# vs dsir_importance_weights (same explode -> hashed-bucket skeleton;
+# the gap is ccnet's score-branch recompute for the tercile join), and
+# dedup_cluster_survivors vs dedup_clusters (the gap is the n_chars
+# join + the per-cluster window).
+R10B_QUERY_SET = ["ccnet_perplexity_buckets", "dsir_importance_weights",
+                  "dedup_cluster_survivors", "dedup_clusters"]
 # --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
 # (vec_id offset keeps ids unique; the 5 query vectors stay the
 # originals). Expected shape: encode and the ADC code scan grow linearly
@@ -129,15 +142,18 @@ def main() -> None:
     pq_mode = "--pq" in args
     dsir_mode = "--dsir" in args
     r10_mode = "--r10" in args
+    r10b_mode = "--r10b" in args
     args = [a for a in args if a not in ("--dedup", "--r9", "--pq",
-                                         "--dsir", "--r10")]
+                                         "--dsir", "--r10", "--r10b")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
     query_set = (DEDUP_QUERY_SET if dedup_mode
                  else R9_QUERY_SET if r9_mode
                  else PQ_QUERY_SET if pq_mode
                  else DSIR_QUERY_SET if dsir_mode
-                 else R10_QUERY_SET if r10_mode else QUERY_SET)
+                 else R10_QUERY_SET if r10_mode
+                 else R10B_QUERY_SET if r10b_mode else QUERY_SET)
     tables = (["documents"] if dedup_mode or dsir_mode or r10_mode
+              or r10b_mode
               else ["documents", "events"] if r9_mode
               else ["embeddings"] if pq_mode
               else ["lineitem", "events", "documents"])
@@ -150,7 +166,8 @@ def main() -> None:
         td = tempfile.mkdtemp(prefix=f"kfps_curve_{reps}x_")
         try:
             for t in tables:
-                replicate(spark, t, reps, td, perturb_text=dedup_mode)
+                replicate(spark, t, reps, td,
+                          perturb_text=dedup_mode or r10b_mode)
             times = {}
             for name in query_set:
                 best = float("inf")
