@@ -490,6 +490,94 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
                     .alias("removed_fraction")))
 
 
+def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
+                      id_col: str = "doc_id",
+                      text_col: str = "text") -> DataFrame:
+    """ExactSubstr duplicated-substring mining (Lee et al. 2022,
+    'Deduplicating Training Data Makes Language Models Better' — the
+    suffix-array ExactSubstr variant, re-expressed as anchored diagonal
+    run-merging): every MAXIMAL word span of length >= min_len shared
+    verbatim between two documents, reported per ordered pair as
+    (doc_a, doc_b, a_start, b_start, span_len) with 1-based word starts.
+
+    This is SPAN semantics, not gram membership (dup_span_redact): a
+    word run whose overlapping grams are duplicated against DIFFERENT
+    partner documents is NOT one shared span — no single document
+    contains it contiguously — and this operator correctly reports only
+    the per-pair maximal spans (tests/test_exactsubstr.py pins the
+    disagreement witness).
+
+    Exactness: with anchor size k = min_len, a shared span of length
+    L >= k at offsets (i, j) yields k-gram seeds matching at every
+    (i+t, j+t), t = 0..L-k — a contiguous run on the diagonal i-j — and
+    conversely a maximal run of m contiguous seeds is a maximal shared
+    span of m+k-1 words (the seed one left of the run matches iff the
+    word one left matches). Gaps-and-islands over (pair, diagonal)
+    therefore recovers the exact maximal spans; no suffix array needed.
+
+    Scale shape, stage by stage:
+    - positional k-grams explode map-side; the anchor screen groupBys
+      xxhash64(gram) — an 8-byte shuffle key, never the k-word string
+      (at k=50 the string relation is ~50x corpus text; the hash screen
+      keeps that expansion out of the exchange). Hash collisions can
+      only ADD candidates (the pair join below re-checks the exact
+      string), never lose or corrupt a span.
+    - anchors keep 2 <= distinct-doc df <= max_df. The upper cap bounds
+      the O(df^2) seed fan-out per gram: boilerplate that saturates
+      >max_df documents is dedup-by-frequency territory (stop-gram
+      screens, heavy_hitters_*), not pairwise span mining. The cap is
+      part of the CONTRACT (the oracle applies the same cap), so the
+      result stays exact w.r.t. its spec.
+    - only hash-surviving grams (O(duplicated content), not O(corpus))
+      carry their strings into the self-join; the diagonal window and
+      the island aggregation both cluster on (doc_a, doc_b, diag), so
+      the final groupBy rides the window's exchange — partitions are
+      per-pair-per-diagonal, i.e. tiny, skew-free by construction.
+    Within-document repeats are out of scope (cross-document pairs
+    only, doc_a < doc_b); word-granular, like the rest of the dup-span
+    family. Integer/string-only arithmetic, bit-exact oracle."""
+    k = min_len
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("words"))
+
+    def gram_at(i):  # i is the 1-based start position of the k-gram
+        return F.concat_ws(" ", *[F.element_at(F.col("words"), i + t)
+                                  for t in range(k)])
+
+    grams = F.when(
+        F.size("words") < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                    gram_at))
+    pg = (base.select("doc_id", F.posexplode(grams).alias("i0", "g"))
+              .select("doc_id", (F.col("i0") + 1).alias("pos"), "g",
+                      F.xxhash64("g").alias("gh")))
+    # anchor screen on the 8-byte hash: 2 <= distinct-doc df <= max_df
+    anchors = (pg.groupBy("gh")
+                 .agg(F.count_distinct("doc_id").alias("df"))
+                 .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+                 .select("gh"))
+    ag = pg.join(anchors, "gh", "leftsemi")
+    a, b = ag.alias("a"), ag.alias("b")
+    # join on the hash, verify the exact string (collision-proof), and
+    # orient pairs doc_a < doc_b
+    seeds = (a.join(b, (F.col("a.gh") == F.col("b.gh"))
+                    & (F.col("a.g") == F.col("b.g"))
+                    & (F.col("a.doc_id") < F.col("b.doc_id")))
+              .select(F.col("a.doc_id").alias("doc_a"),
+                      F.col("b.doc_id").alias("doc_b"),
+                      F.col("a.pos").alias("pos_a"),
+                      F.col("b.pos").alias("pos_b")))
+    seeds = seeds.withColumn("diag", F.col("pos_a") - F.col("pos_b"))
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pos_a")
+    isl = seeds.withColumn("island",
+                           F.col("pos_a") - F.row_number().over(w))
+    return (isl.groupBy("doc_a", "doc_b", "diag", "island")
+               .agg(F.min("pos_a").cast("long").alias("a_start"),
+                    F.min("pos_b").cast("long").alias("b_start"),
+                    (F.count("*") + (k - 1)).cast("long").alias("span_len"))
+               .select("doc_a", "doc_b", "a_start", "b_start", "span_len"))
+
+
 def incremental_minhash_dups(docs: DataFrame, batch_cond,
                              n: int = 3, threshold: float = 0.6,
                              id_col: str = "doc_id",

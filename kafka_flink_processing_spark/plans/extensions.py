@@ -2310,6 +2310,61 @@ def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "exactsubstr_spans",
+    oracle="""
+    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
+                  FROM documents),
+    grams AS (
+      SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
+      FROM base, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
+    ),
+    anchors AS (
+      SELECT g FROM grams GROUP BY g
+      HAVING COUNT(DISTINCT doc_id) BETWEEN 2 AND 64
+    ),
+    seeds AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+             a.pos AS pos_a, b.pos AS pos_b
+      FROM grams a JOIN grams b USING (g) JOIN anchors USING (g)
+      WHERE a.doc_id < b.doc_id
+    ),
+    islands AS (
+      SELECT doc_a, doc_b, pos_a, pos_b, pos_a - pos_b AS diag,
+             pos_a - ROW_NUMBER() OVER (
+               PARTITION BY doc_a, doc_b, pos_a - pos_b
+               ORDER BY pos_a) AS island
+      FROM seeds
+    )
+    SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS a_start,
+           CAST(MIN(pos_b) AS BIGINT) AS b_start,
+           CAST(COUNT(*) + 7 AS BIGINT) AS span_len
+    FROM islands GROUP BY doc_a, doc_b, diag, island
+    """,
+    doc="ExactSubstr duplicated-substring mining (Lee et al. 2022, the "
+        "suffix-array variant re-expressed as anchored diagonal "
+        "run-merging): every MAXIMAL word span of length >= 8 shared "
+        "verbatim between a document pair, as (doc_a, doc_b, a_start, "
+        "b_start, span_len). SPAN semantics, not gram membership: "
+        "overlapping duplicated grams with DIFFERENT partners do not "
+        "merge (the dup_span_redact approximation does merge them — "
+        "witness test in tests/test_exactsubstr.py). Anchor screen "
+        "groupBys xxhash64(gram) (8-byte shuffle key, never the k-word "
+        "string), keeps 2 <= doc-df <= 64 (the cap bounds O(df^2) seed "
+        "fan-out and is part of the contract — the oracle applies it "
+        "too), and only surviving grams carry strings into the pair "
+        "join; the island aggregation rides the diagonal window's "
+        "exchange (operators/dedup.py::exactsubstr_spans).",
+    bench=True,
+)
+def exactsubstr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        exactsubstr_spans,
+    )
+    return exactsubstr_spans(load_table(spark, "documents", sf_dir),
+                             min_len=8, max_df=64)
+
+
+@register(
     "embedding_quality_stats",
     oracle=f"""
     SELECT vec_id,

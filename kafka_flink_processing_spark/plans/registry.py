@@ -104,70 +104,69 @@ SENTINELS: list[str] = [
     "kmeans_assign_cells",        # clustering
 ]
 
-# r10 block GENERATED by `python tools/rotation_report.py --emit-priority`
-# (pasted verbatim — ZERO hand-swaps this round; no oracle or engine of an
-# already-green query changed before the freeze). Contents: the 9 unproven
-# entries — the 8 r9 post-freeze deferrals (PQ/IVFADC family, batched BPE,
-# fertility, DSIR; each re-verified by the r9 judge, now absorbed so
-# DEFERRED_VERIFICATION empties) plus the single r10 pre-freeze
-# registration (bpe_encode_from_artifact, the persisted-merge-table encode)
-# — then the 8 family sentinels and the oldest-signal backfill: the four
-# r05-green entries evicted by the r9 hand-swaps (window_ntile_battery,
-# text_stats, lang_id_quality, doc_fingerprint — refreshed on schedule as
-# promised), the rest of the r05 cohort, and the front of the r06 cohort
-# (the next STALE_BOUND=5 wall).
-# generated by tools/rotation_report.py --emit-priority (newest committed round: r09)
+# r11 block GENERATED by `python tools/rotation_report.py --emit-priority`
+# (pasted verbatim — ZERO hand-swaps this round; regenerated after the
+# pre-freeze r11 registrations so they enter the unproven tier per the
+# convention). Contents: the 3 unproven entries — the r11 pre-freeze
+# registration (exactsubstr_spans, with three-SF oracle_check parity run
+# before the freeze) and the two r10 post-freeze deferrals
+# (ccnet_perplexity_buckets, dedup_cluster_survivors; each deferred WITH
+# committed three-SF oracle_check parity, now absorbed so
+# DEFERRED_VERIFICATION empties) — then the 8 family sentinels and the
+# oldest-signal backfill: the r06-green cohort (next against the
+# STALE_BOUND=5 wall) and the front of the r07 cohort.
+# generated by tools/rotation_report.py --emit-priority (newest committed round: r10)
 _PRIORITY: list[str] = [
-    "bpe_encode_from_artifact",  # never r-
-    "similarity_pq_topk",  # never r-
-    "similarity_pq_rerank_topk",  # never r-
-    "pq_distortion_by_label",  # never r-
-    "similarity_ivfpq_topk",  # never r-
-    "similarity_ivfpq_residual_topk",  # never r-
-    "dsir_importance_weights",  # never r-
-    "bpe_vocab_merges_batched",  # never r-
-    "bpe_fertility_by_lang",  # never r-
-    "sql_q3_shipping_priority",  # green r09
-    "similarity_ivf_topk",  # green r09
-    "dedup_minhash_lsh",  # green r09
-    "tumbling_window_stats",  # green r09
-    "curation_pipeline",  # green r09
-    "ohlc_bars",  # green r09
-    "multimodal_decode_features",  # green r09
-    "kmeans_assign_cells",  # green r09
-    "window_ntile_battery",  # green r05
-    "text_stats",  # green r05
-    "lang_id_quality",  # green r05
-    "doc_fingerprint",  # green r05
-    "dedup_exact",  # green r05
-    "dedup_ngram_jaccard",  # green r05
-    "decontamination_n_sweep",  # green r05
-    "da_rt_asof_tolerance",  # green r05
-    "sql_q5_local_supplier",  # green r05
-    "sql_q6_forecast_revenue",  # green r05
-    "event_transition_matrix",  # green r05
-    "vocab_zipf_slope",  # green r05
-    "ivf_probe_sweep",  # green r05
-    "heavy_hitters_mg",  # green r05
-    "weighted_sample_wor",  # green r05
-    "key_skew_report",  # green r05
-    "funnel_time_to_convert",  # green r05
-    "hourly_load_profile",  # green r05
-    "approx_quantiles_value",  # rows_only r06
-    "pnl_positions_fold",  # green r06
-    "pnl_exposure",  # green r06
-    "pnl_snapshot",  # green r06
-    "json_props_stats",  # green r06
-    "winsorized_stats",  # green r06
-    "dedup_containment_pairs",  # green r06
-    "dedup_clusters",  # green r06
-    "cluster_aware_folds",  # green r06
-    "dedup_simhash",  # green r06
-    "similarity_bruteforce_topk",  # green r06
-    "similarity_lsh_topk",  # green r06
-    "dedup_semantic",  # green r06
-    "embedding_cosine_pairs",  # green r06
-    "train_test_split",  # green r06
+    "exactsubstr_spans",  # never r-
+    "ccnet_perplexity_buckets",  # never r-
+    "dedup_cluster_survivors",  # never r-
+    "sql_q3_shipping_priority",  # green r10
+    "similarity_ivf_topk",  # green r10
+    "dedup_minhash_lsh",  # green r10
+    "tumbling_window_stats",  # green r10
+    "curation_pipeline",  # green r10
+    "ohlc_bars",  # green r10
+    "multimodal_decode_features",  # green r10
+    "kmeans_assign_cells",  # green r10
+    "stratified_sample",  # green r06
+    "jsonl_roundtrip",  # green r06
+    "csv_roundtrip",  # green r06
+    "multimodal_metadata",  # green r06
+    "multimodal_resize",  # green r06
+    "multimodal_frame_sample",  # green r06
+    "vocab_top_tokens",  # green r06
+    "token_drift_chi2",  # green r06
+    "ngram_novelty_by_source",  # green r06
+    "cms_freq_estimate",  # green r06
+    "event_rate_mad_outliers",  # green r06
+    "embedding_pca_variance",  # rows_only r06
+    "bm25_rank",  # green r06
+    "column_profile",  # green r06
+    "ewma_price",  # green r06
+    "bollinger_bands",  # green r06
+    "hub_spread_hourly",  # green r06
+    "streaming_slippage_join",  # green r06
+    "da_rt_daily_corr",  # green r06
+    "rolling_median_price",  # green r06
+    "scd2_price_intervals",  # green r06
+    "hub_price_corr_matrix",  # green r06
+    "forecast_backtest_sma",  # green r06
+    "vwap_execution_quality",  # green r06
+    "kyle_lambda_price_impact",  # green r06
+    "lead_lag_hub_beta",  # green r06
+    "groupby_agg_q1",  # green r07
+    "join_revenue_by_nation",  # green r07
+    "window_rank_lag",  # green r07
+    "asof_join_events",  # green r07
+    "pnl_positions_hybrid",  # green r07
+    "multimodal_png_decode",  # green r07
+    "dedup_incremental",  # green r07
+    "per_source_cap",  # green r07
+    "tfidf_top_terms",  # green r07
+    "dedup_incremental_minhash",  # green r07
+    "decontaminate_ngram",  # green r07
+    "decontaminate_bloom",  # green r07
+    "adaptive_quality_filter",  # green r07
 ]
 
 
@@ -185,27 +184,30 @@ _PRIORITY: list[str] = [
 # entered the r6 window's unproven tier, and the 5 r6 registrations were
 # made BEFORE the freeze.
 DEFERRED_VERIFICATION: dict[str, str] = {
-    # r10: all 8 r9 post-freeze deferrals entered this round's window
-    # through the generator's unproven tier, and the one r10 pre-freeze
-    # registration (bpe_encode_from_artifact) carried committed three-SF
-    # tools/oracle_check.py parity. EXACTLY TWO post-freeze registrations
-    # this round (the convention's ceiling, set by the r9 verdict task 3),
-    # each with the full evidence bundle:
-    "ccnet_perplexity_buckets":
-        "registered post-freeze (r10 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "semantics ground truth on hand corpora (common-vs-rare bigram "
-        "ordering, tercile monotonicity/balance, <2-token totality — "
-        "tests/test_ccnet_survivors.py) — enters the r11 window's "
-        "unproven tier.",
-    "dedup_cluster_survivors":
-        "registered post-freeze (r10 second half); tools/oracle_check.py "
-        "parity committed at sf0.001, sf0.01 AND sf0.1 this round, plus "
-        "semantics ground truth on hand corpora (longest-member-wins, "
-        "doc_id tie-break, singleton self-survival, one-survivor-per-"
-        "cluster — tests/test_ccnet_survivors.py) — enters the r11 "
-        "window's unproven tier.",
+    # r11: EMPTY. Both r10 post-freeze deferrals (ccnet_perplexity_buckets,
+    # dedup_cluster_survivors) entered this round's window through the
+    # generator's unproven tier — the deferral dict drains to zero for the
+    # second consecutive rotation. The convention stands: register new
+    # queries BEFORE the window freeze; a post-freeze registration (ceiling:
+    # 2 per round) must arrive here with committed three-SF
+    # tools/oracle_check.py parity.
 }
+
+# CAPACITY POLICY (r11, per the r10 verdict task 7 — decided BEFORE the
+# pigeonhole wall binds, not after): 202 queries registered vs
+# DRIVER_WINDOW x STALE_BOUND = 250 capacity. The window size is the
+# DRIVER's, not ours — we cannot widen it — so the only levers are
+# STALE_BOUND and registration pace. Decision: (a) the §2 surface and the
+# LLM-pipeline families are COMPLETE, so the r6-era "headroom for a round
+# of registrations" rationale has run its course — from r11 on, new
+# registrations need a missing-operator justification (a named family with
+# no entry), not just novelty, which caps organic growth at a few per
+# round; (b) when the registered count crosses 240, raise STALE_BOUND
+# 5 -> 6 in the same commit (capacity 300, effective refresh cadence
+# ~#queries/50 ≈ 5 rounds — still inside the bound, and the generator
+# keeps filling oldest-first so the realized cadence stays as fast as
+# capacity allows). test_stale_bound_feasible remains the tripwire that
+# forces this paragraph to be acted on rather than remembered.
 
 
 

@@ -65,9 +65,12 @@ def test_ccnet_xent_orders_common_vs_rare(spark):
 
 def test_ccnet_tercile_balance_on_spread_scores(spark):
     _ensure_loaded()
-    # 30 docs at 30 distinct score levels (increasingly rare vocabulary)
-    # must split 10/10/10 by the histogram-CDF rule: every doc's bin is
-    # unique, so terciles are exact thirds.
+    # 30 probe docs at 30 distinct score levels (increasingly rare
+    # vocabulary). Pinned properties: scores strictly increase with
+    # rarity, the extremes land in terciles 1 and 3, all three terciles
+    # are populated, and the split is NEAR-balanced (the trainer doc 999
+    # may share a centinat bin with doc 0, so an exact 10/10/10 is not
+    # guaranteed by the histogram-CDF rule — we assert a +/-2 band).
     rows = []
     common = "aa bb " * 20  # trains the LM
     rows.append((999, common.strip(), "en", "s", len(common)))
@@ -85,11 +88,13 @@ def test_ccnet_tercile_balance_on_spread_scores(spark):
     assert all(a < b for a, b in zip(xs, xs[1:])), "scores not increasing"
     from collections import Counter
     c = Counter(out[i][1] for i in range(30))
-    # 31 scored docs (incl. the trainer doc, lowest score) -> terciles of
-    # 11/10/10 in score order; the 30 probe docs therefore split with the
-    # lowest-i docs in tercile 1 and highest-i in tercile 3.
+    # 31 scored docs (incl. the trainer doc, lowest score) -> roughly
+    # 11/10/10 in score order; the 30 probe docs split with the lowest-i
+    # docs in tercile 1 and highest-i in tercile 3, each tercile within
+    # +/-2 of a third.
     assert out[0][1] == 1 and out[29][1] == 3
     assert sum(c.values()) == 30 and set(c) == {1, 2, 3}
+    assert all(8 <= c[t] <= 12 for t in (1, 2, 3)), c
 
 
 def test_cluster_survivors_longest_wins(spark):

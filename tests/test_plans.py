@@ -453,21 +453,42 @@ def test_bpe_encode_from_artifact_plan_shape(spark):
 
 def test_ccnet_perplexity_plan_shape(spark):
     """The CCNet scorer stays broadcast-shaped: the 4096-bucket LM and
-    the 1-row totals broadcast onto the bigram stream (the two
-    BroadcastNestedLoopJoin Cross nodes are those 1-row totals — benign),
-    the centinat histogram is a tiny aggregate whose bin->tercile map
-    also broadcasts, and the ONLY sort-merge join is the final
-    corpus-sized doc_id left join that surfaces unscorable docs. No
-    cartesian product, no range exchange, and the single-partition
-    exchanges stay bounded at the structural three (LM totals, tercile
-    CDF window over <=~2000 bins) — a regression that sorts the corpus
-    globally for the terciles (NTILE-style) fails the bound."""
+    the 1-row totals broadcast onto the bigram stream (the pinned plan,
+    PLANS.md, shows ONE BroadcastNestedLoopJoin Cross for the 1-row
+    totals — the second totals join reuses that exchange as a
+    ReusedExchange — benign either way), the centinat histogram is a
+    tiny aggregate whose bin->tercile map also broadcasts, and the ONLY
+    sort-merge join is the final corpus-sized doc_id left join that
+    surfaces unscorable docs. Pins are STRUCTURAL (no cartesian, no
+    range exchange, exactly one corpus-keyed SMJ, single-partition
+    exchanges bounded) rather than exact broadcast-node counts, which
+    are Spark-version/AQE sensitive — the load-bearing tripwire is the
+    SinglePartition bound: a regression that sorts the corpus globally
+    for the terciles (NTILE-style) fails it."""
     plan = plan_of(spark, "ccnet_perplexity_buckets")
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
     assert plan.count("SortMergeJoin") == 1
-    assert plan.count("BroadcastExchange") >= 4
+    assert "BroadcastExchange" in plan
     assert plan.count("Exchange SinglePartition") <= 3
+
+
+def test_exactsubstr_plan_shape(spark):
+    """ExactSubstr span mining stays banded and integer-keyed: no
+    cartesian (seeds come from the anchor-gram join, never all-pairs),
+    no range exchange, and the island aggregation RIDES the diagonal
+    window's (doc_a, doc_b, diag) exchange — exactly one pair-keyed
+    exchange end-to-end (groupBy keys are a superset of the window's
+    partition keys, so requiring a second would be a regression). The
+    anchor screen shuffles the 8-byte xxhash64, never the k-word gram
+    string; total hash exchanges stay bounded by the distinct-agg
+    structure of the two semi-joined sides (join strategy itself is
+    AQE's choice — not pinned)."""
+    plan = plan_of(spark, "exactsubstr_spans")
+    assert "CartesianProduct" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Exchange hashpartitioning(doc_a") == 1
+    assert plan.count("Exchange hashpartitioning") <= 5
 
 
 def test_decontaminate_bloom_plan_shape(spark):

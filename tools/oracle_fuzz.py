@@ -88,8 +88,8 @@ DOC_QUERIES = [
     "bpe_vocab_coverage",
     "bpe_fertility_by_lang", "bpe_vocab_merges", "bpe_vocab_merges_batched",
     "ccnet_perplexity_buckets", "cluster_aware_folds",
-    "dedup_cluster_survivors",
-    "data_mix_subword_budget", "dsir_importance_weights",
+    "data_mix_subword_budget", "dedup_cluster_survivors",
+    "dsir_importance_weights",
     "corpus_entropy_by_source", "corpus_partitioned_roundtrip",
     "curation_funnel", "curation_pipeline", "curriculum_stages",
     "data_mix_summary", "decontaminate_bloom", "decontaminate_ngram",
@@ -98,6 +98,7 @@ DOC_QUERIES = [
     "dedup_incremental_minhash", "dedup_keep_best", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_rate_by_source", "dedup_simhash",
     "doc_fingerprint", "dup_span_redact", "dup_span_stats",
+    "exactsubstr_spans",
     "feature_hashing", "jsonl_roundtrip", "lang_confusion_matrix",
     "lang_id_quality", "lsh_band_stats", "lsh_threshold_sweep",
     "minhash_jaccard_accuracy", "mix_temperature_sample",
@@ -132,6 +133,11 @@ TOTAL_TEXT = [
     # same idiom again (r10): bigrams -> md5 buckets -> integer log-prob
     # sums; the tercile map is pure integer arithmetic on bin counts
     "ccnet_perplexity_buckets",
+    # r11: space-split + gram-string equality only (no substr, no regex,
+    # no length arithmetic on text) — binary UTF-8 equality in both
+    # engines; xxhash64 is Spark-internal (the oracle screens on the
+    # string directly, collisions only add re-verified candidates)
+    "exactsubstr_spans",
 ]
 
 LANGS = ["en", "de", "fr", "es"]
