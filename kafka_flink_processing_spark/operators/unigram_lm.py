@@ -1,0 +1,171 @@
+"""Unigram-LM tokenizer trainer (Kudo 2018, 'Subword Regularization:
+Improving Neural Network Translation Models with Multiple Subword
+Candidates' — the SentencePiece unigram model), as a DETERMINISTIC
+hard-EM (Viterbi-EM) whose every step is oracle-expressible.
+
+Reference parity note: the reference repo has no tokenizer at all; this
+operator (like the BPE family, operators/bpe.py) is part of the
+LLM-data-pipeline surface the build brief adds beyond the reference.
+
+Design for exactness (the BPE/DSIR/ccnet recipe):
+- the E-step enumerates EVERY segmentation of each distinct word into
+  pieces of length 1..max_piece (a composition table — tetranacci-sized,
+  ~3.1k rows for max_word=12, generated deterministically on both
+  engines), scores each as an INTEGER sum of 6dp-scaled log-probs, and
+  picks the max with a lexicographic tie-break on the space-joined
+  segmentation — no float accumulation anywhere near the argmax;
+- the M-step recounts pieces from the winning segmentations (integer,
+  weighted by word frequency), add-one-smooths single characters (so
+  segmentation stays total), and re-derives logp6 =
+  round(ln(count/total) * 1e6) — one transcendental per piece on
+  identical integers, rounded once;
+- the seed vocabulary is every substring (length 1..max_piece) of every
+  distinct word, frequency-weighted, capped at the top vocab_cap by
+  (freq DESC, piece ASC) plus ALL single characters.
+
+Iterations are a FIXED count (default 2), unrolled identically in the
+DuckDB oracle (plans/extensions.py builds the oracle SQL from the same
+parameters). Scale shape: the trainer runs entirely on the Zipf-tiny
+distinct-word relation (the operators/bpe.py insight) — the corpus is
+touched once to build word frequencies; everything after is
+O(distinct_words x compositions), independent of corpus row count.
+ASCII-scoped like the rest of the doc oracles (substr semantics on
+multi-byte text differ across engines).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+@lru_cache(maxsize=None)
+def compositions(max_word: int, max_piece: int) -> tuple[tuple[int, ...],
+                                                          ...]:
+    """All compositions of every L in 1..max_word into parts 1..max_piece,
+    in lexicographic part order — the shared deterministic enumeration
+    both engines segment against."""
+    out: list[tuple[int, ...]] = []
+
+    def rec(remaining: int, acc: list[int]) -> None:
+        if remaining == 0:
+            out.append(tuple(acc))
+            return
+        for p in range(1, min(max_piece, remaining) + 1):
+            acc.append(p)
+            rec(remaining - p, acc)
+            acc.pop()
+
+    for length in range(1, max_word + 1):
+        rec(length, [])
+    return tuple(out)
+
+
+def _comps_df(spark, max_word: int, max_piece: int) -> DataFrame:
+    rows = []
+    for parts in compositions(max_word, max_piece):
+        starts, s = [], 1
+        for p in parts:
+            starts.append(s)
+            s += p
+        rows.append((sum(parts), list(parts), starts))
+    return spark.createDataFrame(
+        rows, "wlen int, parts array<int>, starts array<int>")
+
+
+def _logp6(count_col, total_col):
+    return F.round(
+        (F.log(count_col.cast("double")) - F.log(total_col.cast("double")))
+        * 1e6).cast("long")
+
+
+def _viterbi_counts(words: DataFrame, vocab: DataFrame,
+                    comps: DataFrame) -> DataFrame:
+    """One hard-EM E-step + raw M-step counts: segment every distinct
+    word against `vocab` (piece, logp6), return (piece, cnt) summed over
+    winning segmentations weighted by word frequency."""
+    segs = (words.join(F.broadcast(comps),
+                       F.length("word") == F.col("wlen"))
+            .select("word", "f",
+                    F.expr("transform(parts, (p, j) -> "
+                           "substring(word, starts[j], p))").alias("pieces"))
+            .withColumn("seg_str", F.concat_ws(" ", "pieces")))
+    # (word, seg_str) is injective in the composition — space-joined
+    # non-empty pieces recover the part lengths — so it is the group key
+    ex = segs.select("word", "f", "seg_str",
+                     F.size("pieces").alias("n_parts"),
+                     F.explode("pieces").alias("piece"))
+    scored = (ex.join(F.broadcast(vocab), "piece")
+              .groupBy("word", "f", "seg_str", "n_parts")
+              .agg(F.count("*").alias("n_in_vocab"),
+                   F.sum("logp6").alias("score"))
+              .filter(F.col("n_in_vocab") == F.col("n_parts")))
+    w = Window.partitionBy("word").orderBy(F.col("score").desc(),
+                                           F.col("seg_str").asc())
+    winners = (scored.withColumn("rn", F.row_number().over(w))
+               .filter(F.col("rn") == 1))
+    return (winners.select("f", F.explode(F.split("seg_str", " "))
+                           .alias("piece"))
+            .groupBy("piece")
+            .agg(F.sum("f").cast("long").alias("cnt")))
+
+
+def _m_step(counts: DataFrame) -> DataFrame:
+    """Smoothed M-step: +1 on single characters (keeps segmentation
+    total), drop zero-count pieces, re-derive 6dp-scaled log-probs."""
+    sm = counts.select(
+        "piece",
+        (F.col("cnt") + F.when(F.length("piece") == 1, 1).otherwise(0))
+        .alias("cnt")).filter(F.col("cnt") > 0)
+    tot = sm.agg(F.sum("cnt").alias("total"))
+    return (sm.crossJoin(F.broadcast(tot))
+            .select("piece", "cnt",
+                    _logp6(F.col("cnt"), F.col("total")).alias("logp6")))
+
+
+def unigram_lm_vocab(docs: DataFrame, max_piece: int = 4,
+                     max_word: int = 12, vocab_cap: int = 512,
+                     iters: int = 2, text_col: str = "text") -> DataFrame:
+    """Train the unigram-LM vocabulary; returns (piece, cnt, logp) where
+    cnt is the final smoothed Viterbi count and logp = logp6 / 1e6 (the
+    6dp-rounded log-probability, the only float column and it is exact
+    by construction). See the module docstring for the determinism and
+    scale arguments."""
+    spark = docs.sparkSession
+    comps = _comps_df(spark, max_word, max_piece)
+    words = (docs.select(F.explode(F.split(F.coalesce(
+                 F.col(text_col), F.lit("")), " ")).alias("word"))
+             .filter((F.length("word") >= 1)
+                     & (F.length("word") <= max_word))
+             .groupBy("word").agg(F.count("*").cast("long").alias("f")))
+
+    # seed vocabulary: every substring of length 1..max_piece, frequency
+    # = occurrences x word frequency; top vocab_cap by (freq DESC, piece
+    # ASC) plus all single characters
+    subs = (words.select(
+                "f",
+                F.explode(F.expr(
+                    f"flatten(transform(sequence(1, length(word)), i -> "
+                    f"transform(sequence(i, least(length(word), "
+                    f"i + {max_piece} - 1)), j -> "
+                    f"substring(word, i, j - i + 1))))")).alias("piece"))
+            .groupBy("piece").agg(F.sum("f").cast("long").alias("cnt")))
+    w_rank = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
+    seed_kept = (subs.withColumn("rk", F.row_number().over(w_rank))
+                 .filter((F.col("rk") <= vocab_cap)
+                         | (F.length("piece") == 1))
+                 .select("piece", "cnt"))
+    seed_tot = seed_kept.agg(F.sum("cnt").alias("total"))
+    vocab = (seed_kept.crossJoin(F.broadcast(seed_tot))
+             .select("piece", "cnt",
+                     _logp6(F.col("cnt"), F.col("total")).alias("logp6")))
+
+    for _ in range(iters):
+        vocab = _m_step(_viterbi_counts(words, vocab.select("piece",
+                                                            "logp6"),
+                                        comps))
+
+    return vocab.select("piece", "cnt",
+                        (F.col("logp6").cast("double") / 1e6).alias("logp"))

@@ -3389,9 +3389,17 @@ _PPL_B = 4096  # hashed-LM buckets; 4x DSIR's 1024 — the LM is the product
 )
 def ccnet_perplexity_buckets_q(spark: SparkSession,
                                sf_dir: str) -> DataFrame:
+    docs = load_table(spark, "documents", sf_dir)
+    return _ccnet_bucketed(docs, _ccnet_scored_b2(docs))
+
+
+def _ccnet_scored_b2(docs: DataFrame) -> DataFrame:
+    """The per-doc score relation (doc_id, n_bigrams, xent_nats, ce_c) —
+    the ~24 B/doc relation a production pipeline persists once before
+    the tercile join (tools/ccnet_ab.py measures that A/B; the
+    registered query composes it lazily so no persisted handle leaks)."""
     from kafka_flink_processing_spark.functions.text import md5_hash60
 
-    docs = load_table(spark, "documents", sf_dir)
     ts = (docs.select("doc_id", "lang", F.split("text", " ").alias("a"))
           .filter(F.size("a") >= 2))
     g = ts.select(
@@ -3421,8 +3429,14 @@ def ccnet_perplexity_buckets_q(spark: SparkSession,
         "doc_id", "n_bigrams",
         (F.col("ce6").cast("double")
          / (F.col("n_bigrams") * F.lit(1000000.0))).alias("xent_nats"))
-    b2 = sx.select("doc_id", "n_bigrams", "xent_nats",
-                   F.floor(F.col("xent_nats") * 100.0).alias("ce_c"))
+    return sx.select("doc_id", "n_bigrams", "xent_nats",
+                     F.floor(F.col("xent_nats") * 100.0).alias("ce_c"))
+
+
+def _ccnet_bucketed(docs: DataFrame, b2: DataFrame) -> DataFrame:
+    """Tercile tail over the score relation: centinat histogram -> CDF
+    -> bin->tercile broadcast -> attach, then the corpus-sized left join
+    that surfaces unscorable docs."""
     hist = b2.groupBy("ce_c").agg(F.count("*").alias("cnt"))
     w_cdf = (Window.orderBy("ce_c")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -3746,3 +3760,154 @@ def bpe_encode_from_artifact_q(spark: SparkSession,
 
     return bpe_encode_tokens_with(
         load_table(spark, "documents", sf_dir), BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# Unigram-LM tokenizer trainer (round 11)
+# ---------------------------------------------------------------------------
+
+def _unigram_iter_sql(i: int, prev: str) -> str:
+    """One unrolled hard-EM iteration over vocab CTE `prev`: Viterbi
+    segmentation of every distinct word (integer scores, lexicographic
+    tie-break), frequency-weighted piece counts, add-one smoothing on
+    single characters, re-derived 6dp-scaled log-probs. Mirrors
+    operators/unigram_lm.py::_viterbi_counts + _m_step exactly."""
+    return f"""
+    ex{i} AS (
+      SELECT s.word, s.f, s.seg_str, s.n_parts, unnest(s.pieces) AS piece
+      FROM segs s
+    ),
+    scored{i} AS (
+      SELECT e.word, e.f, e.seg_str, e.n_parts,
+             SUM(v.logp6) AS score
+      FROM ex{i} e JOIN {prev} v USING (piece)
+      GROUP BY e.word, e.f, e.seg_str, e.n_parts
+      HAVING COUNT(*) = e.n_parts
+    ),
+    win{i} AS (
+      SELECT word, f, seg_str
+      FROM scored{i}
+      QUALIFY ROW_NUMBER() OVER (PARTITION BY word
+                                 ORDER BY score DESC, seg_str ASC) = 1
+    ),
+    cnt{i} AS (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (SELECT f, unnest(string_split(seg_str, ' ')) AS piece
+            FROM win{i})
+      GROUP BY piece
+    ),
+    sm{i} AS (
+      SELECT piece,
+             cnt + CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END AS cnt
+      FROM cnt{i}
+      WHERE cnt + CASE WHEN len(piece) = 1 THEN 1 ELSE 0 END > 0
+    ),
+    vocab{i} AS (
+      SELECT piece, cnt,
+             CAST(ROUND((LN(CAST(cnt AS DOUBLE))
+                         - LN(CAST(t.total AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS logp6
+      FROM sm{i} CROSS JOIN (SELECT SUM(cnt) AS total FROM sm{i}) t
+    )"""
+
+
+def unigram_lm_oracle_sql(max_piece: int = 4, max_word: int = 12,
+                          vocab_cap: int = 512, iters: int = 2) -> str:
+    """Generated oracle for unigram_lm_vocab: the composition table comes
+    from a recursive CTE (the same enumeration
+    operators/unigram_lm.py::compositions produces), the seed vocabulary
+    and both unrolled EM iterations mirror the Spark operator step for
+    step, and every log-prob is the identical two-LN 6dp-scaled-int form
+    so scores compare as integers in both engines."""
+    parts_lit = ", ".join(str(p) for p in range(1, max_piece + 1))
+    its = "".join("," + _unigram_iter_sql(i + 1,
+                                          f"vocab{i}" if i else "vocab0")
+                  for i in range(iters))
+    return f"""
+    WITH RECURSIVE comps(wlen, parts) AS (
+      SELECT 0, CAST([] AS INT[])
+      UNION ALL
+      SELECT wlen + p, list_append(parts, p)
+      FROM comps, unnest([{parts_lit}]) AS t(p)
+      WHERE wlen + p <= {max_word}
+    ),
+    words AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+      FROM (SELECT unnest(string_split(COALESCE(text, ''), ' ')) AS word
+            FROM documents)
+      WHERE len(word) BETWEEN 1 AND {max_word}
+      GROUP BY word
+    ),
+    subs AS (
+      SELECT piece, CAST(SUM(f) AS BIGINT) AS cnt
+      FROM (
+        SELECT f, substr(word, i, j - i + 1) AS piece
+        FROM words,
+             LATERAL unnest(range(1, len(word) + 1)) AS ti(i),
+             LATERAL unnest(range(1, len(word) + 1)) AS tj(j)
+        WHERE j >= i AND j - i + 1 <= {max_piece} AND j <= len(word)
+      )
+      GROUP BY piece
+    ),
+    seed_kept AS (
+      SELECT piece, cnt
+      FROM subs
+      QUALIFY ROW_NUMBER() OVER (ORDER BY cnt DESC, piece ASC)
+                <= {vocab_cap}
+              OR len(piece) = 1
+    ),
+    vocab0 AS (
+      SELECT piece, cnt,
+             CAST(ROUND((LN(CAST(cnt AS DOUBLE))
+                         - LN(CAST(t.total AS DOUBLE))) * 1000000.0)
+                  AS BIGINT) AS logp6
+      FROM seed_kept
+      CROSS JOIN (SELECT SUM(cnt) AS total FROM seed_kept) t
+    ),
+    segs AS (
+      SELECT w.word, w.f,
+             list_transform(range(1, len(c.parts) + 1),
+               j -> substr(w.word,
+                           1 + CAST(COALESCE(list_sum(c.parts[1:j-1]), 0)
+                                    AS INT),
+                           c.parts[j])) AS pieces,
+             array_to_string(list_transform(range(1, len(c.parts) + 1),
+               j -> substr(w.word,
+                           1 + CAST(COALESCE(list_sum(c.parts[1:j-1]), 0)
+                                    AS INT),
+                           c.parts[j])), ' ') AS seg_str,
+             len(c.parts) AS n_parts
+      FROM words w JOIN comps c ON len(w.word) = c.wlen
+    ){its}
+    SELECT piece, cnt, CAST(logp6 AS DOUBLE) / 1000000.0 AS logp
+    FROM vocab{iters}
+    """
+
+
+@register(
+    "unigram_lm_vocab",
+    oracle=unigram_lm_oracle_sql(),
+    doc="Unigram-LM tokenizer trainer (Kudo 2018, the SentencePiece "
+        "unigram model) as DETERMINISTIC hard-EM: seed vocabulary = all "
+        "word substrings of length 1..4 (top-512 by frequency, plus all "
+        "single characters), then 2 unrolled Viterbi-EM iterations — "
+        "the E-step enumerates EVERY segmentation of each distinct word "
+        "against a tetranacci composition table and argmaxes an INTEGER "
+        "score (6dp-scaled log-prob sums, lexicographic tie-break on "
+        "the joined segmentation), the M-step recounts pieces weighted "
+        "by word frequency, add-one-smooths single characters (keeps "
+        "segmentation total; every word also stays segmentable by its "
+        "own previous winner, so totality is inductive), and re-derives "
+        "log-probs with the two-LN 6dp recipe. Completes the tokenizer "
+        "surface beside the BPE family (train/batched/encode/artifact/"
+        "fertility). Trainer cost is O(distinct_words x compositions) — "
+        "the corpus is scanned ONCE for word frequencies; everything "
+        "after runs on the Zipf-tiny word relation "
+        "(operators/unigram_lm.py). ASCII-scoped (substr semantics); "
+        "pure-Python differential in tests/test_unigram_lm.py.",
+)
+def unigram_lm_vocab_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.unigram_lm import (
+        unigram_lm_vocab,
+    )
+    return unigram_lm_vocab(load_table(spark, "documents", sf_dir))

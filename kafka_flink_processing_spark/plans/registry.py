@@ -107,9 +107,10 @@ SENTINELS: list[str] = [
 # r11 block GENERATED by `python tools/rotation_report.py --emit-priority`
 # (pasted verbatim — ZERO hand-swaps this round; regenerated after the
 # pre-freeze r11 registrations so they enter the unproven tier per the
-# convention). Contents: the 3 unproven entries — the r11 pre-freeze
-# registration (exactsubstr_spans, with three-SF oracle_check parity run
-# before the freeze) and the two r10 post-freeze deferrals
+# convention). Contents: the 4 unproven entries — the r11 pre-freeze
+# registrations (exactsubstr_spans and unigram_lm_vocab, each with
+# three-SF oracle_check parity run before the freeze) and the two r10
+# post-freeze deferrals
 # (ccnet_perplexity_buckets, dedup_cluster_survivors; each deferred WITH
 # committed three-SF oracle_check parity, now absorbed so
 # DEFERRED_VERIFICATION empties) — then the 8 family sentinels and the
@@ -120,6 +121,7 @@ _PRIORITY: list[str] = [
     "exactsubstr_spans",  # never r-
     "ccnet_perplexity_buckets",  # never r-
     "dedup_cluster_survivors",  # never r-
+    "unigram_lm_vocab",  # never r-
     "sql_q3_shipping_priority",  # green r10
     "similarity_ivf_topk",  # green r10
     "dedup_minhash_lsh",  # green r10
@@ -166,7 +168,6 @@ _PRIORITY: list[str] = [
     "dedup_incremental_minhash",  # green r07
     "decontaminate_ngram",  # green r07
     "decontaminate_bloom",  # green r07
-    "adaptive_quality_filter",  # green r07
 ]
 
 

@@ -109,8 +109,8 @@ DOC_QUERIES = [
     "repetition_stats", "sequence_packing", "source_overlap_matrix",
     "split_leakage_audit", "stratified_sample", "text_stats",
     "tfidf_top_terms", "token_drift_chi2", "token_length_histogram",
-    "token_rarity_score", "train_test_split", "vocab_top_tokens",
-    "vocab_zipf_slope", "weighted_sample_wor",
+    "token_rarity_score", "train_test_split", "unigram_lm_vocab",
+    "vocab_top_tokens", "vocab_zipf_slope", "weighted_sample_wor",
 ]
 
 # Oracles declared TOTAL over any text (r8 codec/feature hardening) —

@@ -94,6 +94,16 @@ R10_QUERY_SET = ["bpe_encode_from_artifact"]
 # join + the per-cluster window).
 R10B_QUERY_SET = ["ccnet_perplexity_buckets", "dsir_importance_weights",
                   "dedup_cluster_survivors", "dedup_clusters"]
+# --r11 mode: ExactSubstr span mining on the DUP-RATE-PRESERVING
+# perturbed replication (verbatim k-fold would make every doc share its
+# FULL text as a span with k-1 replicas — seed volume O(k^2) per doc, a
+# workload artifact, not a plan slope). With per-replica word prefixes
+# the duplicated-span population is k-fold the original's and the
+# anchor/seed/island volumes grow linearly. dup_span_redact rides along
+# as the in-family control (same positional-gram explode front end,
+# measured ~linear in the --dedup curves); the gap between them is the
+# pair join + diagonal window that gram membership doesn't pay.
+R11_QUERY_SET = ["exactsubstr_spans", "dup_span_redact"]
 # --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
 # (vec_id offset keeps ids unique; the 5 query vectors stay the
 # originals). Expected shape: encode and the ADC code scan grow linearly
@@ -143,17 +153,20 @@ def main() -> None:
     dsir_mode = "--dsir" in args
     r10_mode = "--r10" in args
     r10b_mode = "--r10b" in args
+    r11_mode = "--r11" in args
     args = [a for a in args if a not in ("--dedup", "--r9", "--pq",
-                                         "--dsir", "--r10", "--r10b")]
+                                         "--dsir", "--r10", "--r10b",
+                                         "--r11")]
     reps_list = [int(a) for a in args] or [1, 4, 16]
     query_set = (DEDUP_QUERY_SET if dedup_mode
                  else R9_QUERY_SET if r9_mode
                  else PQ_QUERY_SET if pq_mode
                  else DSIR_QUERY_SET if dsir_mode
                  else R10_QUERY_SET if r10_mode
-                 else R10B_QUERY_SET if r10b_mode else QUERY_SET)
+                 else R10B_QUERY_SET if r10b_mode
+                 else R11_QUERY_SET if r11_mode else QUERY_SET)
     tables = (["documents"] if dedup_mode or dsir_mode or r10_mode
-              or r10b_mode
+              or r10b_mode or r11_mode
               else ["documents", "events"] if r9_mode
               else ["embeddings"] if pq_mode
               else ["lineitem", "events", "documents"])
@@ -167,7 +180,8 @@ def main() -> None:
         try:
             for t in tables:
                 replicate(spark, t, reps, td,
-                          perturb_text=dedup_mode or r10b_mode)
+                          perturb_text=dedup_mode or r10b_mode
+                          or r11_mode)
             times = {}
             for name in query_set:
                 best = float("inf")
