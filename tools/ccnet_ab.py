@@ -41,11 +41,10 @@ def force(df) -> None:
 
 
 def result_hash(df) -> int:
-    # order-free content hash over the full result (xxhash per row, xor-ish
-    # via sum in a bigint-safe modulus is overkill — sum of hashes is
-    # order-free and collision-fine for an A/B identity check)
-    return (df.select(F.sum(F.xxhash64(*df.columns)).alias("h"))
-            .collect()[0]["h"])
+    # order-free content hash over the full result: xor-fold of per-row
+    # xxhash64 (no overflow under ANSI mode, order-independent)
+    return (df.select(F.xxhash64(*df.columns).alias("h"))
+            .agg(F.expr("bit_xor(h)").alias("h")).collect()[0]["h"])
 
 
 def main() -> None:
