@@ -3393,11 +3393,9 @@ def ccnet_perplexity_buckets_q(spark: SparkSession,
     return _ccnet_bucketed(docs, _ccnet_scored_b2(docs))
 
 
-def _ccnet_scored_b2(docs: DataFrame) -> DataFrame:
-    """The per-doc score relation (doc_id, n_bigrams, xent_nats, ce_c) —
-    the ~24 B/doc relation a production pipeline persists once before
-    the tercile join (tools/ccnet_ab.py measures that A/B; the
-    registered query composes it lazily so no persisted handle leaks)."""
+def _ccnet_bigram_buckets(docs: DataFrame) -> DataFrame:
+    """(doc_id, lang, bucket) — one row per word bigram, hashed into the
+    _PPL_B-bucket LM space."""
     from kafka_flink_processing_spark.functions.text import md5_hash60
 
     ts = (docs.select("doc_id", "lang", F.split("text", " ").alias("a"))
@@ -3408,19 +3406,35 @@ def _ccnet_scored_b2(docs: DataFrame) -> DataFrame:
             "transform(sequence(1, size(a) - 1), "
             "i -> concat(element_at(a, i), ' ', element_at(a, i + 1)))"))
         .alias("w"))
-    h = g.select(
+    return g.select(
         "doc_id", "lang",
         F.pmod(md5_hash60(F.concat(F.lit("pp:"), F.col("w"))),
                F.lit(_PPL_B)).alias("bucket"))
+
+
+def _ccnet_lm(docs: DataFrame) -> DataFrame:
+    """The frozen LM artifact: (bucket, logp6) — <=_PPL_B rows, trained
+    on the trusted slice (lang=_DSIR_TARGET_LANG) of `docs`. This is the
+    relation a production pipeline persists/broadcasts; the streaming
+    quality filter (streaming/jobs.py::ccnet_quality_filter_job) caches
+    it once and scores every micro-batch against it."""
+    h = _ccnet_bigram_buckets(docs)
     bstats = h.groupBy("bucket").agg(
         F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
               .otherwise(0)).alias("n_t"))
     tot = bstats.agg(F.sum("n_t").alias("t_tot"))
-    lm = (bstats.crossJoin(F.broadcast(tot))
-          .select("bucket",
-                  F.round((F.log(F.col("n_t") + 1)
-                           - F.log(F.col("t_tot") + _PPL_B)) * 1e6)
-                  .cast("long").alias("logp6")))
+    return (bstats.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.round((F.log(F.col("n_t") + 1)
+                             - F.log(F.col("t_tot") + _PPL_B)) * 1e6)
+                    .cast("long").alias("logp6")))
+
+
+def _ccnet_score_with_lm(docs: DataFrame, lm: DataFrame) -> DataFrame:
+    """Score `docs` against a (bucket, logp6) LM relation: the per-doc
+    score rows (doc_id, n_bigrams, xent_nats, ce_c). Integer-exact by
+    the 6dp-scaled-int recipe regardless of which corpus trained lm."""
+    h = _ccnet_bigram_buckets(docs)
     sc = (h.join(F.broadcast(lm), "bucket")
           .groupBy("doc_id")
           .agg(F.count("*").alias("n_bigrams"),
@@ -3433,10 +3447,20 @@ def _ccnet_scored_b2(docs: DataFrame) -> DataFrame:
                      F.floor(F.col("xent_nats") * 100.0).alias("ce_c"))
 
 
-def _ccnet_bucketed(docs: DataFrame, b2: DataFrame) -> DataFrame:
-    """Tercile tail over the score relation: centinat histogram -> CDF
-    -> bin->tercile broadcast -> attach, then the corpus-sized left join
-    that surfaces unscorable docs."""
+def _ccnet_scored_b2(docs: DataFrame) -> DataFrame:
+    """The per-doc score relation (doc_id, n_bigrams, xent_nats, ce_c) —
+    the ~24 B/doc relation a production pipeline persists once before
+    the tercile join (tools/ccnet_ab.py measures that A/B — POSITIVE,
+    1.58x at 4x corpus, SCALE.md; the registered query composes it
+    lazily so no persisted handle leaks)."""
+    return _ccnet_score_with_lm(docs, _ccnet_lm(docs))
+
+
+def _ccnet_tercile_map(b2: DataFrame) -> DataFrame:
+    """(ce_c, ppl_tercile): centinat histogram -> CDF -> tercile, the
+    bounded bin->tercile artifact (<=~2000 rows) that broadcasts back
+    onto scores — and the second frozen artifact of the streaming
+    quality filter (boundaries from a reference corpus's distribution)."""
     hist = b2.groupBy("ce_c").agg(F.count("*").alias("cnt"))
     w_cdf = (Window.orderBy("ce_c")
              .rowsBetween(Window.unboundedPreceding, -1))
@@ -3444,10 +3468,17 @@ def _ccnet_bucketed(docs: DataFrame, b2: DataFrame) -> DataFrame:
         "ce_c",
         F.coalesce(F.sum("cnt").over(w_cdf), F.lit(0)).alias("cum_before"),
         F.sum("cnt").over(Window.partitionBy()).alias("total"))
-    ter = cdf.select(
+    return cdf.select(
         "ce_c",
         (F.lit(1) + F.expr("(3 * cum_before) div total"))
         .alias("ppl_tercile"))
+
+
+def _ccnet_bucketed(docs: DataFrame, b2: DataFrame) -> DataFrame:
+    """Tercile tail over the score relation: centinat histogram -> CDF
+    -> bin->tercile broadcast -> attach, then the corpus-sized left join
+    that surfaces unscorable docs."""
+    ter = _ccnet_tercile_map(b2)
     scored = (b2.join(F.broadcast(ter), "ce_c")
               .select("doc_id", "n_bigrams", "xent_nats", "ppl_tercile"))
     return (docs.select("doc_id").join(scored, "doc_id", "left")

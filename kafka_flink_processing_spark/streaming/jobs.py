@@ -256,3 +256,85 @@ def decontamination_job(docs_stream: DataFrame, eval_docs: DataFrame,
     if available_now:
         w = w.trigger(availableNow=True)
     return w.start(), bloom
+
+
+def ccnet_quality_filter_job(docs_stream: DataFrame,
+                             reference_docs: DataFrame,
+                             out_dir: str, checkpoint_root: str,
+                             keep_terciles: tuple[int, ...] = (1, 2),
+                             available_now: bool = False):
+    """Streaming CCNet quality filter: each arriving document micro-batch
+    is scored against a FROZEN LM + FROZEN tercile boundaries trained on
+    `reference_docs`, then routed — terciles in `keep_terciles` (CCNet
+    keeps head+middle, Wenzek et al. 2020) to `out_dir/accepted`, the
+    tail to `out_dir/rejected`, and unscorable docs (<2 tokens) to
+    `out_dir/unscorable` (visible, never silently head or tail). The
+    scoring is the SAME implementation the batch query uses
+    (plans/extensions.py::_ccnet_score_with_lm + _ccnet_tercile_map), so
+    the two paths cannot diverge: draining a staged corpus with
+    artifacts trained on that corpus reproduces the batch
+    `ccnet_perplexity_buckets` rows bit-for-bit
+    (tests/test_streaming_ccnet.py) — the batch<->streaming parity story
+    the ingest guard gave dedup, completed for the quality family.
+
+    Scale shape: both artifacts are built ONCE and bounded — the LM is
+    <=4096 (bucket, logp6) rows, the tercile map <=~2000 centinat bins —
+    cached here and broadcast into every micro-batch join (in a
+    production pipeline they are persisted files, retrained on the
+    reference cadence, exactly like the Bloom decontamination bitmap).
+    Per batch the only exchange is the doc-keyed score aggregation over
+    the BATCH, never anything corpus-sized; tercile assignment is a
+    broadcast probe. Unlike the batch query, the stream never computes
+    a distribution over itself — boundaries are an artifact, which is
+    the production semantics (scoring tomorrow's crawl against today's
+    reference, not against itself).
+
+    Returns `(query, artifacts)` — the StreamingQuery plus the cached
+    (lm, tercile_map) pair; long-lived sessions should unpersist both
+    after `query.awaitTermination()` (the explicit-tuple contract of
+    decontamination_job).
+    """
+    import os as _os
+
+    from pyspark.sql import functions as F
+
+    from kafka_flink_processing_spark.plans.extensions import (
+        _ccnet_lm,
+        _ccnet_score_with_lm,
+        _ccnet_tercile_map,
+    )
+
+    lm = _ccnet_lm(reference_docs).cache()
+    lm.count()  # freeze the LM artifact before the first epoch
+    ter = _ccnet_tercile_map(
+        _ccnet_score_with_lm(reference_docs, lm)).cache()
+    ter.count()  # freeze the boundary artifact too
+
+    keep = list(keep_terciles)
+
+    def score(batch: DataFrame, epoch: int) -> None:
+        if batch.isEmpty():
+            return
+        b2 = _ccnet_score_with_lm(batch, lm)
+        scored = (batch.join(b2.join(F.broadcast(ter), "ce_c")
+                             .select("doc_id", "n_bigrams", "xent_nats",
+                                     "ppl_tercile"),
+                             "doc_id", "left").persist())
+        scored.filter(F.col("ppl_tercile").isin(keep)).write.mode(
+            "overwrite").parquet(
+            _os.path.join(out_dir, "accepted", f"epoch={epoch}"))
+        scored.filter(F.col("ppl_tercile").isNotNull()
+                      & ~F.col("ppl_tercile").isin(keep)).write.mode(
+            "overwrite").parquet(
+            _os.path.join(out_dir, "rejected", f"epoch={epoch}"))
+        scored.filter(F.col("ppl_tercile").isNull()).write.mode(
+            "overwrite").parquet(
+            _os.path.join(out_dir, "unscorable", f"epoch={epoch}"))
+        scored.unpersist()
+
+    w = (docs_stream.writeStream.foreachBatch(score)
+         .option("checkpointLocation",
+                 _os.path.join(checkpoint_root, "ccnet_quality")))
+    if available_now:
+        w = w.trigger(availableNow=True)
+    return w.start(), (lm, ter)
