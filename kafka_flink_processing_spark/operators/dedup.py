@@ -578,6 +578,65 @@ def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
                .select("doc_a", "doc_b", "a_start", "b_start", "span_len"))
 
 
+def exactsubstr_redact(docs: DataFrame, min_len: int = 8,
+                       max_df: int = 64, id_col: str = "doc_id",
+                       text_col: str = "text") -> DataFrame:
+    """The APPLY step of ExactSubstr dedup (Lee et al. 2022): rebuild
+    each document with every duplicated span occurrence excised EXCEPT
+    the copy in the smallest doc_id that shares it — the paper's
+    remove-all-but-one rule made deterministic. Returns (doc_id,
+    clean_text, n_words, n_removed_words, removed_fraction), the
+    dup_span_redact output contract, so the two apply steps read
+    side-by-side.
+
+    Semantics: exactsubstr_spans reports maximal shared spans per
+    ordered pair (doc_a < doc_b); a word position is removed iff it is
+    covered by the doc_b side of ANY reported span — i.e. every
+    occurrence is redacted except in the minimal doc_id sharing that
+    content (docs {1,5,9} sharing a span: pairs (1,5),(1,9),(5,9) put 5
+    and 9 on the b side; doc 1 keeps its copy). Contrast with
+    dup_span_redact, which removes EVERY occurrence of any duplicated
+    gram in every doc — keep-one is the form that preserves one
+    trainable copy of boilerplate instead of deleting it corpus-wide.
+
+    Scale shape: the span relation is O(duplicated content)
+    (exactsubstr_spans above); covered positions explode per-span
+    (span_len rows each), the anti-join and position-ordered rebuild
+    are the dup_span_redact pattern — the only corpus-sized exchange is
+    the doc-keyed reassembly, which IS the output."""
+    spans = exactsubstr_spans(docs, min_len=min_len, max_df=max_df,
+                              id_col=id_col, text_col=text_col)
+    covered = (spans.select(
+        F.col("doc_b").alias("doc_id"),
+        F.explode(F.sequence(
+            F.col("b_start"),
+            F.col("b_start") + F.col("span_len") - 1)).alias("j"))
+        .distinct())
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("words"))
+    pw = (base.select("doc_id", F.posexplode("words").alias("j0", "w"))
+              .select("doc_id", (F.col("j0") + 1).alias("j"), "w"))
+    kept = pw.join(covered, ["doc_id", "j"], "left_anti")
+    rebuilt = kept.groupBy("doc_id").agg(
+        F.concat_ws(" ", F.transform(
+            F.array_sort(F.collect_list(F.struct(F.col("j").alias("j"),
+                                                 F.col("w").alias("w")))),
+            lambda s: s["w"])).alias("clean_text"),
+        F.count("*").cast("long").alias("n_kept"))
+    sizes = base.select("doc_id", F.size("words").cast("long")
+                        .alias("n_words"))
+    n_removed = F.col("n_words") - F.coalesce("n_kept",
+                                              F.lit(0).cast("long"))
+    return (sizes.join(rebuilt, "doc_id", "left")
+            .select("doc_id",
+                    F.coalesce("clean_text", F.lit("")).alias("clean_text"),
+                    "n_words",
+                    n_removed.alias("n_removed_words"),
+                    (n_removed.cast("double")
+                     / F.greatest("n_words", F.lit(1).cast("long")))
+                    .alias("removed_fraction")))
+
+
 def incremental_minhash_dups(docs: DataFrame, batch_cond,
                              n: int = 3, threshold: float = 0.6,
                              id_col: str = "doc_id",

@@ -2309,11 +2309,11 @@ def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dup_span_redact(load_table(spark, "documents", sf_dir), n=3)
 
 
-@register(
-    "exactsubstr_spans",
-    oracle="""
-    WITH base AS (SELECT doc_id, string_split(text, ' ') AS w
-                  FROM documents),
+# shared CTE body for the ExactSubstr family oracles (spans + redact):
+# k = 8 anchors, df cap 64 — the same contract the Spark operator ships
+_EXACTSUBSTR_CTES = """
+    base AS (SELECT doc_id, string_split(text, ' ') AS w
+             FROM documents),
     grams AS (
       SELECT doc_id, i AS pos, array_to_string(w[i:i+7], ' ') AS g
       FROM base, unnest(range(1, greatest(len(w) - 6, 1))) AS t(i)
@@ -2334,11 +2334,22 @@ def dup_span_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
                PARTITION BY doc_a, doc_b, pos_a - pos_b
                ORDER BY pos_a) AS island
       FROM seeds
-    )
-    SELECT doc_a, doc_b, CAST(MIN(pos_a) AS BIGINT) AS a_start,
-           CAST(MIN(pos_b) AS BIGINT) AS b_start,
-           CAST(COUNT(*) + 7 AS BIGINT) AS span_len
-    FROM islands GROUP BY doc_a, doc_b, diag, island
+    ),
+    spans AS (
+      SELECT doc_a, doc_b, MIN(pos_a) AS a_start, MIN(pos_b) AS b_start,
+             COUNT(*) + 7 AS span_len
+      FROM islands GROUP BY doc_a, doc_b, diag, island
+    )"""
+
+
+@register(
+    "exactsubstr_spans",
+    oracle=f"""
+    WITH {_EXACTSUBSTR_CTES}
+    SELECT doc_a, doc_b, CAST(a_start AS BIGINT) AS a_start,
+           CAST(b_start AS BIGINT) AS b_start,
+           CAST(span_len AS BIGINT) AS span_len
+    FROM spans
     """,
     doc="ExactSubstr duplicated-substring mining (Lee et al. 2022, the "
         "suffix-array variant re-expressed as anchored diagonal "
@@ -2362,6 +2373,59 @@ def exactsubstr_spans_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return exactsubstr_spans(load_table(spark, "documents", sf_dir),
                              min_len=8, max_df=64)
+
+
+@register(
+    "exactsubstr_redact",
+    oracle=f"""
+    WITH {_EXACTSUBSTR_CTES},
+    covered AS (
+      SELECT DISTINCT doc_b AS doc_id, CAST(j AS BIGINT) AS j
+      FROM spans, unnest(range(b_start, b_start + span_len)) AS t(j)
+    ),
+    pw AS (
+      SELECT doc_id, CAST(j AS BIGINT) AS j, w[j] AS word
+      FROM base, unnest(range(1, len(w) + 1)) AS t(j)
+    ),
+    kept AS (
+      SELECT p.doc_id, p.j, p.word
+      FROM pw p LEFT JOIN covered c ON p.doc_id = c.doc_id AND p.j = c.j
+      WHERE c.j IS NULL
+    ),
+    rebuilt AS (
+      SELECT doc_id, string_agg(word, ' ' ORDER BY j) AS clean_text,
+             CAST(COUNT(*) AS BIGINT) AS n_kept
+      FROM kept GROUP BY doc_id
+    )
+    SELECT b.doc_id, COALESCE(r.clean_text, '') AS clean_text,
+           CAST(len(b.w) AS BIGINT) AS n_words,
+           CAST(len(b.w) - COALESCE(r.n_kept, 0) AS BIGINT)
+             AS n_removed_words,
+           CAST(len(b.w) - COALESCE(r.n_kept, 0) AS DOUBLE)
+             / GREATEST(len(b.w), 1) AS removed_fraction
+    FROM base b LEFT JOIN rebuilt r USING (doc_id)
+    """,
+    doc="the APPLY step of ExactSubstr dedup (Lee et al. 2022): rebuild "
+        "each document with every duplicated-span occurrence excised "
+        "EXCEPT the copy in the smallest doc_id sharing it — the paper's "
+        "remove-all-but-one rule made deterministic (a position is "
+        "removed iff covered by the doc_b side of any exactsubstr_spans "
+        "row). KEEP-ONE semantics, vs dup_span_redact's remove-every-"
+        "occurrence gram form: boilerplate keeps one trainable copy "
+        "instead of vanishing corpus-wide. Same output contract as "
+        "dup_span_redact so the two apply steps read side-by-side. The "
+        "span relation is O(duplicated content); covered positions, the "
+        "anti-join and the position-ordered rebuild are the established "
+        "redact pattern — the only corpus-sized exchange is the doc-"
+        "keyed reassembly, which IS the output "
+        "(operators/dedup.py::exactsubstr_redact).",
+)
+def exactsubstr_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.dedup import (
+        exactsubstr_redact,
+    )
+    return exactsubstr_redact(load_table(spark, "documents", sf_dir),
+                              min_len=8, max_df=64)
 
 
 @register(

@@ -107,10 +107,10 @@ SENTINELS: list[str] = [
 # r11 block GENERATED by `python tools/rotation_report.py --emit-priority`
 # (pasted verbatim — ZERO hand-swaps this round; regenerated after the
 # pre-freeze r11 registrations so they enter the unproven tier per the
-# convention). Contents: the 4 unproven entries — the r11 pre-freeze
-# registrations (exactsubstr_spans and unigram_lm_vocab, each with
-# three-SF oracle_check parity run before the freeze) and the two r10
-# post-freeze deferrals
+# convention). Contents: the 5 unproven entries — the r11 pre-freeze
+# registrations (exactsubstr_spans, exactsubstr_redact and
+# unigram_lm_vocab, each with three-SF oracle_check parity run before
+# the freeze) and the two r10 post-freeze deferrals
 # (ccnet_perplexity_buckets, dedup_cluster_survivors; each deferred WITH
 # committed three-SF oracle_check parity, now absorbed so
 # DEFERRED_VERIFICATION empties) — then the 8 family sentinels and the
@@ -119,6 +119,7 @@ SENTINELS: list[str] = [
 # generated by tools/rotation_report.py --emit-priority (newest committed round: r10)
 _PRIORITY: list[str] = [
     "exactsubstr_spans",  # never r-
+    "exactsubstr_redact",  # never r-
     "ccnet_perplexity_buckets",  # never r-
     "dedup_cluster_survivors",  # never r-
     "unigram_lm_vocab",  # never r-
@@ -167,7 +168,6 @@ _PRIORITY: list[str] = [
     "tfidf_top_terms",  # green r07
     "dedup_incremental_minhash",  # green r07
     "decontaminate_ngram",  # green r07
-    "decontaminate_bloom",  # green r07
 ]
 
 

@@ -109,6 +109,40 @@ def test_max_df_cap_excludes_hub_grams(spark):
     assert len(got) == 10 and all(s[4] == 8 for s in got)
 
 
+def test_redact_keep_one_minimal_doc_id(spark):
+    """ExactSubstr APPLY: docs {1, 5, 9} share an 8-word span — the
+    minimal doc_id (1) keeps its copy, 5 and 9 lose exactly the span."""
+    from kafka_flink_processing_spark.operators.dedup import (
+        exactsubstr_redact,
+    )
+    shared = " ".join(f"k{i}" for i in range(8))
+    rows = [(1, shared + " ua1 ua2"), (5, "ub1 " + shared),
+            (9, shared), (3, "no duplication in this one at all ok")]
+    got = {r.doc_id: (r.clean_text, r.n_words, r.n_removed_words)
+           for r in exactsubstr_redact(_docs(spark, rows),
+                                       min_len=8).collect()}
+    assert got[1] == (shared + " ua1 ua2", 10, 0)   # keeper: untouched
+    assert got[5] == ("ub1", 9, 8)                   # span excised
+    assert got[9] == ("", 8, 8)                      # fully redacted
+    assert got[3][2] == 0 and got[3][0] == rows[3][1]
+
+
+def test_redact_contrast_with_gram_form(spark):
+    """The gram form (dup_span_redact) removes EVERY occurrence of a
+    duplicated gram; the ExactSubstr apply keeps one copy."""
+    shared = " ".join(f"c{i}" for i in range(8))
+    rows = [(0, shared), (1, shared)]
+    span = {r.doc_id: r.n_removed_words
+            for r in __import__(
+                "kafka_flink_processing_spark.operators.dedup",
+                fromlist=["exactsubstr_redact"])
+            .exactsubstr_redact(_docs(spark, rows), min_len=8).collect()}
+    gram = {r.doc_id: r.n_removed_words
+            for r in dup_span_redact(_docs(spark, rows), n=3).collect()}
+    assert span == {0: 0, 1: 8}      # keep-one
+    assert gram == {0: 8, 1: 8}      # remove-everywhere
+
+
 def test_registered_query_on_staged_corpus(spark):
     from kafka_flink_processing_spark.plans.registry import (
         QUERIES,

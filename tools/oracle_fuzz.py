@@ -98,7 +98,7 @@ DOC_QUERIES = [
     "dedup_incremental_minhash", "dedup_keep_best", "dedup_minhash_lsh",
     "dedup_ngram_jaccard", "dedup_rate_by_source", "dedup_simhash",
     "doc_fingerprint", "dup_span_redact", "dup_span_stats",
-    "exactsubstr_spans",
+    "exactsubstr_redact", "exactsubstr_spans",
     "feature_hashing", "jsonl_roundtrip", "lang_confusion_matrix",
     "lang_id_quality", "lsh_band_stats", "lsh_threshold_sweep",
     "minhash_jaccard_accuracy", "mix_temperature_sample",
@@ -138,6 +138,9 @@ TOTAL_TEXT = [
     # engines; xxhash64 is Spark-internal (the oracle screens on the
     # string directly, collisions only add re-verified candidates)
     "exactsubstr_spans",
+    # same front end; the rebuild is word-array indexing + space-join,
+    # both engines operate on the split word arrays, never byte offsets
+    "exactsubstr_redact",
 ]
 
 LANGS = ["en", "de", "fr", "es"]
