@@ -26,9 +26,14 @@ Design for exactness (the BPE/DSIR/ccnet recipe):
 Iterations are a FIXED count (default 2), unrolled identically in the
 DuckDB oracle (plans/extensions.py builds the oracle SQL from the same
 parameters). Scale shape: the trainer runs entirely on the Zipf-tiny
-distinct-word relation (the operators/bpe.py insight) — the corpus is
-touched once to build word frequencies; everything after is
+distinct-word relation (the operators/bpe.py insight) — only the word-
+frequency aggregation touches the corpus; everything after is
 O(distinct_words x compositions), independent of corpus row count.
+Honest cost note: the leak-free lazy composition re-derives the word
+relation once per iteration branch (~2 corpus scans per EM iteration,
+the ccnet/DSIR trade) — a production trainer persists the Zipf-tiny
+`words` relation once and every scan after the first disappears; the
+registered form must not leak a persisted handle (the r8 finding).
 ASCII-scoped like the rest of the doc oracles (substr semantics on
 multi-byte text differ across engines).
 """

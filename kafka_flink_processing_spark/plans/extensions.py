@@ -3996,8 +3996,11 @@ def unigram_lm_oracle_sql(max_piece: int = 4, max_word: int = 12,
         "log-probs with the two-LN 6dp recipe. Completes the tokenizer "
         "surface beside the BPE family (train/batched/encode/artifact/"
         "fertility). Trainer cost is O(distinct_words x compositions) — "
-        "the corpus is scanned ONCE for word frequencies; everything "
-        "after runs on the Zipf-tiny word relation "
+        "only the word-frequency agg touches the corpus, everything "
+        "after runs on the Zipf-tiny word relation; the leak-free lazy "
+        "form re-derives that agg once per iteration branch (~2 corpus "
+        "scans per EM iteration — a production trainer persists the "
+        "tiny words relation once, the ccnet/DSIR trade) "
         "(operators/unigram_lm.py). ASCII-scoped (substr semantics); "
         "pure-Python differential in tests/test_unigram_lm.py.",
 )

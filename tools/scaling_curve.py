@@ -103,7 +103,11 @@ R10B_QUERY_SET = ["ccnet_perplexity_buckets", "dsir_importance_weights",
 # as the in-family control (same positional-gram explode front end,
 # measured ~linear in the --dedup curves); the gap between them is the
 # pair join + diagonal window that gram membership doesn't pay.
-R11_QUERY_SET = ["exactsubstr_spans", "dup_span_redact"]
+# exactsubstr_redact (the keep-one APPLY step) joins the set late-r11:
+# expect the dup_span_redact shape (the corpus-rebuild exchange
+# dominates) plus the span-mining front end.
+R11_QUERY_SET = ["exactsubstr_spans", "exactsubstr_redact",
+                 "dup_span_redact"]
 # --pq mode (r9 second half): the PQ family on a k-fold embedding corpus
 # (vec_id offset keeps ids unique; the 5 query vectors stay the
 # originals). Expected shape: encode and the ADC code scan grow linearly
