@@ -195,7 +195,8 @@ DEFERRED_VERIFICATION: dict[str, str] = {
 }
 
 # CAPACITY POLICY (r11, per the r10 verdict task 7 — decided BEFORE the
-# pigeonhole wall binds, not after): 202 queries registered vs
+# pigeonhole wall binds, not after): 205 queries registered at the r11
+# freeze (202 + the three r11 family-gap registrations) vs
 # DRIVER_WINDOW x STALE_BOUND = 250 capacity. The window size is the
 # DRIVER's, not ours — we cannot widen it — so the only levers are
 # STALE_BOUND and registration pace. Decision: (a) the §2 surface and the
