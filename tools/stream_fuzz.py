@@ -56,6 +56,11 @@ DOC-corpora engines (edge_ascii/random_ascii/zipf_dup/unicode):
                batch cross-corpus dups UNION within-epoch self-screen
   decon        decontamination_job — Bloom-broadcast screen parity,
                accepted = increment minus flagged
+  ccnet_filter ccnet_quality_filter_job — frozen LM + tercile artifacts
+               trained on the staged corpus; drained epoch-union must
+               equal the batch ccnet_perplexity_buckets rows bit-for-bit
+               and the accepted/rejected/unscorable routing must follow
+               the terciles
 
 NaN-bearing corpora (events_extreme) compare via a NaN sentinel: NaN !=
 NaN would fail set equality even when both engines emit the same rows.
@@ -105,7 +110,7 @@ ENGINES = ("pnl", "pnl_tws", "pnl_tws_ttl", "pnl_tws_ttl_finite",
 # the committed job tests' (tests/test_streaming.py): cross-corpus dups
 # from the batch operator UNION within-epoch self-screen pairs, accepted
 # = increment minus flagged.
-DOC_ENGINES = ("inc_dedup", "decon")
+DOC_ENGINES = ("inc_dedup", "decon", "ccnet_filter")
 DOC_CORPORA = ("edge_ascii", "random_ascii", "zipf_dup", "unicode")
 
 # pnl_tws_ttl runs with a TTL far beyond any corpus's event-time span, so
@@ -760,6 +765,53 @@ def run_doc_corpus(spark, cname: str, seed: int,
                        if accepted is not None else set())
             ok = got == want and acc_ids == set(inc_ids) - flagged
             results.append(("decon", ok))
+
+        if "ccnet_filter" in engines:
+            from kafka_flink_processing_spark.plans.registry import (
+                QUERIES as _REG,
+                _ensure_loaded,
+            )
+            from kafka_flink_processing_spark.streaming.jobs import (
+                ccnet_quality_filter_job,
+            )
+            _ensure_loaded()
+            full = load_table(spark, "documents", sf)
+            icut = [float(ids[len(ids) // 2])] if len(ids) > 1 else []
+            want = {(r.doc_id, r.n_bigrams, _norm(r.xent_nats),
+                     r.ppl_tercile)
+                    for r in _REG["ccnet_perplexity_buckets"]
+                    .spark(spark, sf).collect()}
+            stream = _split_stream(spark, full, f"{work}/cq", icut,
+                                   order_col="doc_id")
+            q, (lm, ter) = ccnet_quality_filter_job(
+                stream, full, f"{work}/cq_out", f"{work}/cq_ckpt",
+                available_now=True)
+            q.awaitTermination()
+            lm.unpersist()
+            ter.unpersist()
+            acc = _read_epoch_dir(spark, f"{work}/cq_out/accepted")
+            rej = _read_epoch_dir(spark, f"{work}/cq_out/rejected")
+            uns = _read_epoch_dir(spark, f"{work}/cq_out/unscorable")
+            routed: list = []
+            route_ok = True
+            for df, pred in ((acc, lambda t: t in (1, 2)),
+                             (rej, lambda t: t == 3),
+                             (uns, lambda t: t is None)):
+                if df is None:
+                    continue
+                rows_d = df.select("doc_id", "n_bigrams", "xent_nats",
+                                   "ppl_tercile").collect()
+                route_ok = route_ok and all(pred(r.ppl_tercile)
+                                            for r in rows_d)
+                routed += rows_d
+            got = {(r.doc_id,
+                    r.n_bigrams if r.n_bigrams is not None else 0,
+                    _norm(r.xent_nats), r.ppl_tercile) for r in routed}
+            # every doc routed exactly once (set equality alone would
+            # let a doc land in two sinks with identical rows)
+            ok = (route_ok and got == want
+                  and len(routed) == len(ids))
+            results.append(("ccnet_filter", ok))
     finally:
         shutil.rmtree(work, ignore_errors=True)
     return results
