@@ -148,7 +148,14 @@ def unigram_lm_vocab(docs: DataFrame, max_piece: int = 4,
 
     # seed vocabulary: every substring of length 1..max_piece, frequency
     # = occurrences x word frequency; top vocab_cap by (freq DESC, piece
-    # ASC) plus all single characters
+    # ASC) plus all single characters. The two tiers are SEPARATE
+    # branches unioned, not one `rk <= cap OR len = 1` filter: the
+    # disjunction would block Spark's WindowGroupLimit pushdown and
+    # leave a full single-partition sort of the substring relation,
+    # while the pure rank filter plans as a per-partition top-K
+    # (bounded memory at any vocabulary size); the singles branch is a
+    # plain filter. Result set is identical — the oracle keeps the
+    # QUALIFY-with-OR form.
     subs = (words.select(
                 "f",
                 F.explode(F.expr(
@@ -158,10 +165,11 @@ def unigram_lm_vocab(docs: DataFrame, max_piece: int = 4,
                     f"substring(word, i, j - i + 1))))")).alias("piece"))
             .groupBy("piece").agg(F.sum("f").cast("long").alias("cnt")))
     w_rank = Window.orderBy(F.col("cnt").desc(), F.col("piece").asc())
-    seed_kept = (subs.withColumn("rk", F.row_number().over(w_rank))
-                 .filter((F.col("rk") <= vocab_cap)
-                         | (F.length("piece") == 1))
-                 .select("piece", "cnt"))
+    top = (subs.withColumn("rk", F.row_number().over(w_rank))
+           .filter(F.col("rk") <= vocab_cap)
+           .select("piece", "cnt"))
+    singles = subs.filter(F.length("piece") == 1).select("piece", "cnt")
+    seed_kept = top.unionByName(singles).distinct()
     seed_tot = seed_kept.agg(F.sum("cnt").alias("total"))
     vocab = (seed_kept.crossJoin(F.broadcast(seed_tot))
              .select("piece", "cnt",

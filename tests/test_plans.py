@@ -491,6 +491,21 @@ def test_exactsubstr_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 5
 
 
+def test_unigram_lm_plan_shape(spark):
+    """The unigram trainer's seed-vocabulary selection stays a pushed
+    top-K: the rank filter plans as WindowGroupLimit (per-partition
+    top-512 BEFORE the single-partition rank exchange — bounded memory
+    at any vocabulary size), because the top-K and all-singles tiers
+    are separate unioned branches rather than one OR filter (which
+    would block the pushdown and sort the whole substring relation on
+    one partition). No range exchange, no cartesian anywhere in the
+    two-iteration EM plan."""
+    plan = plan_of(spark, "unigram_lm_vocab")
+    assert "WindowGroupLimit" in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_decontaminate_bloom_plan_shape(spark):
     """The Bloom screen's corpus side is a broadcast probe (the 128 KiB
     bitmap), never a corpus-keyed shuffle JOIN of eval x train grams: no
