@@ -519,15 +519,25 @@ def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
     - positional k-grams explode map-side; the anchor screen groupBys
       xxhash64(gram) — an 8-byte shuffle key, never the k-word string
       (at k=50 the string relation is ~50x corpus text; the hash screen
-      keeps that expansion out of the exchange). Hash collisions can
-      only ADD candidates (the pair join below re-checks the exact
-      string), never lose or corrupt a span.
-    - anchors keep 2 <= distinct-doc df <= max_df. The upper cap bounds
-      the O(df^2) seed fan-out per gram: boilerplate that saturates
+      keeps that expansion out of the exchange). The screen applies
+      ONLY the df >= 2 lower bound, where collisions are one-sided: a
+      collision can only LIFT a pooled count, so every truly-shared
+      gram survives and the extras are discarded by the exact-string
+      pair join. The collision story is NOT symmetric — a pooled count
+      can also push past an upper cap and drop BOTH colliding grams'
+      anchors (the r11 verdict's contract gap: unobservable at sandbox
+      gram counts, a real recall leak at ~10^12 grams) — so the upper
+      cap deliberately does NOT bind here.
+    - anchors keep 2 <= distinct-doc df, then the <= max_df cap binds
+      on EXACT grams via one narrow re-screen over the hash-surviving
+      relation — already O(duplicated content), so the extra aggregate
+      never sees a corpus-sized exchange, and the cap now matches the
+      string-grouped oracle at ANY scale. The upper cap bounds the
+      O(df^2) seed fan-out per gram: boilerplate that saturates
       >max_df documents is dedup-by-frequency territory (stop-gram
       screens, heavy_hitters_*), not pairwise span mining. The cap is
-      part of the CONTRACT (the oracle applies the same cap), so the
-      result stays exact w.r.t. its spec.
+      part of the CONTRACT (the oracle applies the same cap on exact
+      grams), so the result stays exact w.r.t. its spec.
     - only hash-surviving grams (O(duplicated content), not O(corpus))
       carry their strings into the self-join; the diagonal window and
       the island aggregation both cluster on (doc_a, doc_b, diag), so
@@ -551,12 +561,21 @@ def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
     pg = (base.select("doc_id", F.posexplode(grams).alias("i0", "g"))
               .select("doc_id", (F.col("i0") + 1).alias("pos"), "g",
                       F.xxhash64("g").alias("gh")))
-    # anchor screen on the 8-byte hash: 2 <= distinct-doc df <= max_df
+    # anchor screen on the 8-byte hash: ONLY the df >= 2 lower bound
+    # (collision-safe in this direction; see docstring)
     anchors = (pg.groupBy("gh")
                  .agg(F.count_distinct("doc_id").alias("df"))
-                 .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+                 .filter(F.col("df") >= 2)
                  .select("gh"))
     ag = pg.join(anchors, "gh", "leftsemi")
+    # r12: the <= max_df cap binds on EXACT grams over the surviving
+    # relation (O(duplicated content)) — a hash-pooled df could exceed
+    # the cap and silently drop both colliding grams' spans at scale
+    capped = (ag.groupBy("gh", "g")
+                .agg(F.count_distinct("doc_id").alias("gdf"))
+                .filter(F.col("gdf") <= max_df)
+                .select("gh", "g"))
+    ag = ag.join(capped, ["gh", "g"], "leftsemi")
     a, b = ag.alias("a"), ag.alias("b")
     # join on the hash, verify the exact string (collision-proof), and
     # orient pairs doc_a < doc_b

@@ -87,10 +87,25 @@ def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
 def _mg_scan(grams: DataFrame, col: str = "g",
              capacity: int = MG_CAPACITY) -> DataFrame:
     """Pass 1 with the exactness evidence attached: per input partition,
-    <= capacity candidate rows (`col`, NULL) plus exactly ONE marker row
+    <= capacity candidate rows (`gh`, NULL) plus exactly ONE marker row
     (NULL, d_p) carrying the partition's decrement total — emitted even
     when the overflow step dropped every candidate, so the merged bound
-    D = Σ_p d_p never under-counts a partition."""
+    D = Σ_p d_p never under-counts a partition.
+
+    r12 (guide §4 — shuffle/ship keys, not payloads): the fold runs on
+    xxhash64(col), computed JVM-side, so the Python boundary ships ONE
+    int64 per gram instead of the gram string (at 3-word grams that is
+    ~4x fewer bytes through Arrow, and value_counts on int64 beats the
+    object-dtype path), and the candidate set that merges/broadcasts is
+    8 bytes per entry. Exactness is unaffected: a hash collision only
+    POOLS counts upward, so every gram whose true frequency clears the
+    MG bound still surfaces (its hash count >= its own count), the
+    decrement totals d_p are computed identically, and the absent-key
+    bound still holds (a gram whose hash is absent has hash count — a
+    fortiori its own count — <= d_p). Pass 2 recounts exact STRINGS of
+    the rows matching candidate hashes, so collisions cost a few extra
+    recount rows, never a wrong count."""
+    hashed = grams.select(F.xxhash64(F.col(col)).alias("gh"))
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_rows = 0
@@ -101,24 +116,26 @@ def _mg_scan(grams: DataFrame, col: str = "g",
                 n_rows += len(pdf)
                 yield pdf
 
-        counts, dropped = _mg_fold(counted_batches(), col, capacity)
+        counts, dropped = _mg_fold(counted_batches(), "gh", capacity)
         if counts or dropped:  # empty partition yields nothing
             yield pd.DataFrame(
-                {col: list(counts.keys()) + [None],
+                {"gh": pd.array(list(counts.keys()) + [None],
+                                dtype="Int64"),
                  "__mg_d": [None] * len(counts) + [dropped],
                  "__mg_n": [None] * len(counts) + [n_rows]})
 
-    return grams.mapInPandas(
-        fold, schema=f"{col} string, __mg_d long, __mg_n long")
+    return hashed.mapInPandas(
+        fold, schema="gh long, __mg_d long, __mg_n long")
 
 
 def mg_candidates(grams: DataFrame, col: str = "g",
                   capacity: int = MG_CAPACITY) -> DataFrame:
-    """Per-partition Misra-Gries candidate grams (pass 1). Output: one
-    `g` column, <= capacity rows per input partition, duplicates across
-    partitions possible (dedup happens in the recount's build side)."""
+    """Per-partition Misra-Gries candidate gram HASHES (pass 1). Output:
+    one `gh` column (xxhash64 of `col`), <= capacity rows per input
+    partition, duplicates across partitions possible (dedup happens in
+    the recount's build side)."""
     return (_mg_scan(grams, col, capacity)
-            .filter(F.col(col).isNotNull()).select(col))
+            .filter(F.col("gh").isNotNull()).select("gh"))
 
 
 def heavy_hitters_topk(grams: DataFrame, k: int = 100,
@@ -150,7 +167,7 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     # recount exchange already pays; the gram universe itself never
     # moves and no extra Python stage runs.
     raw = _mg_scan(grams, col, capacity)
-    one = raw.agg(F.collect_set(F.col(col)).alias("cs"),
+    one = raw.agg(F.collect_set(F.col("gh")).alias("cs"),
                   F.sum("__mg_d").alias("d"),
                   F.sum("__mg_n").alias("n"))
     # rows folded but the overflow dropped EVERY counter (near-uniform
@@ -163,11 +180,15 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
                   "no candidates survived the MG fold (decrement bound "),
             F.col("d"),
             F.lit(f") — raise capacity (current {capacity})")))
-        .cast("array<string>")).otherwise(F.col("cs"))
-    merged = one.select(F.explode(guarded_cs).alias(col),
+        .cast("array<bigint>")).otherwise(F.col("cs"))
+    merged = one.select(F.explode(guarded_cs).alias("gh"),
                         F.col("d").alias("__mg_bound"),
                         F.col("n").alias("__mg_total"))
-    counted = (grams.join(F.broadcast(merged), col)  # filter BEFORE exchange
+    # filter BEFORE the exchange, on the 8-byte candidate-hash broadcast;
+    # the recount itself groups the exact STRING, so a hash collision
+    # only adds a few non-candidate rows that lose at the limit
+    counted = (grams.withColumn("gh", F.xxhash64(F.col(col)))
+               .join(F.broadcast(merged), "gh")
                # bound/total are constants: free riders through the agg
                .groupBy(col, "__mg_bound", "__mg_total")
                .agg(F.count("*").alias("freq")))

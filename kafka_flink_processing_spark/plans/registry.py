@@ -104,70 +104,66 @@ SENTINELS: list[str] = [
     "kmeans_assign_cells",        # clustering
 ]
 
-# r11 block GENERATED by `python tools/rotation_report.py --emit-priority`
-# (pasted verbatim — ZERO hand-swaps this round; regenerated after the
-# pre-freeze r11 registrations so they enter the unproven tier per the
-# convention). Contents: the 5 unproven entries — the r11 pre-freeze
-# registrations (exactsubstr_spans, exactsubstr_redact and
-# unigram_lm_vocab, each with three-SF oracle_check parity run before
-# the freeze) and the two r10 post-freeze deferrals
-# (ccnet_perplexity_buckets, dedup_cluster_survivors; each deferred WITH
-# committed three-SF oracle_check parity, now absorbed so
-# DEFERRED_VERIFICATION empties) — then the 8 family sentinels and the
-# oldest-signal backfill: the r06-green cohort (next against the
-# STALE_BOUND=5 wall) and the front of the r07 cohort.
-# generated by tools/rotation_report.py --emit-priority (newest committed round: r10)
+# r12 block GENERATED by `python tools/rotation_report.py --emit-priority`
+# (pasted verbatim — ZERO hand-swaps; r12 is an optimization round with
+# ZERO new registrations per the capacity policy below, so there is no
+# unproven tier). Contents: the 8 family sentinels, then the
+# oldest-signal backfill — the full r07-green cohort (next against the
+# STALE_BOUND=5 wall) and the front of the r08 cohort. Every rotated-in
+# query re-verified locally this round via the full
+# tools/oracle_check.py gate at sf0.01 before the freeze.
+# generated by tools/rotation_report.py --emit-priority (newest committed round: r11)
 _PRIORITY: list[str] = [
-    "exactsubstr_spans",  # never r-
-    "exactsubstr_redact",  # never r-
-    "ccnet_perplexity_buckets",  # never r-
-    "dedup_cluster_survivors",  # never r-
-    "unigram_lm_vocab",  # never r-
-    "sql_q3_shipping_priority",  # green r10
-    "similarity_ivf_topk",  # green r10
-    "dedup_minhash_lsh",  # green r10
-    "tumbling_window_stats",  # green r10
-    "curation_pipeline",  # green r10
-    "ohlc_bars",  # green r10
-    "multimodal_decode_features",  # green r10
-    "kmeans_assign_cells",  # green r10
-    "stratified_sample",  # green r06
-    "jsonl_roundtrip",  # green r06
-    "csv_roundtrip",  # green r06
-    "multimodal_metadata",  # green r06
-    "multimodal_resize",  # green r06
-    "multimodal_frame_sample",  # green r06
-    "vocab_top_tokens",  # green r06
-    "token_drift_chi2",  # green r06
-    "ngram_novelty_by_source",  # green r06
-    "cms_freq_estimate",  # green r06
-    "event_rate_mad_outliers",  # green r06
-    "embedding_pca_variance",  # rows_only r06
-    "bm25_rank",  # green r06
-    "column_profile",  # green r06
-    "ewma_price",  # green r06
-    "bollinger_bands",  # green r06
-    "hub_spread_hourly",  # green r06
-    "streaming_slippage_join",  # green r06
-    "da_rt_daily_corr",  # green r06
-    "rolling_median_price",  # green r06
-    "scd2_price_intervals",  # green r06
-    "hub_price_corr_matrix",  # green r06
-    "forecast_backtest_sma",  # green r06
-    "vwap_execution_quality",  # green r06
-    "kyle_lambda_price_impact",  # green r06
-    "lead_lag_hub_beta",  # green r06
-    "groupby_agg_q1",  # green r07
-    "join_revenue_by_nation",  # green r07
-    "window_rank_lag",  # green r07
-    "asof_join_events",  # green r07
-    "pnl_positions_hybrid",  # green r07
-    "multimodal_png_decode",  # green r07
-    "dedup_incremental",  # green r07
-    "per_source_cap",  # green r07
-    "tfidf_top_terms",  # green r07
-    "dedup_incremental_minhash",  # green r07
-    "decontaminate_ngram",  # green r07
+    "sql_q3_shipping_priority",  # green r11
+    "similarity_ivf_topk",  # green r11
+    "dedup_minhash_lsh",  # green r11
+    "tumbling_window_stats",  # green r11
+    "curation_pipeline",  # green r11
+    "ohlc_bars",  # green r11
+    "multimodal_decode_features",  # green r11
+    "kmeans_assign_cells",  # green r11
+    "decontaminate_bloom",  # green r07
+    "adaptive_quality_filter",  # green r07
+    "crossmodal_dup_verify",  # green r07
+    "repetition_stats",  # green r07
+    "kmeans_embeddings",  # rows_only r07
+    "data_mix_summary",  # green r07
+    "token_rarity_score",  # green r07
+    "pii_redaction",  # green r07
+    "sequence_packing",  # green r07
+    "dup_span_stats",  # green r07
+    "dup_span_redact",  # green r07
+    "embedding_quality_stats",  # green r07
+    "lsh_band_stats",  # green r07
+    "mix_temperature_sample",  # green r07
+    "split_leakage_audit",  # green r07
+    "curation_funnel",  # green r07
+    "dedup_fuzzy_corpus",  # green r07
+    "bigram_lift_top",  # green r07
+    "streaming_tumbling_stats",  # green r07
+    "sliding_window_stats",  # green r07
+    "session_window_stats",  # green r07
+    "da_rt_asof_basis",  # green r07
+    "grouping_sets_revenue",  # green r07
+    "range_join_attribution",  # green r07
+    "time_rollup_multigrain",  # green r07
+    "time_range_moving_avg",  # green r07
+    "sql_q21_waiting_suppliers",  # green r07
+    "heavy_hitters_adaptive",  # green r07
+    "rfm_customer_segments",  # green r07
+    "hll_distinct_estimate",  # green r07
+    "roll_spread_estimator",  # green r07
+    "exposure_projection",  # green r08
+    "filtered_projection",  # green r08
+    "distinct_count_by",  # green r08
+    "rollup_acctbal",  # green r08
+    "cube_qty",  # green r08
+    "pivot_linestatus",  # green r08
+    "corpus_partitioned_roundtrip",  # green r08
+    "curriculum_stages",  # green r08
+    "sql_q4_order_priority",  # green r08
+    "sql_q7_volume_shipping",  # green r08
+    "sql_q8_market_share",  # green r08
 ]
 
 

@@ -122,6 +122,17 @@ def get_spark(app_name: str = "kafka_flink_processing_spark",
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # r12: let AQE re-plan (and in particular coalesce) CACHED plans.
+        # The iterative operators (BPE trainer, connected-components label
+        # propagation, the ccnet score relation) persist small relations
+        # and then launch many jobs over them; with the default `false`
+        # the cache materializes at the session shuffle width (one task
+        # per shuffle partition PER ITERATION even for a few-KB vocab),
+        # while `true` sizes the cached relation to its DATA — the same
+        # scale-adaptive partitioning AQE already applies everywhere
+        # else. Scale-neutral: big cached relations keep their width.
+        .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning",
+                "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

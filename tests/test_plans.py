@@ -459,16 +459,27 @@ def test_ccnet_perplexity_plan_shape(spark):
     ReusedExchange — benign either way), the centinat histogram is a
     tiny aggregate whose bin->tercile map also broadcasts, and the ONLY
     sort-merge join is the final corpus-sized doc_id left join that
-    surfaces unscorable docs. Pins are STRUCTURAL (no cartesian, no
-    range exchange, exactly one corpus-keyed SMJ, single-partition
-    exchanges bounded) rather than exact broadcast-node counts, which
-    are Spark-version/AQE sensitive — the load-bearing tripwire is the
-    SinglePartition bound: a regression that sorts the corpus globally
-    for the terciles (NTILE-style) fails it."""
-    plan = plan_of(spark, "ccnet_perplexity_buckets")
+    surfaces unscorable docs. r12: the per-doc score relation is
+    persisted once and BOTH the tercile histogram and the final attach
+    read the cache — the load-bearing pin is the InMemoryTableScan
+    pair (a regression back to the lazy form re-runs the two bigram
+    corpus scans for the histogram side; tools/ccnet_ab.py measured
+    the persisted shape 1.58x faster with identical hash). Pins stay
+    STRUCTURAL (no cartesian, no range exchange, single-partition
+    exchanges bounded, final-join strategy left to AQE size estimates)
+    rather than exact node counts, which are Spark-version/AQE
+    sensitive — the SinglePartition bound is the tripwire against a
+    global NTILE-style tercile sort. Cache scans are counted on the
+    FULL plan string: the persisted relation's nested adaptive plan
+    embeds an '== Initial Plan ==' marker that plan_of's truncation
+    would otherwise cut at."""
+    _ensure_loaded()
+    df = QUERIES["ccnet_perplexity_buckets"].spark(spark, SF)
+    full = df._jdf.queryExecution().executedPlan().toString()
+    plan = full.split("== Initial Plan ==")[0]
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
-    assert plan.count("SortMergeJoin") == 1
+    assert full.count("InMemoryTableScan") >= 2  # both branches hit cache
     assert "BroadcastExchange" in plan
     assert plan.count("Exchange SinglePartition") <= 3
 
@@ -483,12 +494,20 @@ def test_exactsubstr_plan_shape(spark):
     anchor screen shuffles the 8-byte xxhash64, never the k-word gram
     string; total hash exchanges stay bounded by the distinct-agg
     structure of the two semi-joined sides (join strategy itself is
-    AQE's choice — not pinned)."""
-    plan = plan_of(spark, "exactsubstr_spans")
+    AQE's choice — not pinned). r12: the <= max_df cap moved onto an
+    exact-gram re-screen over the hash-surviving relation (the r11
+    verdict's contract gap — a hash-pooled df could breach the cap and
+    drop both colliding grams' spans at ~10^12-gram scale), which adds
+    exactly ONE narrow aggregate; the pin is taken on the EXECUTED
+    plan, where AQE's exchange reuse collapses the textually
+    duplicated subtrees — the scan bound proves the corpus is still
+    touched at most twice end-to-end, not once per consumer."""
+    plan = plan_of(spark, "exactsubstr_spans", executed=True)
     assert "CartesianProduct" not in plan
     assert "Exchange rangepartitioning" not in plan
+    assert plan.count("Scan parquet") <= 2  # subtree reuse, not re-scans
     assert plan.count("Exchange hashpartitioning(doc_a") == 1
-    assert plan.count("Exchange hashpartitioning") <= 5
+    assert plan.count("Exchange hashpartitioning") <= 6  # +1: exact cap
 
 
 def test_unigram_lm_plan_shape(spark):

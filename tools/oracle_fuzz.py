@@ -135,8 +135,9 @@ TOTAL_TEXT = [
     "ccnet_perplexity_buckets",
     # r11: space-split + gram-string equality only (no substr, no regex,
     # no length arithmetic on text) — binary UTF-8 equality in both
-    # engines; xxhash64 is Spark-internal (the oracle screens on the
-    # string directly, collisions only add re-verified candidates)
+    # engines; xxhash64 is Spark-internal and used only for the df>=2
+    # lower bound, where collisions can only ADD re-verified candidates;
+    # the <=max_df cap binds on exact grams in both engines (r12)
     "exactsubstr_spans",
     # same front end; the rebuild is word-array indexing + space-join,
     # both engines operate on the split word arrays, never byte offsets
