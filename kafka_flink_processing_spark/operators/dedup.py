@@ -570,10 +570,14 @@ def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
     ag = pg.join(anchors, "gh", "leftsemi")
     # r12: the <= max_df cap binds on EXACT grams over the surviving
     # relation (O(duplicated content)) — a hash-pooled df could exceed
-    # the cap and silently drop both colliding grams' spans at scale
+    # the cap and silently drop both colliding grams' spans at scale.
+    # The exact df >= 2 bound rides along for free: it drops grams that
+    # only survived the hash screen via a collision (they would die in
+    # the exact-string pair join anyway, but this keeps their rows out
+    # of the self-join entirely).
     capped = (ag.groupBy("gh", "g")
                 .agg(F.count_distinct("doc_id").alias("gdf"))
-                .filter(F.col("gdf") <= max_df)
+                .filter((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
                 .select("gh", "g"))
     ag = ag.join(capped, ["gh", "g"], "leftsemi")
     a, b = ag.alias("a"), ag.alias("b")

@@ -26,6 +26,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from kafka_flink_processing_spark.functions.constants import N_MINHASH
 from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
@@ -1733,38 +1734,65 @@ def _profile_leg_sql(col: str) -> str:
         "(timestamps profiled as epoch seconds so the value columns stay "
         "one double type) — the schema-drift / data-quality audit a "
         "pipeline runs before trusting a new drop of upstream data. "
-        "Scale shape: ONE aggregate with four exact count-distincts; "
-        "Spark plans that as an Expand (x5 rows: one replica per "
-        "distinct group + one for the plain min/max/count leg) feeding "
-        "a partially-aggregated exchange keyed by (gid, value) — well "
-        "distributed, deduped map-side, and bounded by the per-column "
-        "NDVs rather than the row count. That x5 expand is the "
-        "documented price of EXACTNESS in one pass; the cheap "
-        "alternative (approx_count_distinct, no expand) drops the "
-        "oracle guarantee, and per-column separate passes re-scan the "
-        "fact table four times. The final stack() to long form runs on "
-        "a single 1-row result.",
+        "Scale shape (r12): one scan, an explicit x4 explode — one "
+        "replica per profiled column, tagged (gid, value) — into a "
+        "per-VALUE count aggregate (map-side deduped, the exchange is "
+        "bounded by per-column NDVs exactly like a count-distinct "
+        "rewrite), then a tiny per-gid aggregate reads EVERY statistic "
+        "off that distinct relation: n_distinct = group count, n_rows "
+        "= sum of value counts, n_null = the null group's count, "
+        "min/max over the values. This replaces Spark's automatic "
+        "multi-count-distinct rewrite (an Expand x5 — the four "
+        "distinct legs PLUS a full plain replica just for "
+        "min/max/count), which paid a fifth corpus-row replica for "
+        "statistics the distinct relation already determines; measured "
+        "1.97 s -> 1.02 s at sf0.1, same exchange profile at any "
+        "scale. Timestamps group on exact unix_micros (no collision "
+        "at any precision) and surface as epoch-second doubles via "
+        "the same us/1e6 division as a timestamp->double cast. The "
+        "cheap alternative (approx_count_distinct) drops the oracle "
+        "guarantee; per-column separate passes re-scan the fact table "
+        "four times.",
     bench=True,  # joined the headline r6: first-round floor rule (BASELINE.md)
 )
 def column_profile_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, "lineitem", sf_dir)
-    aggs = [F.count(F.lit(1)).alias("n_rows")]
-    for c in _PROFILE_COLS:
-        v = F.col(c).cast("double")
-        aggs += [F.count(F.col(c)).alias(f"nn_{c}"),
-                 F.countDistinct(F.col(c)).alias(f"nd_{c}"),
-                 F.min(v).alias(f"mn_{c}"),
-                 F.max(v).alias(f"mx_{c}")]
-    row = li.agg(*aggs)
-    stacked = ", ".join(
-        f"'{c}', n_rows - nn_{c}, nd_{c}, mn_{c}, mx_{c}"
-        for c in _PROFILE_COLS)
-    return (row.selectExpr(
-                "n_rows",
-                f"stack({len(_PROFILE_COLS)}, {stacked}) AS "
-                f"(column_name, n_null, n_distinct, min_val, max_val)")
-            .select("column_name", "n_rows", "n_null", "n_distinct",
-                    "min_val", "max_val"))
+    ts_cols = {c for c in _PROFILE_COLS
+               if isinstance(li.schema[c].dataType, T.TimestampType)}
+    # explicit expand: (gid, vd double | vt long-micros) one replica per
+    # profiled column. Doubles group on their own value; timestamps on
+    # exact unix_micros (bijective — grouping a double-cast would merge
+    # timestamps past 2^53 us; grouping a long-cast would merge within
+    # the same second).
+    structs = []
+    for i, c in enumerate(_PROFILE_COLS):
+        if c in ts_cols:
+            vd = F.lit(None).cast("double")
+            vt = F.unix_micros(F.col(c))
+        else:
+            vd = F.col(c).cast("double")
+            vt = F.lit(None).cast("long")
+        structs.append(F.struct(F.lit(i).alias("gid"),
+                                vd.alias("vd"), vt.alias("vt")))
+    ex = li.select(F.explode(F.array(*structs)).alias("e")).select("e.*")
+    per_val = ex.groupBy("gid", "vd", "vt").agg(
+        F.count(F.lit(1)).alias("cnt"))
+    # us/1e6 in double == Spark's timestamp->double cast (exact for
+    # |us| < 2^53), and min/max commute with the monotone conversion
+    val_d = F.coalesce(F.col("vd"),
+                       F.col("vt").cast("double") / F.lit(1000000.0))
+    is_null_group = F.col("vd").isNull() & F.col("vt").isNull()
+    prof = per_val.groupBy("gid").agg(
+        F.sum("cnt").alias("n_rows"),
+        F.sum(F.when(is_null_group, F.col("cnt")).otherwise(0))
+        .cast("long").alias("n_null"),
+        F.count(F.when(~is_null_group, 1)).alias("n_distinct"),
+        F.min(val_d).alias("min_val"),
+        F.max(val_d).alias("max_val"))
+    name = F.element_at(F.array(*[F.lit(c) for c in _PROFILE_COLS]),
+                        F.col("gid") + 1)
+    return prof.select(name.alias("column_name"), "n_rows", "n_null",
+                       "n_distinct", "min_val", "max_val")
 
 
 # --- r6 late: RFM customer segmentation ----------------------------------

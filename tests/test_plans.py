@@ -270,12 +270,16 @@ def test_lead_lag_runs_on_preaggregated_grid(spark):
 
 
 def test_column_profile_single_pass_expand(spark):
-    # exactness-in-one-pass contract: the four exact count-distincts plan
-    # as ONE Expand over ONE scan (not four scans), the distinct exchange
-    # is keyed by (gid, value), and only the four profiled columns are
-    # read from the 11-column fact table
+    # exactness-in-one-pass contract, r12 form: ONE scan of only the four
+    # profiled columns, ONE explicit x4 explode (Generate) — never the
+    # optimizer's multi-count-distinct Expand, which pays a FIFTH full
+    # corpus replica just for min/max/count — feeding a per-value partial
+    # aggregate whose exchange is keyed (gid, value), then a tiny per-gid
+    # aggregate that reads every statistic off the distinct relation
+    # (measured 1.97s -> 1.02s at sf0.1, identical output)
     plan = plan_of(spark, "column_profile")
-    assert plan.count("Expand") == 1
+    assert plan.count("Generate") == 1
+    assert "Expand" not in plan
     assert plan.count("Scan parquet") == 1 or plan.count("FileScan") == 1
     assert ("ReadSchema: struct<l_quantity:double,l_extendedprice:double,"
             "l_discount:double,l_shipdate:timestamp_ntz>") in plan
