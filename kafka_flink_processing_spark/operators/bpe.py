@@ -35,6 +35,27 @@ DD = D + D
 N_MERGES = 10
 
 
+def _loop_width(cached: DataFrame, docs: DataFrame) -> DataFrame:
+    """Scale-adaptive width for the trainers' iteration loops (r12,
+    guide §2: derive partitioning from data volume, never a local-mode
+    constant — the cluster.py::connected_components pattern): the
+    count() doubles as the cache prime, then the loop runs over the
+    cached relation coalesced to ~1M vocab rows per task. At sandbox
+    vocab sizes that is ONE partition, which lets EnsureRequirements
+    drop the per-iteration pair-count exchange outright (a
+    single-partition child satisfies any ClusteredDistribution), so
+    every argmax job runs one stage instead of two — measured 2.0 s ->
+    1.35 s for the 10-merge loop at sf0.1. At production vocab sizes
+    (hundreds of millions of distinct words) the width saturates at the
+    session default and coalesce() is a no-op (it only ever narrows).
+    Results are partitioning-independent: the pair-count aggregate and
+    the (freq DESC, lsym, rsym) argmax are total-order deterministic."""
+    n_words = cached.count()
+    default_parts = docs.sparkSession.sparkContext.defaultParallelism
+    return cached.coalesce(max(1, min(default_parts,
+                                      1 + n_words // 1_000_000)))
+
+
 def _word_seqs(docs: DataFrame, text_col: str) -> DataFrame:
     """The word-frequency relation as delimiter-wrapped symbol sequences:
     (w, freq, seq) — the tiny (Zipf) training/apply surface; the only
@@ -60,7 +81,7 @@ def _train_merges(docs: DataFrame, n_merges: int,
     # final derived frame would leave the original cache entry alive for
     # the session (the r8 review's persist-leak finding).
     cached = seqs.persist()
-    seqs = cached
+    seqs = _loop_width(cached, docs)
     try:
         merges = []
         for rank in range(1, n_merges + 1):
@@ -319,7 +340,7 @@ def _train_merges_batched(docs: DataFrame, n_iters: int, batch: int,
     """
     seqs = _word_seqs(docs, text_col).select("freq", "seq")
     cached = seqs.persist()
-    seqs = cached
+    seqs = _loop_width(cached, docs)
     try:
         out = []
         for it in range(1, n_iters + 1):
