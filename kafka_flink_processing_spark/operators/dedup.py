@@ -744,13 +744,22 @@ def contamination_screen_bloom(docs: DataFrame, eval_cond, n: int = 4,
     surviving rows is exactly the all-bits-set test."""
     _validate_bloom_params(m_bits, k)
     ds = _doc_shingles(docs, id_col, text_col, n)
-    eval_ids = docs.select(F.col(id_col).alias("doc_id"), eval_cond.alias("ev"))
     # shingle ONCE over all docs (one memoized UDF pass), then split the
     # shingle table by the tag — shingling eval/train separately would run
-    # the string-heavy UDF twice
-    dst = ds.join(eval_ids, "doc_id")
-    bloom = bloom_bitmap(dst.filter(F.col("ev")), m_bits, k)
-    return bloom_screen(dst.filter(~F.col("ev")), bloom, m_bits, k)
+    # the string-heavy UDF twice. When eval_cond resolves against the
+    # shingle table itself (it references only the id column, e.g. the
+    # registered doc_id % 13 split), filter it directly — no doc-table
+    # re-scan and no broadcast join on either branch (r12, guide §2.4);
+    # a cond over other doc columns falls back to the tag join.
+    try:
+        evds, trds = ds.filter(eval_cond), ds.filter(~eval_cond)
+    except Exception:
+        eval_ids = docs.select(F.col(id_col).alias("doc_id"),
+                               eval_cond.alias("ev"))
+        dst = ds.join(eval_ids, "doc_id")
+        evds, trds = dst.filter(F.col("ev")), dst.filter(~F.col("ev"))
+    bloom = bloom_bitmap(evds, m_bits, k)
+    return bloom_screen(trds, bloom, m_bits, k)
 
 
 def _validate_bloom_params(m_bits: int, k: int) -> None:
@@ -799,28 +808,92 @@ def bloom_bitmap(ds: DataFrame, m_bits: int = BLOOM_M_BITS,
             .agg(F.bit_or("mask").alias("bits")))
 
 
+def _bloom_dense(bloom: DataFrame, m_bits: int) -> DataFrame:
+    """One-row (arr: array<bigint>) densification of a packed (word_idx,
+    bits) bitmap: arr[word_idx] = bits, absent words = 0. m_bits/64
+    elements (16384 longs = 128 KiB at the default m) whatever the eval
+    corpus size — the same bounded-artifact guarantee as the packed form,
+    in a shape the screen can probe with O(1) array indexing instead of a
+    per-position hash join."""
+    n_words = m_bits // 64
+    # collect_list order is partition-dependent; the struct sort restores
+    # word_idx order, then one linear gap-fill pass writes arr[i] = word
+    # i's bits with zeros between set words. Linear on purpose: a
+    # map_from_arrays + per-index lookup is O(set bits) PER index —
+    # quadratic — and a range-join fill costs two extra stages per build.
+    one = (bloom.groupBy()
+           .agg(F.array_sort(F.collect_list(F.struct("word_idx", "bits")))
+                .alias("s")))
+    s = F.col("s")
+    zero = F.lit(0).cast("long")
+
+    def entry(e, i):
+        prev = (F.when(i == 0, F.lit(-1).cast("long"))
+                .otherwise(F.element_at(s, i)["word_idx"]))
+        return F.concat(
+            F.array_repeat(zero, (e["word_idx"] - prev - 1).cast("int")),
+            F.array(e["bits"]))
+
+    tail = F.array_repeat(
+        zero,
+        (F.lit(n_words) - 1 - F.element_at(s, -1)["word_idx"]).cast("int"))
+    arr = (F.when(F.size(s) == 0, F.array_repeat(zero, n_words))
+           .otherwise(F.concat(F.flatten(F.transform(s, entry)), tail)))
+    return one.select(arr.alias("arr"))
+
+
 def bloom_screen(ds: DataFrame, bloom: DataFrame,
                  m_bits: int = BLOOM_M_BITS, k: int = BLOOM_K) -> DataFrame:
     """Screen a (doc_id, sh) shingle table against a packed Bloom bitmap:
     (doc_id, n_flagged_grams, n_grams, flag_ratio) for docs with at least
-    one bloom-positive gram. Inner join + bit filter BEFORE the
-    aggregation: only bloom-positive probe rows reach the (doc_id, sh)
-    exchange (a missing word_idx means no bits set, so inner is exact);
-    count(*) == k over a gram's surviving rows is exactly the all-bits-set
-    test because its k positions are pairwise distinct."""
+    one bloom-positive gram.
+
+    r12 shape (guide §2.4/§2.3): the bitmap is densified to a one-row
+    128 KiB array and attached with a single-row broadcast nested-loop
+    join, so the all-k-bits test is pure map-side projection arithmetic
+    (array index + bit AND per probe, whole-stage codegen) — no k-way
+    row explosion, no probe-side hash join, and no (doc_id, gram)
+    exchange: a gram either passes all k tests in-row or is dropped
+    before anything shuffles. n_grams rides the same rows, so the
+    per-doc flag count is ONE corpus-keyed exchange of pre-aggregated
+    (doc_id, n_grams) partials and the old corpus-sized sizes join is
+    gone. Replaced plan (r11): explode x k positions -> broadcast hash
+    join on word_idx -> (doc_id, sh) exchange + count==k -> doc_id
+    exchange -> sort-merge join against a per-doc sizes scan. Grams are
+    distinct per doc (_shingle_udf), so counting passing gram rows per
+    doc is exactly the old count of all-bits-set grams."""
     _validate_bloom_params(m_bits, k)
-    probe = (_bloom_pos_rows(ds, m_bits, k)
-             .withColumn("word_idx", _bloom_word_idx())
-             .withColumn("mask", _bloom_mask())
-             .join(F.broadcast(bloom), "word_idx")
-             .filter(F.col("bits").bitwiseAND(F.col("mask")) != 0))
-    flagged = (probe.groupBy("doc_id", "sh")
-               .agg(F.count("*").alias("n_hits"))
-               .filter(F.col("n_hits") == k)
-               .groupBy("doc_id")
-               .agg(F.count("*").alias("n_flagged_grams")))
-    sizes = ds.select("doc_id", F.size("sh").cast("long").alias("n_grams"))
-    return (flagged.join(sizes, "doc_id")
+    # positions are projected on the stream side BEFORE the dense attach:
+    # the filter then enters the BNLJ condition as plain _p column
+    # references, and the md5 runs once per gram in a codegen Project
+    # (projected after the join, the optimizer inlines the aliases into
+    # the join condition — k*4 md5 evaluations per row, measured ~2x the
+    # whole screen)
+    probe = (ds.select("doc_id",
+                       F.size("sh").cast("long").alias("n_grams"),
+                       F.explode("sh").alias("sh"))
+             .select("doc_id", "n_grams",
+                     *[F.coalesce(p, F.lit(0).cast("long"))
+                       .alias(f"_p{j}") for j, p in enumerate(
+                         # the coalesce (never hit: sh is non-null) makes
+                         # each position provably non-null, so the join
+                         # infers no isnotnull pre-filter — which would
+                         # re-expand all k position exprs into a second
+                         # md5 pass per row
+                         _bloom_positions(md5_hash60(F.col("sh")),
+                                          m_bits, k))])
+             .crossJoin(F.broadcast(_bloom_dense(bloom, m_bits))))
+    cond = None
+    for j in range(k):
+        word = F.element_at(
+            "arr", (F.shiftright(F.col(f"_p{j}"), 6) + 1).cast("int"))
+        mask = F.expr(f"shiftleft(cast(1 as bigint), "
+                      f"cast(_p{j} & 63 as int))")
+        test = word.bitwiseAND(mask) != 0
+        cond = test if cond is None else cond & test
+    return (probe.filter(cond)
+            .groupBy("doc_id", "n_grams")
+            .agg(F.count("*").alias("n_flagged_grams"))
             .select("doc_id", "n_flagged_grams", "n_grams",
                     (F.col("n_flagged_grams").cast("double")
                      / F.col("n_grams")).alias("flag_ratio")))

@@ -172,17 +172,26 @@ def test_lsh_band_stats_is_two_aggregations(spark):
 
 
 def test_bloom_screen_probe_is_broadcast_no_corpus_shuffle(spark):
-    """The Bloom bitmap (<=16384 rows) must reach the training-gram scan as
-    a BroadcastHashJoin — if it ever plans as a shuffle join the operator
-    has lost its reason to exist (the point is screening the corpus
-    map-side with a fixed-size broadcast)."""
+    """The Bloom bitmap must reach the training-gram scan as a broadcast —
+    if it ever plans as a shuffle join the operator has lost its reason to
+    exist (the point is screening the corpus map-side with a fixed-size
+    broadcast). r12 shape: the bitmap densifies to ONE 128 KiB array row
+    attached by a deliberate single-row BroadcastNestedLoopJoin whose
+    condition is the all-k-bits test over precomputed _p position columns
+    (no k-way explode, no per-position hash join, no corpus-keyed gram
+    exchange, no sizes join)."""
     plan = plan_of(spark, "decontaminate_bloom")
-    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin BuildRight" in plan
     assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
-    # the bitmap probe must be the ONLY join against the exploded position
-    # rows; sh-keyed sort-merge there would shuffle the corpus gram table
-    assert "SortMergeJoin [sh" not in plan
+    # corpus never shuffles for a join: the only joins are the 1-row
+    # dense attach (above) — in particular no gram- or doc-keyed
+    # sort-merge anywhere
+    assert "SortMergeJoin" not in plan
+    # the all-bits test references projected _p columns, not inlined
+    # md5 trees (inlining re-evaluates the hash k*4 times per gram)
+    join_line = next(l for l in plan.splitlines()
+                     if "BroadcastNestedLoopJoin" in l)
+    assert "md5" not in join_line
 
 
 def test_adaptive_quality_bounds_broadcast_back(spark):
@@ -531,16 +540,16 @@ def test_unigram_lm_plan_shape(spark):
 
 def test_decontaminate_bloom_plan_shape(spark):
     """The Bloom screen's corpus side is a broadcast probe (the 128 KiB
-    bitmap), never a corpus-keyed shuffle JOIN of eval x train grams: no
-    cartesian product, and the hash exchanges stay bounded at the four
-    structural ones (bitmap bit_or agg, the post-filter (doc, gram)
-    recount, and the flagged->shingles doc join sides — AQE converts that
-    last join to broadcast at runtime; the pre-AQE plan may show it as
-    sort-merge, which is why the pin is on exchange count, not join
-    strategy)."""
+    dense bitmap row), never a corpus-keyed shuffle JOIN of eval x train
+    grams: no cartesian product, and the hash exchanges stay bounded at
+    the two structural ones — the bitmap build's word_idx bit_or agg and
+    the final per-doc flag count (which carries pre-aggregated partials
+    of bloom-positive docs only). The r11 shape's other two corpus-keyed
+    exchanges — the (doc, gram) hit recount and the flagged->sizes join —
+    are gone by construction."""
     plan = plan_of(spark, "decontaminate_bloom")
     assert "CartesianProduct" not in plan
-    assert plan.count("Exchange hashpartitioning") <= 4
+    assert plan.count("Exchange hashpartitioning") <= 2
 
 
 def test_dedup_minhash_lsh_plan_shape(spark):
