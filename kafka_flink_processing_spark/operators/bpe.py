@@ -68,19 +68,29 @@ def _word_seqs(docs: DataFrame, text_col: str) -> DataFrame:
                  F.lit(D)).alias("seq"))
 
 
-def _train_merges(docs: DataFrame, n_merges: int,
-                  text_col: str) -> list[tuple]:
+def _train_merges(docs: DataFrame, n_merges: int, text_col: str,
+                  seqs_cached: DataFrame | None = None) -> list[tuple]:
     """The merge-learning loop shared by the trainer and the encoder;
     returns [(rank, lsym, rsym, merged, freq), ...] (a <= n_merges-row
-    driver list — the k-means O(K)-scalars pattern)."""
-    seqs = _word_seqs(docs, text_col).select("freq", "seq")
-    # the vocabulary relation is tiny (Zipf); cache it so the n_merges
-    # argmax actions do not rescan the corpus (production: persist the
-    # word-freq table once, train from it). Keep the persisted HANDLE
-    # separate: `seqs` is rebound every iteration, and unpersisting the
-    # final derived frame would leave the original cache entry alive for
-    # the session (the r8 review's persist-leak finding).
-    cached = seqs.persist()
+    driver list — the k-means O(K)-scalars pattern).
+
+    seqs_cached, when given, is a caller-persisted _word_seqs relation
+    the loop trains from WITHOUT re-deriving (and without unpersisting —
+    the caller owns the handle): bpe_encode_tokens passes its own so the
+    corpus groupBy(word) runs once for train AND encode (r12, guide §5:
+    cache what is reused and expensive)."""
+    owns = seqs_cached is None
+    if owns:
+        # the vocabulary relation is tiny (Zipf); cache it so the
+        # n_merges argmax actions do not rescan the corpus (production:
+        # persist the word-freq table once, train from it). Keep the
+        # persisted HANDLE separate: `seqs` is rebound every iteration,
+        # and unpersisting the final derived frame would leave the
+        # original cache entry alive for the session (the r8 review's
+        # persist-leak finding).
+        seqs_cached = _word_seqs(docs, text_col).select("freq", "seq") \
+                                                .persist()
+    cached = seqs_cached
     seqs = _loop_width(cached, docs)
     try:
         merges = []
@@ -107,7 +117,8 @@ def _train_merges(docs: DataFrame, n_merges: int,
                 F.lit(D + best.lsym + DD + best.rsym + D),
                 F.lit(D + best.lsym + best.rsym + D)))
     finally:
-        cached.unpersist()
+        if owns:
+            cached.unpersist()
     return merges
 
 
@@ -135,14 +146,15 @@ def apply_merges(seq_col, merges: list[tuple]):
 
 
 def bpe_encode_words(docs: DataFrame, merges: list[tuple],
-                     text_col: str = "text") -> DataFrame:
+                     text_col: str = "text",
+                     seqs: DataFrame | None = None) -> DataFrame:
     """Encode the DISTINCT-WORD relation with a learned merge table:
     (w, freq, seq, n_sub) where seq is the final symbol sequence and
     n_sub its symbol count. This is the scale pivot of the encoder: the
     corpus never re-materializes as subwords — Zipf keeps this relation
     tiny, and per-doc token counts come from joining it back onto the
     word stream (bpe_encode_tokens)."""
-    seqs = _word_seqs(docs, text_col)
+    seqs = _word_seqs(docs, text_col) if seqs is None else seqs
     return (seqs.withColumn("seq", apply_merges(F.col("seq"), merges))
             .withColumn(
                 "n_sub",
@@ -152,7 +164,8 @@ def bpe_encode_words(docs: DataFrame, merges: list[tuple],
 
 def bpe_encode_tokens_with(docs: DataFrame, merges: list[tuple],
                            text_col: str = "text",
-                           id_col: str = "doc_id") -> DataFrame:
+                           id_col: str = "doc_id",
+                           seqs: DataFrame | None = None) -> DataFrame:
     """Encode from a PERSISTED merge table — the production shape (train
     once offline, ship the artifact, encode many corpora): segment every
     corpus word with the given merges in rank order and return per-doc
@@ -165,7 +178,7 @@ def bpe_encode_tokens_with(docs: DataFrame, merges: list[tuple],
     aggregate. Equality with train-then-encode (same merges) is pinned in
     tests/test_bpe.py::test_encode_from_artifact_equals_train_then_encode.
     """
-    wtok = (bpe_encode_words(docs, merges, text_col)
+    wtok = (bpe_encode_words(docs, merges, text_col, seqs=seqs)
             .where(F.col("w") != "").select("w", "n_sub"))
     ex = docs.select(F.col(id_col),
                      F.explode(F.split(F.col(text_col), " ")).alias("w"))
@@ -190,9 +203,17 @@ def bpe_encode_tokens(docs: DataFrame, n_merges: int = N_MERGES,
     the Zipf-tiny word relation (broadcast into the final join), and the
     per-doc aggregate is one map-side-combined shuffle over the exploded
     word stream. Empty words ('' from consecutive delimiters) carry no
-    symbols and are excluded in BOTH engines."""
-    merges = _train_merges(docs, n_merges, text_col)
-    return bpe_encode_tokens_with(docs, merges, text_col, id_col)
+    symbols and are excluded in BOTH engines.
+
+    r12: train and encode share ONE persisted word relation — the corpus
+    groupBy(word) ran twice before (once for the trainer's cache, once
+    re-derived by the encoder). The handle is retained deliberately:
+    the final encode reads it lazily at action time, and re-invocations
+    re-persist the same plan, which the CacheManager dedupes ("already
+    cached"), so the footprint stays one Zipf-tiny relation."""
+    ws = _word_seqs(docs, text_col).persist()
+    merges = _train_merges(docs, n_merges, text_col, seqs_cached=ws)
+    return bpe_encode_tokens_with(docs, merges, text_col, id_col, seqs=ws)
 
 
 def _oracle_stages(n_merges: int, keep_word: bool) -> list[str]:
