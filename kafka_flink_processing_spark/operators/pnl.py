@@ -31,7 +31,6 @@ from kafka_flink_processing_spark.operators.netting import (
     TRADE,
     _Acct,
     apply_fill,
-    replay,
 )
 
 # kind tag for slice-boundary marker/state rows: sorts BEFORE trades (0) and
@@ -46,15 +45,74 @@ PNL_OUT_SCHEMA = ("ts timestamp, account string, hub string, "
 
 
 def _fold(pdf: pd.DataFrame) -> pd.DataFrame:
+    """One hub's replay. Same fold as the executable spec
+    (netting.py::replay — the differential tests and the streaming
+    processor still run it verbatim), but plumbed column-wise (r12,
+    guide §4.2: the per-record work crossing the Python boundary was
+    dict-building, not arithmetic — to_dict('records') on the way in
+    and one dict per emitted row on the way out dominated the stage).
+    The state transitions are the SAME apply_fill calls on the same
+    values in the same order, and the emission arithmetic is the same
+    expressions, so the output is bit-identical (oracle-gated, and
+    tests/test_pnl.py pins fold==hybrid==sliced bitwise)."""
     pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
-    records = pdf.to_dict("records")
-    rows = replay(records)
-    if not rows:
+    ts_l = pdf["ts"].tolist()
+    hub_l = pdf["hub"].tolist()
+    acct_l = pdf["account"].tolist()
+    side_l = pdf["side"].tolist()
+    mw_l = pdf["mw"].tolist()
+    px_l = pdf["price_mwh"].tolist()
+    kind_l = pdf["kind"].tolist()
+    o_ts: list = []
+    o_acct: list = []
+    o_hub: list = []
+    o_pos: list = []
+    o_avg: list = []
+    o_last: list = []
+    o_rlz: list = []
+    o_unrl: list = []
+    o_tot: list = []
+    last_price = None
+    accounts: dict = {}  # account -> (pos, avg, realized); insertion order
+    for i in range(len(ts_l)):
+        if kind_l[i] == TRADE:
+            acct = acct_l[i]
+            pos, avg, rlz = accounts.get(acct, (0, 0.0, 0.0))
+            mw = mw_l[i]
+            signed = mw if side_l[i].upper() == "BUY" else -mw
+            st = apply_fill(pos, avg, rlz, signed, px_l[i])
+            accounts[acct] = st
+            px = last_price if last_price is not None else px_l[i]
+            unrl = st[0] * (px - st[1])
+            o_ts.append(ts_l[i]); o_acct.append(acct); o_hub.append(hub_l[i])
+            o_pos.append(st[0]); o_avg.append(st[1]); o_last.append(px)
+            o_rlz.append(st[2]); o_unrl.append(unrl)
+            o_tot.append(st[2] + unrl)
+        else:
+            last_price = px_l[i]
+            hub = hub_l[i]
+            ts = ts_l[i]
+            # fan-out: one row per account seen on this hub, in first-trade
+            # (dict insertion) order — exactly HubFold.process's iteration
+            for acct, (pos, avg, rlz) in accounts.items():
+                unrl = pos * (last_price - avg)
+                o_ts.append(ts); o_acct.append(acct); o_hub.append(hub)
+                o_pos.append(pos); o_avg.append(avg); o_last.append(last_price)
+                o_rlz.append(rlz); o_unrl.append(unrl)
+                o_tot.append(rlz + unrl)
+    if not o_ts:
+        # all-price hub with no trades: zero rows. Empty typed lists
+        # would give ts a float64 dtype Arrow cannot cast to timestamp;
+        # the old all-object empty frame converts cleanly.
         return pd.DataFrame(columns=["ts", "account", "hub", "position_mw",
                                      "avg_price_mwh", "last_price_mwh",
                                      "realized_pnl", "unrealized_pnl",
                                      "total_pnl"])
-    return pd.DataFrame(rows)
+    return pd.DataFrame({
+        "ts": o_ts, "account": o_acct, "hub": o_hub, "position_mw": o_pos,
+        "avg_price_mwh": o_avg, "last_price_mwh": o_last,
+        "realized_pnl": o_rlz, "unrealized_pnl": o_unrl, "total_pnl": o_tot,
+    })
 
 
 def _tick_seq(prices: DataFrame):
@@ -298,18 +356,25 @@ def _trade_states(pdf: pd.DataFrame) -> pd.DataFrame:
     relationally)."""
     pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
     state = (0, 0.0, 0.0)
-    out = []
-    for r in pdf.to_dict("records"):
-        signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
-        state = apply_fill(state[0], state[1], state[2],
-                           signed, r["price_mwh"])
-        out.append({"ts": r["ts"], "trade_id": r["trade_id"],
-                    "hub": r["hub"], "account": r["account"],
-                    "st_pos": int(state[0]), "st_avg": state[1],
-                    "st_realized": state[2], "trade_px": r["price_mwh"]})
-    cols = ["ts", "trade_id", "hub", "account", "st_pos", "st_avg",
-            "st_realized", "trade_px"]
-    return pd.DataFrame(out, columns=cols)
+    side_l = pdf["side"].tolist()
+    mw_l = pdf["mw"].tolist()
+    px_l = pdf["price_mwh"].tolist()
+    # column-wise plumbing, same apply_fill sequence (see _fold's note)
+    o_pos: list = []
+    o_avg: list = []
+    o_rlz: list = []
+    for i in range(len(side_l)):
+        signed = mw_l[i] if side_l[i].upper() == "BUY" else -mw_l[i]
+        state = apply_fill(state[0], state[1], state[2], signed, px_l[i])
+        o_pos.append(int(state[0]))
+        o_avg.append(state[1])
+        o_rlz.append(state[2])
+    return pd.DataFrame({
+        "ts": pdf["ts"].tolist(), "trade_id": pdf["trade_id"].tolist(),
+        "hub": pdf["hub"].tolist(), "account": pdf["account"].tolist(),
+        "st_pos": o_pos, "st_avg": o_avg, "st_realized": o_rlz,
+        "trade_px": px_l,
+    })
 
 
 def pnl_positions_hybrid(trades: DataFrame, prices: DataFrame) -> DataFrame:
