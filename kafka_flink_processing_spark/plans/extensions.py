@@ -3504,6 +3504,34 @@ def _ccnet_lm(docs: DataFrame) -> DataFrame:
                     .cast("long").alias("logp6")))
 
 
+def _ccnet_lm_dense(docs: DataFrame) -> DataFrame:
+    """`_ccnet_lm` in its FROZEN-ARTIFACT form: one row for every one of
+    the _PPL_B buckets, so scoring a corpus the reference never saw
+    cannot drop OOV bigrams at the inner bucket join (r12 advisory fix:
+    the sparse LM only carries buckets observed in the reference, and a
+    streamed doc whose bigrams all hash into unseen buckets silently
+    lost its score). Unseen buckets get the SAME n_t=0 Laplace floor
+    logp6 = round((ln 1 - ln(t_tot + B)) * 1e6) the smoothing already
+    assigns to observed-but-untrusted buckets, and t_tot is unchanged by
+    the zero rows — so for any bucket both forms share, the two LMs are
+    bit-identical, and self-trained scoring (the batch query, the parity
+    tests) is unaffected (the extra rows match no probe)."""
+    h = _ccnet_bigram_buckets(docs)
+    bstats = h.groupBy("bucket").agg(
+        F.sum(F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+              .otherwise(0)).alias("n_t"))
+    dense = (docs.sparkSession.range(_PPL_B)
+             .select(F.col("id").alias("bucket"))
+             .join(bstats, "bucket", "left")
+             .select("bucket", F.coalesce("n_t", F.lit(0)).alias("n_t")))
+    tot = dense.agg(F.sum("n_t").alias("t_tot"))
+    return (dense.crossJoin(F.broadcast(tot))
+            .select("bucket",
+                    F.round((F.log(F.col("n_t") + 1)
+                             - F.log(F.col("t_tot") + _PPL_B)) * 1e6)
+                    .cast("long").alias("logp6")))
+
+
 def _ccnet_score_with_lm(docs: DataFrame, lm: DataFrame) -> DataFrame:
     """Score `docs` against a (bucket, logp6) LM relation: the per-doc
     score rows (doc_id, n_bigrams, xent_nats, ce_c). Integer-exact by

@@ -278,10 +278,13 @@ def ccnet_quality_filter_job(docs_stream: DataFrame,
     the ingest guard gave dedup, completed for the quality family.
 
     Scale shape: both artifacts are built ONCE and bounded — the LM is
-    <=4096 (bucket, logp6) rows, the tercile map <=~2000 centinat bins —
-    cached here and broadcast into every micro-batch join (in a
-    production pipeline they are persisted files, retrained on the
-    reference cadence, exactly like the Bloom decontamination bitmap).
+    exactly 4096 (bucket, logp6) rows (dense: unseen buckets carry the
+    n_t=0 smoothing floor, so OOV content still scores), the tercile
+    artifact is two boundary centinats compiled into the routing
+    expression — cached/collected here and broadcast into every
+    micro-batch join (in a production pipeline they are persisted
+    files, retrained on the reference cadence, exactly like the Bloom
+    decontamination bitmap).
     Per batch the only exchange is the doc-keyed score aggregation over
     the BATCH, never anything corpus-sized; tercile assignment is a
     broadcast probe. Unlike the batch query, the stream never computes
@@ -299,16 +302,39 @@ def ccnet_quality_filter_job(docs_stream: DataFrame,
     from pyspark.sql import functions as F
 
     from kafka_flink_processing_spark.plans.extensions import (
-        _ccnet_lm,
+        _ccnet_lm_dense,
         _ccnet_score_with_lm,
         _ccnet_tercile_map,
     )
 
-    lm = _ccnet_lm(reference_docs).cache()
+    # The LM freezes DENSE (one row per bucket, n_t=0 floor for buckets
+    # the reference never produced) and the tercile map freezes as its
+    # two BOUNDARY centinats rather than an exact-bin relation — the two
+    # r12 advisory fixes for out-of-reference content: with the sparse
+    # LM + exact-bin join, a streamed doc whose bigram buckets or whose
+    # ce_c bin never occurred in the reference corpus was silently
+    # dropped from scoring or routed 'unscorable' despite >=2 tokens.
+    # Now every >=2-token doc scores (OOV bigrams hit the smoothing
+    # floor) and tercile = greatest boundary <= ce_c, which reproduces
+    # the exact-bin assignment bit-for-bit on every bin the reference
+    # DID produce (the map is monotone in ce_c), so batch parity on a
+    # self-trained corpus is unchanged.
+    lm = _ccnet_lm_dense(reference_docs).cache()
     lm.count()  # freeze the LM artifact before the first epoch
     ter = _ccnet_tercile_map(
         _ccnet_score_with_lm(reference_docs, lm)).cache()
     ter.count()  # freeze the boundary artifact too
+    bounds = {int(r["ppl_tercile"]): r["b"]
+              for r in ter.groupBy("ppl_tercile")
+                          .agg(F.min("ce_c").alias("b")).collect()}
+    tercile = F.lit(1)
+    if bounds.get(2) is not None:
+        tercile = F.when(F.col("ce_c") >= F.lit(bounds[2]),
+                         F.lit(2)).otherwise(tercile)
+    if bounds.get(3) is not None:
+        tercile = F.when(F.col("ce_c") >= F.lit(bounds[3]),
+                         F.lit(3)).otherwise(tercile)
+    tercile = tercile.cast("long")
 
     keep = list(keep_terciles)
 
@@ -316,9 +342,8 @@ def ccnet_quality_filter_job(docs_stream: DataFrame,
         if batch.isEmpty():
             return
         b2 = _ccnet_score_with_lm(batch, lm)
-        scored = (batch.join(b2.join(F.broadcast(ter), "ce_c")
-                             .select("doc_id", "n_bigrams", "xent_nats",
-                                     "ppl_tercile"),
+        scored = (batch.join(b2.select("doc_id", "n_bigrams", "xent_nats",
+                                       tercile.alias("ppl_tercile")),
                              "doc_id", "left").persist())
         scored.filter(F.col("ppl_tercile").isin(keep)).write.mode(
             "overwrite").parquet(

@@ -127,6 +127,59 @@ def test_ccnet_stream_artifacts_frozen_across_batches(spark, tmp_path):
     assert by_id[100] == by_id[101]
 
 
+def test_ccnet_stream_oov_content_scores(spark, tmp_path):
+    """Frozen-artifact coverage (r12 advisory fix): a streamed doc whose
+    bigrams (or whose ce_c bin) never occurred in the REFERENCE corpus
+    must still be scored and routed head/middle/tail — 'unscorable' is
+    reserved for <2-token docs. The sparse-LM + exact-bin formulation
+    silently dropped such docs; the dense LM scores OOV bigrams at the
+    smoothing floor and the boundary thresholds cover every ce_c."""
+    _ensure_loaded()
+    src = str(tmp_path / "src")
+    ref_dir = str(tmp_path / "ref")
+    # reference corpus (vocabulary disjoint from the stream's), with a
+    # head/middle/tail spread so all three tercile boundaries exist
+    ref_rows = [(i, "aa bb cc dd " * 3, "en", "s", 36) for i in range(8)]
+    ref_rows += [(i, f"m{i}a m{i}b aa bb", "en", "s", 16)
+                 for i in range(8, 12)]
+    ref_rows += [(i, f"r{i}w r{i}x r{i}y r{i}z", "en", "s", 16)
+                 for i in range(12, 16)]
+    spark.createDataFrame(ref_rows, SCHEMA).coalesce(1).write.parquet(ref_dir)
+    # streamed corpus: entirely OOV words, plus one true unscorable
+    stream_rows = [(100 + i, f"z{i}p z{i}q z{i}r z{i}s", "en", "s", 16)
+                   for i in range(6)]
+    stream_rows.append((990, "solo", "en", "s", 4))
+    spark.createDataFrame(stream_rows, SCHEMA).coalesce(1) \
+         .write.parquet(f"{src}/b1")
+
+    reference = spark.read.schema(SCHEMA).parquet(ref_dir)
+    stream = spark.readStream.schema(SCHEMA).parquet(f"{src}/b*")
+    out = str(tmp_path / "out")
+    q, (lm, ter) = ccnet_quality_filter_job(
+        stream, reference, out, str(tmp_path / "ck"), available_now=True)
+    try:
+        q.awaitTermination(120)
+    finally:
+        q.stop()
+        lm.unpersist()
+        ter.unpersist()
+
+    acc = _read_epochs(spark, out, "accepted")
+    rej = _read_epochs(spark, out, "rejected")
+    uns = _read_epochs(spark, out, "unscorable")
+    # every >=2-token OOV doc scored and routed; only the 1-token doc is
+    # unscorable
+    assert {r.doc_id for r in uns} == {990}
+    assert {r.doc_id for r in acc + rej} == {100 + i for i in range(6)}
+    for r in acc + rej:
+        assert r.n_bigrams == 3 and r.xent_nats is not None
+        assert r.ppl_tercile in (1, 2, 3)
+    # all-OOV text scores at the uniform smoothing floor, which is the
+    # worst (highest) cross-entropy the frozen LM can assign — CCNet
+    # routes such content to the tail
+    assert all(r.ppl_tercile == 3 for r in rej) and rej
+
+
 def test_ccnet_stream_keep_tercile_knob(spark, tmp_path):
     """keep_terciles=(1,) keeps only the head — the CCNet strictness
     knob routes the middle tercile to rejected."""
