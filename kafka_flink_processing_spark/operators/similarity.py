@@ -205,16 +205,31 @@ def _ivf_best_sql(vec_col: str, nrm_col: str, centroids) -> str:
     plan as constants, so cell assignment adds no join and no exchange.
     `nrm_col` must be a materialized column (with_unit_info): it is
     referenced once per centroid and must not re-evaluate."""
-    coss = []
-    for cv in centroids:
-        lit = _lit_vec_sql(cv)
-        cn = f"sqrt({_dot_expr_sql(lit, lit)})"
-        den = f"({nrm_col} * {cn})"
-        coss.append(f"CASE WHEN {den} <> 0 THEN "
-                    f"{_dot_expr_sql(vec_col, lit)} / {den} END")
+    import math
+
+    # One 2-D centroid literal + a precomputed norm literal instead of K
+    # inlined vectors (r12: analysis cost scales with tree size — see
+    # _pq_sqds_sql). The norms are computed here with the SAME IEEE ops
+    # in the same order the constant-folded sqrt(dot(lit, lit)) ran on
+    # the JVM (sequential fold, correctly-rounded sqrt), so the literal
+    # denotes the identical double.
+    def _py_norm(cv) -> float:
+        acc = 0.0
+        for v in cv:
+            fv = float(v)
+            acc = acc + fv * fv
+        return math.sqrt(acc)
+
+    cents = _lit_mat_sql(centroids)
+    cns = "array(" + ", ".join(_dlit(_py_norm(cv)) for cv in centroids) + ")"
+    den = f"({nrm_col} * element_at({cns}, i + 1))"
+    cos = (f"CASE WHEN {den} <> 0 THEN "
+           f"{_dot_expr_sql(vec_col, f'element_at({cents}, i + 1)')}"
+           f" / {den} END")
     take = ("COALESCE(x > acc.v, acc.v IS NULL AND x IS NOT NULL) "
             "OR acc.j = -1")
-    return (f"aggregate(array({', '.join(coss)}), "
+    return (f"aggregate(transform(sequence(0, {len(centroids) - 1}), "
+            f"i -> {cos}), "
             "named_struct('v', CAST(NULL AS DOUBLE), 'j', -1, 'i', -1), "
             "(acc, x) -> named_struct("
             f"'v', IF({take}, x, acc.v), "
@@ -329,54 +344,78 @@ def _lit_vec_sql(cv) -> str:
                                  for v in cv) + ")")
 
 
-def _pq_sqds_sql(vec_col: str, codebook) -> list[str]:
-    """Per subspace m: SQL for the array<double> of K squared distances
-    from the vector's m-th slice to each literal centroid — the codebook
-    enters the plan as constants, not a joined relation."""
+def _dlit(v) -> str:
+    """One double as a SQL 'D'-suffixed literal — the same correctly
+    rounded text->double parse as the CAST form (identical bits), with
+    one parser token instead of a Cast(Literal) pair. Exists for the
+    codebook-sized literals (r12): expression ANALYSIS cost is
+    proportional to tree size and every DataFrame method re-analyzes
+    the whole plan, so the M*K*dsub codebook wants the fewest nodes
+    per value."""
+    r = repr(float(v))
+    return r + "D" if ("e" in r or "." in r or "inf" in r) else r + ".0D"
+
+
+def _lit_mat_sql(mat) -> str:
+    """A K x d centroid matrix as one 2-D array literal (D-suffixed)."""
+    return ("array(" + ", ".join(
+        "array(" + ", ".join(_dlit(v) for v in cv) + ")"
+        for cv in mat) + ")")
+
+
+def _pq_sqds_sql(vec_col: str, codebook) -> str:
+    """SQL for the M x K matrix (array<array<double>>) of squared
+    distances from the vector's m-th slice to each literal centroid —
+    the codebook enters the plan as constants, not a joined relation.
+    r12 shape: ONE 3-D codebook literal walked by transform lambdas
+    instead of M*K inlined sqd expressions — ~5x fewer expression nodes,
+    which is what the per-call DataFrame analysis cost scales with; the
+    optimizer constant-folds the codebook to a single array value, and
+    the inner transform produces the K distances in exactly the j order
+    (and the outer the m order) the array(...) form had, with the same
+    per-element arithmetic, so results are bit-identical."""
+    m_count = len(codebook)
     dsub = len(codebook[0][0])
-    return ["array(" + ", ".join(
-        _sqd_expr_sql(f"slice({vec_col}, {m * dsub + 1}, {dsub})",
-                      _lit_vec_sql(cv)) for cv in sub_cents) + ")"
-        for m, sub_cents in enumerate(codebook)]
+    cb = ("array(" + ", ".join(_lit_mat_sql(sub) for sub in codebook)
+          + ")")
+    sqd = _sqd_expr_sql(f"slice({vec_col}, m * {dsub} + 1, {dsub})", "cv")
+    return (f"transform(sequence(0, {m_count - 1}), m -> "
+            f"transform(element_at({cb}, m + 1), cv -> {sqd}))")
 
 
 def _pq_best_expr(vec_col: str, codebook) -> Column:
     """array<struct<v double, j int>>: per subspace, the argmin centroid
     (ties -> smallest j) and ITS squared distance, via a first-strict-min
-    fold. The fold iterates over the sqds array ITSELF (a positional
-    counter in the accumulator), so the K distance expressions evaluate
-    exactly once per row — a fold over sequence(0..K-1) indexing into
-    sqds would re-evaluate the whole array inside every lambda step.
+    fold. The fold iterates over the materialized sqds array ITSELF (a
+    positional counter in the accumulator), so the K distance
+    expressions evaluate exactly once per row — a fold over
+    sequence(0..K-1) indexing into sqds would re-evaluate the whole
+    array inside every lambda step.
     Replays the oracle's ROW_NUMBER(ORDER BY sqd, j) exactly, including
     non-finite inputs: both engines order NaN above every double, so
     `x < acc.v` skips NaN unless everything is NaN (then j=0 wins in
     both — the first element is always taken via the j = -1 guard)."""
-    folds = []
-    for sqds in _pq_sqds_sql(vec_col, codebook):
-        folds.append(
-            f"aggregate({sqds}, "
-            "named_struct('v', CAST('Infinity' AS DOUBLE), "
-            "'j', -1, 'i', -1), "
-            "(acc, x) -> named_struct("
-            "'v', IF(x < acc.v OR acc.j = -1, x, acc.v), "
-            "'j', IF(x < acc.v OR acc.j = -1, acc.i + 1, acc.j), "
-            "'i', acc.i + 1), "
-            "acc -> named_struct('v', acc.v, 'j', acc.j))")
-    return F.expr("array(" + ", ".join(folds) + ")")
+    return F.expr(
+        f"transform({_pq_sqds_sql(vec_col, codebook)}, sqds -> "
+        "aggregate(sqds, "
+        "named_struct('v', CAST('Infinity' AS DOUBLE), "
+        "'j', -1, 'i', -1), "
+        "(acc, x) -> named_struct("
+        "'v', IF(x < acc.v OR acc.j = -1, x, acc.v), "
+        "'j', IF(x < acc.v OR acc.j = -1, acc.i + 1, acc.j), "
+        "'i', acc.i + 1), "
+        "acc -> named_struct('v', acc.v, 'j', acc.j)))")
 
 
 def _pq_lut_expr(vec_col: str, codebook) -> Column:
     """Flat M*K ADC lookup table (index = m*K + j) as one map-side
     expression."""
-    return F.expr(
-        "flatten(array(" + ", ".join(_pq_sqds_sql(vec_col, codebook))
-        + "))")
+    return F.expr(f"flatten({_pq_sqds_sql(vec_col, codebook)})")
 
 
 def _ivf_centroids_lit_sql(centroids) -> str:
     """The whole centroid table as one 2-D array literal."""
-    return ("array(" + ", ".join(_lit_vec_sql(cv) for cv in centroids)
-            + ")")
+    return _lit_mat_sql(centroids)
 
 
 def residual_expr(vec_col: str, cell_col: str, centroids) -> Column:
