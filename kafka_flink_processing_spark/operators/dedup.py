@@ -96,12 +96,13 @@ def exact_dedup(docs: DataFrame, id_col: str = "doc_id",
 _SHINGLE_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _SIG_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 _INV_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
+_ESS_CACHE: dict[tuple, tuple[DataFrame, DataFrame]] = {}
 
 
 def clear_dedup_caches() -> None:
     """Unpersist and drop the dedup memo tables (frees executor storage;
     safe any time — consumers recompute lazily on next use)."""
-    for memo in (_SIG_CACHE, _SHINGLE_CACHE, _INV_CACHE):
+    for memo in (_SIG_CACHE, _SHINGLE_CACHE, _INV_CACHE, _ESS_CACHE):
         for _, derived in memo.values():
             try:
                 derived.unpersist()
@@ -490,6 +491,69 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
                     .alias("removed_fraction")))
 
 
+def _ess_anchor_index(docs: DataFrame, k: int, max_df: int,
+                      id_col: str, text_col: str) -> DataFrame:
+    """(doc_id, pos, g, gh) anchor index for ExactSubstr: positional
+    k-grams surviving the hash df>=2 screen AND the exact-gram
+    [2, max_df] cap — O(duplicated content) by construction. Memoized
+    per (input plan, k, max_df) like the shingle index above: the
+    relation feeds BOTH sides of the seed self-join plus the redact
+    apply step, and without a cache every consumer re-runs the
+    corpus-sized gram explode (the r12 executed plan showed the explode
+    3-4x per action). Cached + primed, the explode runs exactly twice
+    (once under the anchor aggregate, once materializing the
+    survivors), which is the minimum for a screen-then-attach shape
+    that never shuffles the corpus-sized gram-string relation — the
+    100 TB analogue is persisting the duplicated-content anchor table
+    once per corpus snapshot."""
+
+    def gram_at(i):  # i is the 1-based start position of the k-gram
+        return F.concat_ws(" ", *[F.element_at(F.col("words"), i + t)
+                                  for t in range(k)])
+
+    key, hit = _memo_lookup(_ESS_CACHE, docs,
+                            ("ess", id_col, text_col, k, max_df))
+    if hit is not None:
+        return hit
+    base = docs.select(F.col(id_col).alias("doc_id"),
+                       F.split(F.col(text_col), " ").alias("words"))
+    grams = F.when(
+        F.size("words") < k, F.array().cast("array<string>")).otherwise(
+        F.transform(F.sequence(F.lit(1), F.size("words") - (k - 1)),
+                    gram_at))
+    pg = (base.select("doc_id", F.posexplode(grams).alias("i0", "g"))
+              .select("doc_id", (F.col("i0") + 1).alias("pos"), "g",
+                      F.xxhash64("g").alias("gh")))
+    # anchor screen on the 8-byte hash: ONLY the df >= 2 lower bound
+    # (collision-safe in this direction; see docstring)
+    anchors = (pg.groupBy("gh")
+                 .agg(F.count_distinct("doc_id").alias("df"))
+                 .filter(F.col("df") >= 2)
+                 .select("gh"))
+    ag = pg.join(anchors, "gh", "leftsemi")
+    if key is not None:
+        ag = ag.cache()
+        ag.count()  # prime: the cap screen and the final attach both read it
+    # r12: the <= max_df cap binds on EXACT grams over the surviving
+    # relation (O(duplicated content)) — a hash-pooled df could exceed
+    # the cap and silently drop both colliding grams' spans at scale.
+    # The exact df >= 2 bound rides along for free: it drops grams that
+    # only survived the hash screen via a collision (they would die in
+    # the exact-string pair join anyway, but this keeps their rows out
+    # of the self-join entirely).
+    capped = (ag.groupBy("gh", "g")
+                .agg(F.count_distinct("doc_id").alias("gdf"))
+                .filter((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
+                .select("gh", "g"))
+    out = ag.join(capped, ["gh", "g"], "leftsemi")
+    if key is not None:
+        out = out.cache()
+        out.count()  # prime once; both self-join sides + redact reuse it
+        ag.unpersist()  # superseded by the capped relation
+        _ESS_CACHE[key] = (docs, out)
+    return out
+
+
 def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
                       id_col: str = "doc_id",
                       text_col: str = "text") -> DataFrame:
@@ -547,39 +611,7 @@ def exactsubstr_spans(docs: DataFrame, min_len: int = 8, max_df: int = 64,
     only, doc_a < doc_b); word-granular, like the rest of the dup-span
     family. Integer/string-only arithmetic, bit-exact oracle."""
     k = min_len
-    base = docs.select(F.col(id_col).alias("doc_id"),
-                       F.split(F.col(text_col), " ").alias("words"))
-
-    def gram_at(i):  # i is the 1-based start position of the k-gram
-        return F.concat_ws(" ", *[F.element_at(F.col("words"), i + t)
-                                  for t in range(k)])
-
-    grams = F.when(
-        F.size("words") < k, F.array().cast("array<string>")).otherwise(
-        F.transform(F.sequence(F.lit(1), F.size("words") - (k - 1)),
-                    gram_at))
-    pg = (base.select("doc_id", F.posexplode(grams).alias("i0", "g"))
-              .select("doc_id", (F.col("i0") + 1).alias("pos"), "g",
-                      F.xxhash64("g").alias("gh")))
-    # anchor screen on the 8-byte hash: ONLY the df >= 2 lower bound
-    # (collision-safe in this direction; see docstring)
-    anchors = (pg.groupBy("gh")
-                 .agg(F.count_distinct("doc_id").alias("df"))
-                 .filter(F.col("df") >= 2)
-                 .select("gh"))
-    ag = pg.join(anchors, "gh", "leftsemi")
-    # r12: the <= max_df cap binds on EXACT grams over the surviving
-    # relation (O(duplicated content)) — a hash-pooled df could exceed
-    # the cap and silently drop both colliding grams' spans at scale.
-    # The exact df >= 2 bound rides along for free: it drops grams that
-    # only survived the hash screen via a collision (they would die in
-    # the exact-string pair join anyway, but this keeps their rows out
-    # of the self-join entirely).
-    capped = (ag.groupBy("gh", "g")
-                .agg(F.count_distinct("doc_id").alias("gdf"))
-                .filter((F.col("gdf") >= 2) & (F.col("gdf") <= max_df))
-                .select("gh", "g"))
-    ag = ag.join(capped, ["gh", "g"], "leftsemi")
+    ag = _ess_anchor_index(docs, k, max_df, id_col, text_col)
     a, b = ag.alias("a"), ag.alias("b")
     # join on the hash, verify the exact string (collision-proof), and
     # orient pairs doc_a < doc_b
