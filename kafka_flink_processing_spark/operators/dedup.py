@@ -460,14 +460,32 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
         F.transform(F.sequence(F.lit(1), F.size("words") - (n - 1)), gram_at))
     pg = base.select("doc_id", F.posexplode(grams).alias("i0", "sh"))
     flagged = pg.join(dup_index, "sh", "leftsemi")
+    # r12 (guide §3.1: pick the strategy deliberately): the rebuild tail
+    # must never BROADCAST a corpus-scaled relation. Statically the
+    # planner estimated `covered` and `rebuilt` under the auto-broadcast
+    # threshold (their sizes hide behind Generate/aggregate estimates)
+    # and planned BuildRight broadcasts of BOTH — `covered` is every
+    # duplicated word position and `rebuilt` the full rewritten corpus;
+    # at a 256x replication the covered broadcast was measured to
+    # actually build 8.2 GiB and die on the 8 GiB broadcast cap. Shape
+    # now: co-partition words and covered positions by doc_id ONCE (the
+    # one corpus-text exchange the rebuild aggregation was going to pay
+    # anyway — it now rides this partitioning), dedup covered within the
+    # same partitioning, and bind the anti-join to a per-partition hash
+    # build (shuffle_hash: build side = this partition's covered
+    # positions, bounded by per-doc length — no sort, no broadcast, no
+    # second corpus exchange at ANY scale).
     covered = (flagged.select(
         "doc_id",
         F.explode(F.sequence(F.col("i0") + 1,
                              F.col("i0") + n)).alias("j"))
-        .distinct())
+        .repartition(F.col("doc_id"))
+        .dropDuplicates(["doc_id", "j"]))
     pw = base.select("doc_id", F.posexplode("words").alias("j0", "w")) \
-             .select("doc_id", (F.col("j0") + 1).alias("j"), "w")
-    kept = pw.join(covered, ["doc_id", "j"], "left_anti")
+             .select("doc_id", (F.col("j0") + 1).alias("j"), "w") \
+             .repartition(F.col("doc_id"))
+    kept = pw.join(covered.hint("shuffle_hash"), ["doc_id", "j"],
+                   "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(" ", F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("j").alias("j"),
@@ -481,7 +499,12 @@ def dup_span_redact(docs: DataFrame, n: int = 3, min_df: int = 2,
                         .alias("n_words"))
     n_removed = F.col("n_words") - F.coalesce("n_kept",
                                               F.lit(0).cast("long"))
-    return (sizes.join(rebuilt, "doc_id", "left")
+    # merge, not broadcast: `rebuilt` (the preserved-side payload) rides
+    # its own doc_id partitioning, `sizes` is one narrow long per doc —
+    # SMJ streams the text rows instead of holding the corpus in a hash
+    # relation (the static plan used to broadcast the WHOLE rebuilt
+    # corpus here)
+    return (sizes.join(rebuilt.hint("merge"), "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     "n_words",
@@ -661,17 +684,26 @@ def exactsubstr_redact(docs: DataFrame, min_len: int = 8,
     the doc-keyed reassembly, which IS the output."""
     spans = exactsubstr_spans(docs, min_len=min_len, max_df=max_df,
                               id_col=id_col, text_col=text_col)
+    # same scale-safe rebuild tail as dup_span_redact (r12, guide §3.1):
+    # co-partition words + covered positions by doc_id once, per-partition
+    # hash anti-join (never a broadcast of the covered relation), and a
+    # merge attach that streams the rebuilt text instead of broadcasting
+    # the whole rewritten corpus — see dup_span_redact for the measured
+    # 256x broadcast-cap failure this shape prevents.
     covered = (spans.select(
         F.col("doc_b").alias("doc_id"),
         F.explode(F.sequence(
             F.col("b_start"),
             F.col("b_start") + F.col("span_len") - 1)).alias("j"))
-        .distinct())
+        .repartition(F.col("doc_id"))
+        .dropDuplicates(["doc_id", "j"]))
     base = docs.select(F.col(id_col).alias("doc_id"),
                        F.split(F.col(text_col), " ").alias("words"))
     pw = (base.select("doc_id", F.posexplode("words").alias("j0", "w"))
-              .select("doc_id", (F.col("j0") + 1).alias("j"), "w"))
-    kept = pw.join(covered, ["doc_id", "j"], "left_anti")
+              .select("doc_id", (F.col("j0") + 1).alias("j"), "w")
+              .repartition(F.col("doc_id")))
+    kept = pw.join(covered.hint("shuffle_hash"), ["doc_id", "j"],
+                   "left_anti")
     rebuilt = kept.groupBy("doc_id").agg(
         F.concat_ws(" ", F.transform(
             F.array_sort(F.collect_list(F.struct(F.col("j").alias("j"),
@@ -682,7 +714,7 @@ def exactsubstr_redact(docs: DataFrame, min_len: int = 8,
                         .alias("n_words"))
     n_removed = F.col("n_words") - F.coalesce("n_kept",
                                               F.lit(0).cast("long"))
-    return (sizes.join(rebuilt, "doc_id", "left")
+    return (sizes.join(rebuilt.hint("merge"), "doc_id", "left")
             .select("doc_id",
                     F.coalesce("clean_text", F.lit("")).alias("clean_text"),
                     "n_words",
