@@ -89,6 +89,46 @@ def force(df) -> None:
     df.write.mode("overwrite").format("noop").save()
 
 
+def gated_attempts(measure, max_attempts: int, threshold: float = 1.2,
+                   control_floors: dict[str, float] | None = None,
+                   ) -> tuple[dict[str, float], list[dict[str, float]]]:
+    """Controls-gated retry (r11 verdict task 3).
+
+    The official bench has repeatedly sampled hostile box windows —
+    BENCH_r09/r10/r11 all carry control ratios 1.3-2.8 — and a raw subtotal
+    read against its floor then misleads a mechanical reader. Re-run the
+    full measurement (`measure` returns one attempt's per-query min times)
+    until the SAME-RUN control ratio reads quiet (max ratio < `threshold`),
+    capped at `max_attempts`; the official record is the attempt with the
+    LOWEST box factor, and every attempt's controls are returned so the
+    JSON hides nothing. This floors the official artifact at the best
+    observed window mechanically instead of by narrative. Timings never mix
+    across attempts — each attempt's per-query numbers and its controls
+    come from the same window, which is what makes the adjudication valid
+    (a cross-attempt per-query min would pair quiet-window numbers with a
+    contended window's controls).
+    """
+    floors = CONTROL_FLOORS if control_floors is None else control_floors
+    attempt_controls: list[dict[str, float]] = []
+    best_times: dict[str, float] = {}
+    best_factor = float("inf")
+    for attempt in range(max_attempts):
+        cand = measure()
+        attempt_controls.append(
+            {q: round(cand[q] / floor, 3) for q, floor in floors.items()})
+        factor = max(cand[q] / floor for q, floor in floors.items())
+        if factor < best_factor:
+            best_factor, best_times = factor, cand
+        if best_factor < threshold:
+            break
+        print(f"bench attempt {attempt + 1}/{max_attempts}: contended box "
+              f"(control factor {factor:.3f} >= {threshold}); "
+              + ("retrying" if attempt + 1 < max_attempts
+                 else "attempts exhausted, keeping best"),
+              file=sys.stderr)
+    return best_times, attempt_controls
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_spark("bench")
@@ -149,29 +189,51 @@ def main() -> None:
         print(f"warning: SPARK_GRAFT_BENCH_PASSES={raw_passes!r} is not an "
               f"int; falling back to 3", file=sys.stderr)
         n_passes = 3
-    # keep the RAW best per query; round once when emitting (round-then-min
-    # could drift the stored time below any actual measurement)
-    times: dict[str, float] = {}
-    for _ in range(n_passes):
-        for name, spec in headline.items():
-            t0 = time.time()
-            force(spec.spark(spark, sf_dir))
-            dt = time.time() - t0
-            times[name] = min(times.get(name, float("inf")), dt)
 
-    # The two applyInPandas fold queries converge over ~8 reps (Python
-    # worker reuse + Arrow path warm-up), not the ~2 the suite passes
-    # provide — their 3-pass min samples a shallow warm-up depth and
-    # wobbled +/-45% across rounds (r5 verdict; isolated 10-rep evidence
-    # in SCALE.md §PnL-fold variance). Extra BACK-TO-BACK reps are correct
-    # here, unlike for contention noise: the noise source is warm-up
-    # depth, which back-to-back repetition monotonically burns down.
-    for name in ("pnl_positions_fold", "pnl_positions_hybrid"):
-        if name in headline:
-            for _ in range(5):
+    def measure_attempt() -> dict[str, float]:
+        # keep the RAW best per query; round once when emitting
+        # (round-then-min could drift the stored time below any actual
+        # measurement)
+        times: dict[str, float] = {}
+        for _ in range(n_passes):
+            for name, spec in headline.items():
                 t0 = time.time()
-                force(headline[name].spark(spark, sf_dir))
-                times[name] = min(times[name], time.time() - t0)
+                force(spec.spark(spark, sf_dir))
+                dt = time.time() - t0
+                times[name] = min(times.get(name, float("inf")), dt)
+
+        # The two applyInPandas fold queries converge over ~8 reps (Python
+        # worker reuse + Arrow path warm-up), not the ~2 the suite passes
+        # provide — their 3-pass min samples a shallow warm-up depth and
+        # wobbled +/-45% across rounds (r5 verdict; isolated 10-rep evidence
+        # in SCALE.md §PnL-fold variance). Extra BACK-TO-BACK reps are
+        # correct here, unlike for contention noise: the noise source is
+        # warm-up depth, which back-to-back repetition monotonically burns
+        # down.
+        for name in ("pnl_positions_fold", "pnl_positions_hybrid"):
+            if name in headline:
+                for _ in range(5):
+                    t0 = time.time()
+                    force(headline[name].spark(spark, sf_dir))
+                    times[name] = min(times[name], time.time() - t0)
+        return times
+
+    # The control floors were recorded at 32 cores; at any other core
+    # count the ratios read high for PARALLELISM reasons, not contention,
+    # and the gate would burn 3 full attempts every run (the driver
+    # deliberately re-benches at lower core counts to measure scaling).
+    # Default the retry to the floors' core count only; an explicit
+    # $SPARK_GRAFT_BENCH_ATTEMPTS still overrides either way.
+    at_floor_cores = os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+    raw_attempts = os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS",
+                                  "3" if at_floor_cores else "1")
+    try:
+        max_attempts = max(1, int(raw_attempts))
+    except ValueError:
+        print(f"warning: SPARK_GRAFT_BENCH_ATTEMPTS={raw_attempts!r} is not "
+              f"an int; falling back to 3", file=sys.stderr)
+        max_attempts = 3
+    times, attempt_controls = gated_attempts(measure_attempt, max_attempts)
 
     rounded = {name: round(t, 3) for name, t in times.items()}
     print(json.dumps({
@@ -193,6 +255,10 @@ def main() -> None:
             q: round(times[q] / floor, 3)
             for q, floor in CONTROL_FLOORS.items()
         },
+        # every attempt's controls, in order (len 1 on a quiet box): the
+        # retry gate's full audit trail — the official numbers above come
+        # from the attempt whose factor is the minimum of these.
+        "attempt_controls": attempt_controls,
         "sf": sf_from_dir(sf_dir),
     }))
 

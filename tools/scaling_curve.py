@@ -187,14 +187,23 @@ def main() -> None:
                           perturb_text=dedup_mode or r10b_mode
                           or r11_mode)
             times = {}
+            all_reps: dict[str, list[float]] = {}
             for name in query_set:
                 best = float("inf")
+                samples = []
                 for _ in range(2):
                     t0 = time.time()
                     force(QUERIES[name].spark(spark, td))
-                    best = min(best, time.time() - t0)
+                    samples.append(round(time.time() - t0, 3))
+                    best = min(best, samples[-1])
                 times[name] = round(best, 3)
+                all_reps[name] = samples
+            # `all` (r12): per-rep samples in order. For memoized operators
+            # (dedup/ExactSubstr index caches) rep 1 is the COLD number
+            # (index build included) and rep 2 the warm read — report both
+            # slopes; the min alone would hide the build's growth.
             print(json.dumps({"reps": reps, "queries": times,
+                              "all": all_reps,
                               "total": round(sum(times.values()), 3)}),
                   flush=True)
         finally:
