@@ -224,7 +224,11 @@ def main() -> None:
     # deliberately re-benches at lower core counts to measure scaling).
     # Default the retry to the floors' core count only; an explicit
     # $SPARK_GRAFT_BENCH_ATTEMPTS still overrides either way.
-    at_floor_cores = os.environ.get("SPARK_GRAFT_CPUS", "32") == "32"
+    try:  # resolve exactly like session.py so unset means the real core count
+        at_floor_cores = int(os.environ.get(
+            "SPARK_GRAFT_CPUS", os.cpu_count() or 4)) == 32
+    except ValueError:
+        at_floor_cores = False
     raw_attempts = os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS",
                                   "3" if at_floor_cores else "1")
     try:
