@@ -452,19 +452,47 @@ def decode_png(b: bytes) -> dict:
         elif ft == 2:       # Up
             rec = line + prev
         elif ft in (3, 4):  # Average / Paeth: left-dependency -> pixel loop
-            rec = np.empty(stride, dtype=np.uint8)
-            zero = np.zeros(ch, dtype=np.uint8)
-            for j in range(w):
-                s = slice(j * ch, (j + 1) * ch)
-                left = rec[s.start - ch:s.start] if j else zero
-                up = prev[s]
+            if ch == 1:
+                # r12 (guide §4.2): the grayscale lane — every synthetic
+                # corpus image — runs the sequential recurrence on plain
+                # Python ints over lists (~10x less per-step overhead
+                # than one numpy slice per pixel; identical mod-256
+                # arithmetic, identical Paeth tie-breaking)
+                ln, pv = line.tolist(), prev.tolist()
+                rl: list[int] = [0] * stride
+                left = 0
                 if ft == 3:
-                    pred = ((left.astype(np.uint16) + up) // 2).astype(
-                        np.uint8)
+                    for j in range(w):
+                        left = (ln[j] + ((left + pv[j]) >> 1)) & 0xFF
+                        rl[j] = left
                 else:
-                    upleft = prev[s.start - ch:s.start] if j else zero
-                    pred = _paeth(left, up, upleft)
-                rec[s] = line[s] + pred
+                    upleft = 0
+                    for j in range(w):
+                        up = pv[j]
+                        p = left + up - upleft
+                        pa = p - left if p >= left else left - p
+                        pb = p - up if p >= up else up - p
+                        pc = p - upleft if p >= upleft else upleft - p
+                        pred = left if pa <= pb and pa <= pc else \
+                            (up if pb <= pc else upleft)
+                        left = (ln[j] + pred) & 0xFF
+                        rl[j] = left
+                        upleft = up
+                rec = np.asarray(rl, dtype=np.uint8)
+            else:
+                rec = np.empty(stride, dtype=np.uint8)
+                zero = np.zeros(ch, dtype=np.uint8)
+                for j in range(w):
+                    s = slice(j * ch, (j + 1) * ch)
+                    left = rec[s.start - ch:s.start] if j else zero
+                    up = prev[s]
+                    if ft == 3:
+                        pred = ((left.astype(np.uint16) + up) // 2).astype(
+                            np.uint8)
+                    else:
+                        upleft = prev[s.start - ch:s.start] if j else zero
+                        pred = _paeth(left, up, upleft)
+                    rec[s] = line[s] + pred
         else:
             raise ValueError(f"PNG unknown filter type {ft}")
         out[r] = rec
@@ -502,9 +530,12 @@ def with_png_payload(docs: DataFrame, text_col: str = "text",
                 # per-CHAR codepoints % 256, NOT utf-8 bytes: the oracle
                 # computes from ascii(c) per character, so multibyte
                 # chars must contribute ONE pixel each (same latent
-                # divergence class as the r8 WAV finding)
-                px[:n] = np.fromiter((ord(c) % 256 for c in s),
-                                     dtype=np.uint8, count=n)
+                # divergence class as the r8 WAV finding). utf-32-le is
+                # exactly one uint32 codepoint per char, so the encode +
+                # frombuffer path vectorizes ord(c) % 256 (r12, §4.2 —
+                # the per-char generator was the encode stage's hot loop)
+                px[:n] = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4").astype(np.uint8)
                 payloads.append(encode_png(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})

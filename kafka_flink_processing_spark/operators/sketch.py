@@ -58,30 +58,48 @@ from pyspark.sql import functions as F
 MG_CAPACITY = 16384
 
 
-def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
-             capacity: int) -> tuple[dict[str, int], int]:
-    """Fold a partition's batches into one Misra-Gries dict (<= capacity
-    entries) plus the partition's exact decrement total d_p. Per batch:
-    vectorized value_counts, then the mergeable-MG overflow step —
-    subtract the (capacity+1)-th largest count from all and drop the
-    non-positive — which preserves the n_p/(C+1) error bound (Agarwal et
-    al., Mergeable Summaries). Any gram ABSENT from the returned dict has
+def _mg_fold_series(batches: Iterator[pd.DataFrame], col: str,
+                    capacity: int) -> tuple[pd.Series, int]:
+    """Vectorized core of the Misra-Gries fold (r12, guide §4.2: hand
+    whole batches to native code instead of looping rows in Python).
+    Per batch: value_counts (C) merged into the running summary with
+    Series.add (C-level index alignment) — the scalar form walked every
+    distinct key of every batch through a Python dict loop. The overflow
+    step is unchanged arithmetic: subtract the (capacity+1)-th largest
+    count from all and drop the non-positive (Agarwal et al., Mergeable
+    Summaries), so the n_p/(C+1) error bound and the decrement total d_p
+    are bit-identical to the scalar form. Counts ride float64 between
+    overflows (exact below 2^53 — a partition cannot hold that many
+    rows) and return int64. Any key ABSENT from the returned summary has
     a true partition count <= the returned d_p (each overflow lowered
     every counter, present or virtual, by exactly `thresh`)."""
-    counts: dict[str, int] = {}
+    acc: pd.Series | None = None
     dropped = 0
     for pdf in batches:
-        for g, c in pdf[col].value_counts().items():
-            counts[g] = counts.get(g, 0) + int(c)
-        if len(counts) > capacity:
-            vals = np.fromiter(counts.values(), dtype=np.int64,
-                               count=len(counts))
+        vc = pdf[col].value_counts(sort=False)
+        acc = vc.astype("float64") if acc is None \
+            else acc.add(vc, fill_value=0.0)
+        if len(acc) > capacity:
+            vals = acc.to_numpy()
             # (capacity+1)-th largest = index len-capacity-1 ascending
             thresh = np.partition(vals, len(vals) - capacity - 1)[
                 len(vals) - capacity - 1]
             dropped += int(thresh)
-            counts = {g: c - thresh for g, c in counts.items() if c > thresh}
-    return counts, dropped
+            acc = (acc - thresh)[vals > thresh]
+    if acc is None:
+        return pd.Series(dtype="int64"), dropped
+    return acc.astype("int64"), dropped
+
+
+def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
+             capacity: int) -> tuple[dict[str, int], int]:
+    """Dict-facing Misra-Gries fold (<= capacity entries) plus the
+    partition's exact decrement total d_p — a thin wrapper over
+    _mg_fold_series (the property tests and downstream docstrings speak
+    dicts; the hot path, _mg_scan, reads the Series directly and never
+    pays this conversion)."""
+    acc, dropped = _mg_fold_series(batches, col, capacity)
+    return dict(zip(acc.index.tolist(), acc.tolist())), dropped
 
 
 def _mg_scan(grams: DataFrame, col: str = "g",
@@ -116,13 +134,26 @@ def _mg_scan(grams: DataFrame, col: str = "g",
                 n_rows += len(pdf)
                 yield pdf
 
-        counts, dropped = _mg_fold(counted_batches(), "gh", capacity)
-        if counts or dropped:  # empty partition yields nothing
+        counts, dropped = _mg_fold_series(counted_batches(), "gh", capacity)
+        if len(counts) or dropped:  # empty partition yields nothing
+            # candidate rows then ONE marker row, built as masked int
+            # arrays (no Python list per candidate — guide §4.2)
+            m = len(counts)
+            gh = np.zeros(m + 1, dtype=np.int64)
+            gh[:m] = counts.index.to_numpy(dtype=np.int64, copy=False)
+            gh_mask = np.zeros(m + 1, dtype=bool)
+            gh_mask[m] = True  # marker carries NULL gh
+            marker = np.zeros(m + 1, dtype=np.int64)
+            marker_mask = np.ones(m + 1, dtype=bool)  # candidates NULL
+            marker_mask[m] = False
+            d = marker.copy()
+            d[m] = dropped
+            nn = marker.copy()
+            nn[m] = n_rows
             yield pd.DataFrame(
-                {"gh": pd.array(list(counts.keys()) + [None],
-                                dtype="Int64"),
-                 "__mg_d": [None] * len(counts) + [dropped],
-                 "__mg_n": [None] * len(counts) + [n_rows]})
+                {"gh": pd.arrays.IntegerArray(gh, gh_mask),
+                 "__mg_d": pd.arrays.IntegerArray(d, marker_mask.copy()),
+                 "__mg_n": pd.arrays.IntegerArray(nn, marker_mask)})
 
     return hashed.mapInPandas(
         fold, schema="gh long, __mg_d long, __mg_n long")
