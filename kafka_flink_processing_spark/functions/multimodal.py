@@ -807,8 +807,10 @@ def with_wav_payload(docs: DataFrame, text_col: str = "text",
             payloads = []
             for t in pdf[text_col]:
                 s = "" if t is None else t
-                codes = np.fromiter((ord(c) % 128 for c in s),
-                                    dtype=np.int32, count=len(s))
+                # utf-32-le = one uint32 codepoint per char (r12, §4.2:
+                # vectorized ord(c) % 128 — see with_png_payload)
+                codes = (np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+                         .astype(np.int32) & 0x7F)
                 samples = ((codes - WAV_DC) * 256).astype(np.int16)
                 payloads.append(encode_wav(samples))
             yield pd.DataFrame({"doc_id": pdf[id_col],
@@ -882,9 +884,10 @@ def with_gif_payload(docs: DataFrame, text_col: str = "text",
                 w = 8 + n % 24
                 h = n // w + 1
                 px = np.full(w * h, PNG_PAD, dtype=np.uint8)
-                # per-CHAR codepoints % 256 — see with_png_payload
-                px[:n] = np.fromiter((ord(c) % 256 for c in s),
-                                     dtype=np.uint8, count=n)
+                # per-CHAR codepoints % 256, vectorized through the
+                # utf-32-le view — see with_png_payload (r12, §4.2)
+                px[:n] = np.frombuffer(
+                    s.encode("utf-32-le"), dtype="<u4").astype(np.uint8)
                 payloads.append(encode_gif(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})
