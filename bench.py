@@ -91,7 +91,7 @@ def force(df) -> None:
 
 def gated_attempts(measure, max_attempts: int, threshold: float = 1.2,
                    control_floors: dict[str, float] | None = None,
-                   ) -> tuple[dict[str, float], list[dict[str, float]]]:
+                   ) -> tuple[dict[str, float], list[dict[str, float]], object]:
     """Controls-gated retry (r11 verdict task 3).
 
     The official bench has repeatedly sampled hostile box windows —
@@ -107,18 +107,29 @@ def gated_attempts(measure, max_attempts: int, threshold: float = 1.2,
     come from the same window, which is what makes the adjudication valid
     (a cross-attempt per-query min would pair quiet-window numbers with a
     contended window's controls).
+
+    r13 (verdict task 1): `measure` may return either a plain per-query
+    times dict (the r12 contract, kept for the pure-logic tests) or a
+    (times, extra) tuple; `extra` — in the real bench, the attempt's
+    pass-1 cold times — rides along and the KEPT attempt's extra is
+    returned as the third element, so cold numbers and the official min
+    always come from the same window.
     """
     floors = CONTROL_FLOORS if control_floors is None else control_floors
     attempt_controls: list[dict[str, float]] = []
     best_times: dict[str, float] = {}
+    best_extra: object = None
     best_factor = float("inf")
     for attempt in range(max_attempts):
         cand = measure()
+        extra = None
+        if isinstance(cand, tuple):
+            cand, extra = cand
         attempt_controls.append(
             {q: round(cand[q] / floor, 3) for q, floor in floors.items()})
         factor = max(cand[q] / floor for q, floor in floors.items())
         if factor < best_factor:
-            best_factor, best_times = factor, cand
+            best_factor, best_times, best_extra = factor, cand, extra
         if best_factor < threshold:
             break
         print(f"bench attempt {attempt + 1}/{max_attempts}: contended box "
@@ -126,7 +137,7 @@ def gated_attempts(measure, max_attempts: int, threshold: float = 1.2,
               + ("retrying" if attempt + 1 < max_attempts
                  else "attempts exhausted, keeping best"),
               file=sys.stderr)
-    return best_times, attempt_controls
+    return best_times, attempt_controls, best_extra
 
 
 def main() -> None:
@@ -180,8 +191,9 @@ def main() -> None:
     # is still end-to-end
     # (full plan, noop sink, no collect). Caches that memoize *artifacts*
     # (shingle/signature tables) stay warm across passes — deliberate: the
-    # production analogue is a persisted index, and pass-1 cold numbers are
-    # reported nowhere.
+    # production analogue is a persisted index. Since r13 the pass-1 cold
+    # numbers are REPORTED (`first_pass_sec`, cleared-memo pass 1 of the
+    # kept attempt), so warm-min and cold-build are separable per query.
     raw_passes = os.environ.get("SPARK_GRAFT_BENCH_PASSES", "3")
     try:
         n_passes = max(1, int(raw_passes))
@@ -190,17 +202,42 @@ def main() -> None:
               f"int; falling back to 3", file=sys.stderr)
         n_passes = 3
 
-    def measure_attempt() -> dict[str, float]:
+    def clear_warm_state() -> None:
+        # r13 (verdict task 1): every attempt starts COLD. The in-process
+        # artifact memos (dedup shingle/signature/inverted/ExactSubstr
+        # anchor, the CC edge table) and every per-call persist (ccnet
+        # score relation, BPE word relation, pnl state table) survive
+        # across passes by design — the production analogue is a
+        # persisted index — but they made pass-2/3 mins warm-memo times
+        # a reader could not separate from per-run wins. Clearing them
+        # at attempt start makes pass 1 a true cold build, reported
+        # below as `first_pass_sec`, while the official per-query min
+        # keeps the unchanged warm best-of-N methodology.
+        from kafka_flink_processing_spark.operators.cluster import (
+            clear_cluster_caches,
+        )
+        from kafka_flink_processing_spark.operators.dedup import (
+            clear_dedup_caches,
+        )
+        clear_dedup_caches()
+        clear_cluster_caches()
+        spark.catalog.clearCache()  # per-call persists (CacheManager-deduped)
+
+    def measure_attempt() -> tuple[dict[str, float], dict[str, float]]:
         # keep the RAW best per query; round once when emitting
         # (round-then-min could drift the stored time below any actual
         # measurement)
+        clear_warm_state()
         times: dict[str, float] = {}
-        for _ in range(n_passes):
+        first_pass: dict[str, float] = {}
+        for pass_i in range(n_passes):
             for name, spec in headline.items():
                 t0 = time.time()
                 force(spec.spark(spark, sf_dir))
                 dt = time.time() - t0
                 times[name] = min(times.get(name, float("inf")), dt)
+                if pass_i == 0:
+                    first_pass[name] = dt
 
         # The two applyInPandas fold queries converge over ~8 reps (Python
         # worker reuse + Arrow path warm-up), not the ~2 the suite passes
@@ -216,7 +253,7 @@ def main() -> None:
                     t0 = time.time()
                     force(headline[name].spark(spark, sf_dir))
                     times[name] = min(times[name], time.time() - t0)
-        return times
+        return times, first_pass
 
     # The control floors were recorded at 32 cores; at any other core
     # count the ratios read high for PARALLELISM reasons, not contention,
@@ -237,7 +274,8 @@ def main() -> None:
         print(f"warning: SPARK_GRAFT_BENCH_ATTEMPTS={raw_attempts!r} is not "
               f"an int; falling back to 3", file=sys.stderr)
         max_attempts = 3
-    times, attempt_controls = gated_attempts(measure_attempt, max_attempts)
+    times, attempt_controls, first_pass = gated_attempts(
+        measure_attempt, max_attempts)
 
     rounded = {name: round(t, 3) for name, t in times.items()}
     print(json.dumps({
@@ -263,6 +301,13 @@ def main() -> None:
         # retry gate's full audit trail — the official numbers above come
         # from the attempt whose factor is the minimum of these.
         "attempt_controls": attempt_controls,
+        # per-query COLD time (r12 verdict task 1): pass 1 of the kept
+        # attempt, with every in-process memo and Spark cache cleared at
+        # attempt start — the index/artifact build cost the warm min
+        # amortizes away. Read `queries` for the per-run steady state and
+        # this key for the cold build; both come from the same window.
+        "first_pass_sec": {n: round(t, 3)
+                           for n, t in (first_pass or {}).items()},
         "sf": sf_from_dir(sf_dir),
     }))
 

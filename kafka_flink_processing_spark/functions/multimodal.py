@@ -533,9 +533,14 @@ def with_png_payload(docs: DataFrame, text_col: str = "text",
                 # divergence class as the r8 WAV finding). utf-32-le is
                 # exactly one uint32 codepoint per char, so the encode +
                 # frombuffer path vectorizes ord(c) % 256 (r12, §4.2 —
-                # the per-char generator was the encode stage's hot loop)
+                # the per-char generator was the encode stage's hot loop).
+                # surrogatepass keeps lone surrogates encodable like the
+                # old ord(c) path did (unreachable via Arrow-delivered
+                # Spark strings; matters for direct/test callers — r12
+                # advice)
                 px[:n] = np.frombuffer(
-                    s.encode("utf-32-le"), dtype="<u4").astype(np.uint8)
+                    s.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+                ).astype(np.uint8)
                 payloads.append(encode_png(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})
@@ -660,6 +665,149 @@ def _lzw_decode_gif(stream: bytes, min_code: int = 8) -> bytes:
         prev = entry
 
 
+def _lzw_decode_gif_np(stream: bytes, min_code: int = 8) -> bytes:
+    """Vectorized `_lzw_decode_gif` (r13, guide §4.2 — the GIF decode
+    stage's remaining Python loop was this bit-walk + table walk; the
+    scalar form pays ~6 interpreter ops per code plus a bytes concat per
+    table entry). Bit-identical output and the same error surface as the
+    scalar decoder (pinned by a differential test over round-trip,
+    deferred-clear and corrupt streams):
+
+    - codes are batch-extracted with numpy gathers in CONSTANT-WIDTH runs
+      (the width schedule is deterministic in the count of data codes
+      since the last CLEAR, so each run's length is known up front and a
+      run never overshoots a width bump);
+    - the table is never materialized as strings: entries live as
+      (parent code, appended byte, first byte, length) arrays; first
+      bytes and lengths resolve by chain-walking over shrinking masks
+      (depth = max entry length, each pass one vector gather);
+    - the output is written by a backward parent-walk vectorized across
+      ALL emitted codes at once (each pass writes one byte of every
+      still-active string), so total work is O(output bytes) of numpy
+      element ops instead of per-byte Python.
+    """
+    import numpy as np
+
+    clear = 1 << min_code
+    eoi = clear + 1
+    data = np.frombuffer(stream, dtype=np.uint8)
+    total_bits = 8 * len(data)
+    # pad so every (up to 12-bit, up to 7-bit-offset) gather can read 3
+    # bytes without bounds checks
+    padded = np.zeros(len(data) + 4, dtype=np.uint8)
+    padded[:len(data)] = data
+    p32 = padded.astype(np.uint32)
+
+    def extract(pos: int, width: int, n: int) -> np.ndarray:
+        """n codes of `width` bits starting at bit `pos` (LSB-first)."""
+        starts = pos + width * np.arange(n, dtype=np.int64)
+        byte0 = starts >> 3
+        chunk = (p32[byte0] | (p32[byte0 + 1] << 8) | (p32[byte0 + 2] << 16))
+        return (chunk >> (starts & 7).astype(np.uint32)) & ((1 << width) - 1)
+
+    def decode_segment(codes: list[np.ndarray], out_parts: list) -> None:
+        """Expand one CLEAR-to-CLEAR segment's data codes."""
+        if not codes:
+            return
+        c = np.concatenate(codes).astype(np.int64)
+        m = len(c)
+        # (codes were validated block-by-block in the extraction loop, so
+        # every reference below is in range)
+        # entry j (j>=1, while the table is below 4096 entries) is
+        # string(c[j-1]) + firstbyte(string(c[j])); represent it as
+        # (parent=c[j-1], append=firstb(c[j])) with firstb/length resolved
+        # by chain walks (an entry code v maps to entry index v-clear-1,
+        # whose defining step is that index, strictly below the current j)
+        prev_c = np.empty(m, dtype=np.int64)
+        prev_c[0] = 0  # entry 0 never exists; slot unused
+        prev_c[1:] = c[:-1]
+        # firstb(entry j) = F(c[j-1]); F(v) = v if root else F(c[k-1]),
+        # k = v - clear - 1  =>  hop: v <- c[v - clear - 2]
+        ptr = prev_c.copy()
+        hops = np.zeros(m, dtype=np.int64)
+        live = np.nonzero(ptr >= clear)[0]
+        while live.size:
+            ptr[live] = c[ptr[live] - clear - 2]
+            hops[live] += 1
+            live = live[ptr[live] >= clear]
+        firstb_entry = ptr            # first byte of entry j's string
+        len_entry = hops + 2          # L(entry j) = L(c[j-1]) + 1 = hops+1+1
+        # append byte of entry j = F(c[j]) (KwKwK c[j]==clear+1+j lands on
+        # firstb_entry[j] itself, which is exactly F(c[j-1]) — the spec)
+        k_emit = c - clear - 1        # entry index referenced by c[j]
+        is_root = c < clear
+        safe_k = np.where(is_root, 0, k_emit)
+        append_entry = np.where(is_root, c, firstb_entry[safe_k])
+        # emitted string length per code
+        l_emit = np.where(is_root, 1, len_entry[safe_k])
+        ends = np.cumsum(l_emit)
+        out = np.empty(int(ends[-1]), dtype=np.uint8)
+        pos_w = ends - 1
+        cur = c.copy()
+        active = np.arange(m, dtype=np.int64)
+        while active.size:
+            cu = cur[active]
+            root = cu < clear
+            kk = np.where(root, 0, cu - clear - 1)
+            out[pos_w[active]] = np.where(root, cu, append_entry[kk])
+            pos_w[active] -= 1
+            nxt = active[~root]
+            cur[nxt] = prev_c[kk[~root]]
+            active = nxt
+        out_parts.append(out)
+
+    out_parts: list = []
+    pos = 0
+    width = min_code + 1
+    seg: list[np.ndarray] = []   # this segment's data-code blocks
+    n_seg = 0                    # data codes so far in the segment
+    CHUNK = 8192
+    while True:
+        if width < 12:
+            table_len = min(clear + 2 + max(0, n_seg - 1), 4096)
+            until_bump = (1 << width) - table_len + (1 if n_seg == 0 else 0)
+        else:
+            until_bump = CHUNK
+        n_fit = (total_bits - pos) // width
+        n = min(until_bump, n_fit, CHUNK)
+        if n <= 0:
+            raise ValueError("GIF LZW stream truncated (no EOI)")
+        block = extract(pos, width, n)
+        ctrl = np.nonzero((block == clear) | (block == eoi))[0]
+        prefix = block[:int(ctrl[0])] if ctrl.size else block
+        if prefix.size:
+            # same per-code validity (and error surface) as the scalar
+            # decoder, applied on the prefix BEFORE the control code:
+            # code_j <= clear+1+j (== is KwKwK; the segment's first code
+            # must be a root — clear/eoi never reach here)
+            if n_seg == 0 and int(prefix[0]) >= clear:
+                raise ValueError("GIF LZW first code out of range")
+            jj = n_seg + np.arange(prefix.size, dtype=np.int64)
+            if bool((prefix > clear + 1 + jj).any()):
+                raise ValueError(
+                    "GIF LZW code beyond table (corrupt stream)")
+        if ctrl.size:
+            i = int(ctrl[0])
+            if i:
+                seg.append(prefix)
+                n_seg += i
+            pos += (i + 1) * width
+            if int(block[i]) == eoi:
+                decode_segment(seg, out_parts)
+                return b"" if not out_parts else \
+                    np.concatenate(out_parts).tobytes()
+            decode_segment(seg, out_parts)   # CLEAR: flush + reset
+            seg, n_seg, width = [], 0, min_code + 1
+            continue
+        seg.append(block)
+        n_seg += n
+        pos += n * width
+        if width < 12:
+            table_len = min(clear + 2 + max(0, n_seg - 1), 4096)
+            if table_len == (1 << width):
+                width += 1
+
+
 def encode_gif(pixels) -> bytes:
     """Minimal REAL GIF87a writer for 8-bit single-frame grayscale
     (h, w) arrays: 256-entry grayscale global color table (index i ->
@@ -771,7 +919,7 @@ def decode_gif(b: bytes) -> dict:
             raise ValueError("GIF data sub-block truncated")
         lzw += b[pos:pos + ln]
         pos += ln
-    idx = np.frombuffer(_lzw_decode_gif(bytes(lzw), min_code),
+    idx = np.frombuffer(_lzw_decode_gif_np(bytes(lzw), min_code),
                         dtype=np.uint8)
     if idx.size != w * h:
         raise ValueError("GIF pixel count mismatch")
@@ -808,8 +956,10 @@ def with_wav_payload(docs: DataFrame, text_col: str = "text",
             for t in pdf[text_col]:
                 s = "" if t is None else t
                 # utf-32-le = one uint32 codepoint per char (r12, §4.2:
-                # vectorized ord(c) % 128 — see with_png_payload)
-                codes = (np.frombuffer(s.encode("utf-32-le"), dtype="<u4")
+                # vectorized ord(c) % 128 — see with_png_payload;
+                # surrogatepass per the r12 advice, same note there)
+                codes = (np.frombuffer(
+                    s.encode("utf-32-le", "surrogatepass"), dtype="<u4")
                          .astype(np.int32) & 0x7F)
                 samples = ((codes - WAV_DC) * 256).astype(np.int16)
                 payloads.append(encode_wav(samples))
@@ -885,9 +1035,11 @@ def with_gif_payload(docs: DataFrame, text_col: str = "text",
                 h = n // w + 1
                 px = np.full(w * h, PNG_PAD, dtype=np.uint8)
                 # per-CHAR codepoints % 256, vectorized through the
-                # utf-32-le view — see with_png_payload (r12, §4.2)
+                # utf-32-le view — see with_png_payload (r12, §4.2;
+                # surrogatepass per the r12 advice, same note there)
                 px[:n] = np.frombuffer(
-                    s.encode("utf-32-le"), dtype="<u4").astype(np.uint8)
+                    s.encode("utf-32-le", "surrogatepass"), dtype="<u4"
+                ).astype(np.uint8)
                 payloads.append(encode_gif(px.reshape(h, w)))
             yield pd.DataFrame({"doc_id": pdf[id_col],
                                 "payload": payloads})

@@ -38,6 +38,12 @@ from pyspark.sql import functions as F
 # fresh on every call.
 _EDGE_MEMO: dict[tuple, tuple[DataFrame, DataFrame, int]] = {}
 
+# Cached edge tables that could NOT be memoized (semanticHash failure or a
+# 32-bit collision, the key=None path): tracked here so
+# clear_cluster_caches() can still unpersist them (r12 advice — they were
+# session-lifetime cache leaks otherwise).
+_UNTRACKED_EDGES: list[DataFrame] = []
+
 
 def clear_cluster_caches() -> None:
     """Unpersist and drop the edge-table memo (safe any time — consumers
@@ -48,6 +54,29 @@ def clear_cluster_caches() -> None:
         except Exception:
             pass
     _EDGE_MEMO.clear()
+    for edges in _UNTRACKED_EDGES:
+        try:
+            edges.unpersist()
+        except Exception:
+            pass
+    _UNTRACKED_EDGES.clear()
+
+
+def _prune_dead_sessions() -> None:
+    """Drop memo entries whose SparkSession has been stopped (r12 advice:
+    the memo key holds the session object, so dead-session entries — and
+    their RDD references — were retained for the process lifetime). Their
+    cached blocks died with the session's SparkContext; only the dict
+    entries need collecting."""
+    dead = []
+    for key in _EDGE_MEMO:
+        try:
+            if key[0].sparkContext._jsc.sc().isStopped():
+                dead.append(key)
+        except Exception:
+            dead.append(key)
+    for key in dead:
+        _EDGE_MEMO.pop(key, None)
 
 
 def _loop_width(spark, n_edges: int) -> int:
@@ -69,6 +98,7 @@ def _edge_table(pairs: DataFrame) -> tuple[DataFrame, int]:
     """Doubled (src, dst) edge relation, cached at loop width, memoized
     per pair-mining plan (collision-checked like dedup._memo_lookup)."""
     spark = pairs.sparkSession
+    _prune_dead_sessions()
     try:
         key = (spark, pairs.semanticHash(), "edges")
     except Exception:
@@ -100,6 +130,8 @@ def _edge_table(pairs: DataFrame) -> tuple[DataFrame, int]:
     raw.unpersist()
     if key is not None:
         _EDGE_MEMO[key] = (pairs, edges, n_edges)
+    else:
+        _UNTRACKED_EDGES.append(edges)
     return edges, n_edges
 
 
@@ -126,10 +158,12 @@ def connected_components(pairs: DataFrame, nodes: DataFrame,
     # their DataFrames go out of scope (the cached form pinned every
     # round's blocks for the session — unpersisting them mid-loop
     # re-derives dependents, measured 9s vs 4s at sf0.1 in r2).
-    # localCheckpoint stores MEMORY_AND_DISK and is recomputed-on-loss
-    # like any cache in local mode; a fault-tolerant cluster run would
-    # persist the converged label table to storage instead (same
-    # posture as SCALE.md's "production shapes" ledger).
+    # localCheckpoint stores MEMORY_AND_DISK but TRUNCATES LINEAGE: lost
+    # blocks are NOT recomputable (unlike a cache), so a cluster-mode
+    # executor loss would permanently fail consumers of the returned
+    # DataFrame. Moot in local mode (one process); a fault-tolerant
+    # cluster run would persist the converged label table to storage
+    # instead (same posture as SCALE.md's "production shapes" ledger).
     # The checkpoint is LAZY: the convergence aggregate below is the
     # action that materializes it, so each round still costs exactly one
     # job (materialize + converge-test in one pass) like the cached form.

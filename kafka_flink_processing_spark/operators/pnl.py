@@ -29,7 +29,6 @@ from pyspark.sql import functions as F
 from kafka_flink_processing_spark.operators.netting import (
     PRICE,
     TRADE,
-    _Acct,
     apply_fill,
 )
 
@@ -164,45 +163,115 @@ def _boundary_states(pdf: pd.DataFrame) -> pd.DataFrame:
     Keyed by (hub, account), NOT hub: account states are independent (the
     only hub-global state, last_price, is derived relationally in phase B),
     so the sequential pass parallelizes across accounts too instead of
-    serializing each hub's full trade stream through one task."""
+    serializing each hub's full trade stream through one task.
+
+    Column-wise plumbing (r13, guide §4.2 — the same treatment _fold got
+    in r12): the per-record work was to_dict('records') on the way in and
+    one dict per emitted row on the way out; the state transitions are
+    the SAME apply_fill calls on the same values in the same order, so
+    the output is bit-identical (the sliced==single bitwise test pins
+    it)."""
     pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
+    kind_l = pdf["kind"].tolist()
+    side_l = pdf["side"].tolist()
+    mw_l = pdf["mw"].tolist()
+    px_l = pdf["price_mwh"].tolist()
+    slice_l = pdf["slice"].tolist()
     state = None
-    out = []
-    for r in pdf.to_dict("records"):
-        if r["kind"] == STATE:  # marker: snapshot entry state for its slice
+    o_slice: list = []
+    o_pos: list = []
+    o_avg: list = []
+    o_rlz: list = []
+    for i in range(len(kind_l)):
+        if kind_l[i] == STATE:  # marker: snapshot entry state for its slice
             if state is not None:
-                out.append({"hub": r["hub"], "slice": r["slice"],
-                            "account": r["account"], "st_pos": int(state[0]),
-                            "st_avg": state[1], "st_realized": state[2]})
+                o_slice.append(slice_l[i])
+                o_pos.append(int(state[0]))
+                o_avg.append(state[1])
+                o_rlz.append(state[2])
         else:
             a = state if state is not None else (0, 0.0, 0.0)
-            signed = r["mw"] if r["side"].upper() == "BUY" else -r["mw"]
-            state = apply_fill(a[0], a[1], a[2], signed, r["price_mwh"])
+            signed = mw_l[i] if side_l[i].upper() == "BUY" else -mw_l[i]
+            state = apply_fill(a[0], a[1], a[2], signed, px_l[i])
     cols = ["hub", "slice", "account", "st_pos", "st_avg", "st_realized"]
-    return pd.DataFrame(out, columns=cols)
+    if not o_slice:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame({
+        "hub": pdf["hub"].iat[0], "slice": o_slice,
+        "account": pdf["account"].iat[0], "st_pos": o_pos,
+        "st_avg": o_avg, "st_realized": o_rlz,
+    }, columns=cols)
 
 
 def _fold_slice(pdf: pd.DataFrame) -> pd.DataFrame:
-    """Phase B (one (hub, slice)): seed a HubFold from the carried-in STATE
-    rows (they sort first), then replay the slice's events exactly as the
-    single-fold path does."""
-    from kafka_flink_processing_spark.operators.netting import HubFold
+    """Phase C (one (hub, slice)): seed the fold state from the carried-in
+    STATE rows (they sort first), then replay the slice's events exactly
+    as the single-fold path does — the same column-wise plumbing and the
+    same apply_fill/emission arithmetic as _fold (r13, guide §4.2; the
+    sliced==single bitwise test pins equality)."""
     pdf = pdf.sort_values(["ts", "kind", "trade_id"], kind="mergesort")
-    fold = HubFold()
-    out = []
-    for r in pdf.to_dict("records"):
-        if r["kind"] == STATE:
-            if isinstance(r["account"], str):
-                fold.accounts[r["account"]] = _Acct(
-                    int(r["st_pos"]), r["st_avg"], r["st_realized"])
-            elif not pd.isna(r["st_lastpx"]):
-                fold.last_price = r["st_lastpx"]
+    ts_l = pdf["ts"].tolist()
+    hub_l = pdf["hub"].tolist()
+    acct_l = pdf["account"].tolist()
+    side_l = pdf["side"].tolist()
+    mw_l = pdf["mw"].tolist()
+    px_l = pdf["price_mwh"].tolist()
+    kind_l = pdf["kind"].tolist()
+    st_pos_l = pdf["st_pos"].tolist()
+    st_avg_l = pdf["st_avg"].tolist()
+    st_rlz_l = pdf["st_realized"].tolist()
+    st_px_l = pdf["st_lastpx"].tolist()
+    o_ts: list = []
+    o_acct: list = []
+    o_hub: list = []
+    o_pos: list = []
+    o_avg: list = []
+    o_last: list = []
+    o_rlz: list = []
+    o_unrl: list = []
+    o_tot: list = []
+    last_price = None
+    accounts: dict = {}  # account -> (pos, avg, realized); insertion order
+    for i in range(len(ts_l)):
+        k = kind_l[i]
+        if k == STATE:
+            acct = acct_l[i]
+            if isinstance(acct, str):
+                accounts[acct] = (int(st_pos_l[i]), st_avg_l[i], st_rlz_l[i])
+            elif not pd.isna(st_px_l[i]):
+                last_price = st_px_l[i]
+        elif k == TRADE:
+            acct = acct_l[i]
+            pos, avg, rlz = accounts.get(acct, (0, 0.0, 0.0))
+            mw = mw_l[i]
+            signed = mw if side_l[i].upper() == "BUY" else -mw
+            st = apply_fill(pos, avg, rlz, signed, px_l[i])
+            accounts[acct] = st
+            px = last_price if last_price is not None else px_l[i]
+            unrl = st[0] * (px - st[1])
+            o_ts.append(ts_l[i]); o_acct.append(acct); o_hub.append(hub_l[i])
+            o_pos.append(st[0]); o_avg.append(st[1]); o_last.append(px)
+            o_rlz.append(st[2]); o_unrl.append(unrl)
+            o_tot.append(st[2] + unrl)
         else:
-            out.extend(fold.process(r))
+            last_price = px_l[i]
+            hub = hub_l[i]
+            ts = ts_l[i]
+            for acct, (pos, avg, rlz) in accounts.items():
+                unrl = pos * (last_price - avg)
+                o_ts.append(ts); o_acct.append(acct); o_hub.append(hub)
+                o_pos.append(pos); o_avg.append(avg); o_last.append(last_price)
+                o_rlz.append(rlz); o_unrl.append(unrl)
+                o_tot.append(rlz + unrl)
     cols = ["ts", "account", "hub", "position_mw", "avg_price_mwh",
             "last_price_mwh", "realized_pnl", "unrealized_pnl", "total_pnl"]
-    return pd.DataFrame(out, columns=cols) if out else \
-        pd.DataFrame(columns=cols)
+    if not o_ts:
+        return pd.DataFrame(columns=cols)
+    return pd.DataFrame({
+        "ts": o_ts, "account": o_acct, "hub": o_hub, "position_mw": o_pos,
+        "avg_price_mwh": o_avg, "last_price_mwh": o_last,
+        "realized_pnl": o_rlz, "unrealized_pnl": o_unrl, "total_pnl": o_tot,
+    })
 
 
 def _carried_entry_price(grid: DataFrame, prices: DataFrame,

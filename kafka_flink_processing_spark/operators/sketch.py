@@ -103,7 +103,8 @@ def _mg_fold(batches: Iterator[pd.DataFrame], col: str,
 
 
 def _mg_scan(grams: DataFrame, col: str = "g",
-             capacity: int = MG_CAPACITY) -> DataFrame:
+             capacity: int = MG_CAPACITY,
+             hashed: DataFrame | None = None) -> DataFrame:
     """Pass 1 with the exactness evidence attached: per input partition,
     <= capacity candidate rows (`gh`, NULL) plus exactly ONE marker row
     (NULL, d_p) carrying the partition's decrement total — emitted even
@@ -122,8 +123,14 @@ def _mg_scan(grams: DataFrame, col: str = "g",
     bound still holds (a gram whose hash is absent has hash count — a
     fortiori its own count — <= d_p). Pass 2 recounts exact STRINGS of
     the rows matching candidate hashes, so collisions cost a few extra
-    recount rows, never a wrong count."""
-    hashed = grams.select(F.xxhash64(F.col(col)).alias("gh"))
+    recount rows, never a wrong count.
+
+    `hashed`, when given, must be a relation carrying an int64 `gh`
+    column (the caller's precomputed xxhash64) — heavy_hitters_topk
+    passes its persisted (gram, gh) relation so both passes share ONE
+    gram explode (r13)."""
+    hashed = (grams.select(F.xxhash64(F.col(col)).alias("gh"))
+              if hashed is None else hashed.select("gh"))
 
     def fold(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         n_rows = 0
@@ -187,7 +194,22 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     carry per-partition row counts to make that check free). Otherwise
     the projection raises at collect time — a too-small capacity fails
     loudly instead of returning a silently truncated or mis-ranked
-    top-k."""
+    top-k.
+
+    r13 (guide §5; r12 verdict task 4): the two passes share ONE gram
+    explode — the (gram, gh) relation persists and pass 1's sketch fold
+    materializes it while folding, so the recount reads the cache
+    instead of re-running the corpus split+explode. The retention is the
+    ccnet/dedup posture (the CacheManager dedupes per-plan re-persists;
+    bench.py clears it at attempt start so the cold number is visible in
+    `first_pass_sec`). At 100 TB the cached stream spills to disk and a
+    re-scan may beat the read-back — size it from the corpus profile and
+    skip the persist when the gram stream outruns cluster storage (the
+    operator stays correct either way; the sharing is an optimization
+    only)."""
+    shared = (grams.select(F.col(col),
+                           F.xxhash64(F.col(col)).alias("gh"))
+              .persist())
     # single JVM aggregate merges the tiny pass-1 output: collect_set
     # unions the candidates (markers carry NULL g, so they're skipped)
     # while sum() folds the markers' d_p into the global bound D and
@@ -197,7 +219,7 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     # per input partition — the same candidates-x-partitions cost the
     # recount exchange already pays; the gram universe itself never
     # moves and no extra Python stage runs.
-    raw = _mg_scan(grams, col, capacity)
+    raw = _mg_scan(grams, col, capacity, hashed=shared)
     one = raw.agg(F.collect_set(F.col("gh")).alias("cs"),
                   F.sum("__mg_d").alias("d"),
                   F.sum("__mg_n").alias("n"))
@@ -218,7 +240,7 @@ def heavy_hitters_topk(grams: DataFrame, k: int = 100,
     # filter BEFORE the exchange, on the 8-byte candidate-hash broadcast;
     # the recount itself groups the exact STRING, so a hash collision
     # only adds a few non-candidate rows that lose at the limit
-    counted = (grams.withColumn("gh", F.xxhash64(F.col(col)))
+    counted = (shared
                .join(F.broadcast(merged), "gh")
                # bound/total are constants: free riders through the agg
                .groupBy(col, "__mg_bound", "__mg_total")

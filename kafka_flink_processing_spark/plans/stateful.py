@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_flink_processing_spark.functions.exact import dsum, dsum_sql
-from kafka_flink_processing_spark.operators.pnl import pnl_positions, price_exposure
+from kafka_flink_processing_spark.operators.pnl import price_exposure
 from kafka_flink_processing_spark.operators.windows import (
     last_value_carried_forward,
     latest_per_key,
@@ -261,12 +261,22 @@ _PNL_COLS = ("ts, account, hub, position_mw, avg_price_mwh, "
         "106-144): one row per trade + one per (price tick x account seen), "
         "cold-start fallback to trade price, netting with close/flip. "
         "Oracle-gated since r6 via the recursive-CTE replay (see "
-        "_PNL_REPLAY_SQL above — bit-exact at three SFs).",
+        "_PNL_REPLAY_SQL above — bit-exact at three SFs). r13 (r12 "
+        "verdict task 2): runs the time-SLICED fold "
+        "(operators/pnl.py::pnl_positions_sliced, bit-identical to the "
+        "single fold by tests/test_pnl.py) — fold parallelism becomes "
+        "hubs x days instead of the reference keyBy's hub count, which "
+        "was a hard 4-task serial ceiling on this corpus at any core "
+        "count. The plain per-hub fold (operators/pnl.py::pnl_positions) "
+        "remains the executable spec the differential tests replay.",
     bench=True,
 )
 def pnl_positions_fold(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from kafka_flink_processing_spark.operators.pnl import (
+        pnl_positions_sliced,
+    )
     trades, prices = derive_market(spark, sf_dir)
-    return pnl_positions(trades, prices)
+    return pnl_positions_sliced(trades, prices)
 
 
 @register(
@@ -319,14 +329,15 @@ def streaming_pnl_tws_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             spark.conf.set(key, prev)
 
 
-# pnl_positions_sliced DEREGISTERED in r4 (r3 verdict: the hybrid is
-# strictly the better 100 TB form, and the all-Python sliced variant added
-# registry surface without a distinct role). The operator itself
-# (operators/pnl.py::pnl_positions_sliced) and its bitwise-equality test
-# (tests/test_pnl.py) are retained: the sliced fold is the only independent
-# exerciser of the _carried_entry_price construction the hybrid shares, so
-# the test doubles as a differential check of the hybrid's carry semantics.
-# Rationale in SCALE.md §PnL.
+# pnl_positions_sliced was DEREGISTERED as a separate query in r4 (r3
+# verdict: it added registry surface without a distinct role). Since r13 it
+# is the ENGINE of pnl_positions_fold above (r12 verdict task 2: the plain
+# per-hub fold's parallelism = hub count, a hard 4-task serial ceiling on
+# this corpus); the single-fold operator (operators/pnl.py::pnl_positions)
+# is retained as the executable spec, and the bitwise-equality test
+# (tests/test_pnl.py) is now the fold query's correctness argument as well
+# as the independent exerciser of the _carried_entry_price construction the
+# hybrid shares. Rationale in SCALE.md §PnL.
 
 @register(
     "pnl_positions_hybrid",

@@ -24,11 +24,12 @@ def test_quiet_first_attempt_stops_immediately():
         calls.append(1)
         return _mk(1.05)
 
-    times, controls = bench.gated_attempts(
+    times, controls, extra = bench.gated_attempts(
         measure, max_attempts=3, control_floors=FLOORS)
     assert len(calls) == 1
     assert times == _mk(1.05)
     assert controls == [{"ctl_a": 1.05, "ctl_b": 1.05}]
+    assert extra is None  # dict-returning measure carries no extra
 
 
 def test_contended_then_quiet_keeps_quiet_attempt():
@@ -37,7 +38,7 @@ def test_contended_then_quiet_keeps_quiet_attempt():
     def measure():
         return next(attempts)
 
-    times, controls = bench.gated_attempts(
+    times, controls, _ = bench.gated_attempts(
         measure, max_attempts=3, control_floors=FLOORS)
     assert times == _mk(1.1)
     assert controls == [{"ctl_a": 1.9, "ctl_b": 1.9},
@@ -50,7 +51,7 @@ def test_all_contended_exhausts_cap_and_keeps_best():
     def measure():
         return next(attempts)
 
-    times, controls = bench.gated_attempts(
+    times, controls, _ = bench.gated_attempts(
         measure, max_attempts=3, control_floors=FLOORS)
     # best attempt by box factor is the middle one, not the last
     assert times == _mk(1.4)
@@ -65,10 +66,21 @@ def test_factor_is_max_over_controls_never_mixed_across_attempts():
     a2 = {"ctl_a": 1.1, "ctl_b": 2.0 * 1.1, "q": 4.0}
 
     attempts = iter([a1, a2])
-    times, controls = bench.gated_attempts(
+    times, controls, _ = bench.gated_attempts(
         lambda: next(attempts), max_attempts=3, control_floors=FLOORS)
     assert times == a2          # not a blend taking q=0.1 from attempt 1
     assert controls[0] == {"ctl_a": 0.9, "ctl_b": 1.8}
+
+
+def test_extra_rides_with_the_kept_attempt():
+    # (times, extra) measure form (r13): the returned extra must come from
+    # the KEPT attempt (the quiet one), never the contended first attempt.
+    attempts = iter([(_mk(1.9), {"q": "cold-1"}), (_mk(1.1), {"q": "cold-2"})])
+    times, controls, extra = bench.gated_attempts(
+        lambda: next(attempts), max_attempts=3, control_floors=FLOORS)
+    assert times == _mk(1.1)
+    assert extra == {"q": "cold-2"}
+    assert len(controls) == 2
 
 
 def test_default_floors_are_the_frozen_controls():

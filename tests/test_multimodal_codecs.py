@@ -328,6 +328,59 @@ def test_gif_lzw_corrupt_stream_raises():
         dec(bad)
 
 
+def test_gif_lzw_numpy_decoder_matches_scalar_bit_for_bit():
+    """r13 (guide §4.2): decode_gif now runs the VECTORIZED LZW decoder
+    (_lzw_decode_gif_np — batch code extraction, array-form table,
+    backward-walk output fill). The scalar decoder stays as the
+    executable spec; this differential pins output equality AND error
+    surface across the regimes that exercise every code path: width
+    bumps, multi-segment clears, deferred-clear streams, KwKwK chains,
+    the width-bump witness, truncations and corrupt codes."""
+    from kafka_flink_processing_spark.functions.multimodal import (
+        _lzw_decode_gif,
+        _lzw_decode_gif_np,
+        _lzw_encode_gif,
+    )
+    rng = np.random.default_rng(13)
+    payloads = [
+        b"", b"x", b"ab" * 5_000, b"a" * 10_000, bytes(range(256)) * 64,
+        b"aaabbbaaabbb" * 500, gif_width_bump_witness(),
+        rng.integers(0, 256, 100_000, dtype=np.uint8).tobytes(),
+    ]
+    for data in payloads:
+        stream = _lzw_encode_gif(data)
+        assert _lzw_decode_gif_np(stream) == _lzw_decode_gif(stream) == data
+    # min_code variants (GIF allows 2..8)
+    for mc in (2, 5, 8):
+        data = rng.integers(0, 1 << mc, 5_000, dtype=np.uint8).tobytes()
+        stream = _lzw_encode_gif(data, mc)
+        assert (_lzw_decode_gif_np(stream, mc)
+                == _lzw_decode_gif(stream, mc) == data)
+    # error surface: truncations and random corruption must raise the
+    # SAME ValueError message (or produce the same bytes) as the scalar
+    import random as _random
+    prng = _random.Random(99)
+    for data in payloads[2:6]:
+        stream = bytearray(_lzw_encode_gif(data))
+        variants = [bytes(stream[:1]), bytes(stream[:len(stream) // 2]),
+                    bytes(stream[:-1])]
+        for _ in range(10):
+            s = bytearray(stream)
+            for _ in range(4):
+                s[prng.randrange(len(s))] = prng.randrange(256)
+            variants.append(bytes(s))
+        for s in variants:
+            try:
+                want: object = ("ok", _lzw_decode_gif(s))
+            except ValueError as e:
+                want = str(e)
+            try:
+                got: object = ("ok", _lzw_decode_gif_np(s))
+            except ValueError as e:
+                got = str(e)
+            assert got == want
+
+
 def test_gif_roundtrip_stats_exact():
     _, _, enc, dec = _gif_imports()
     rng = np.random.default_rng(3)

@@ -563,6 +563,131 @@ def test_dedup_minhash_lsh_plan_shape(spark):
     assert plan.count("Exchange hashpartitioning") <= 8
 
 
+def _indent_of(line: str) -> int:
+    """Start column of the operator text in a plan-tree line (the tree
+    prefix is drawn from ' ', ':', '+', '-')."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+_BOUNDED_MARKERS = ("InMemoryTableScan", "HashAggregate(keys=[]",
+                    "ObjectHashAggregate(keys=[]", "SortAggregate(keys=[]",
+                    "TakeOrderedAndProject", "GlobalLimit", "LocalLimit")
+_SOURCE_MARKERS = ("Scan parquet", "FileScan", "Scan ExistingRDD")
+
+
+def _broadcast_build_subtrees(plan: str) -> list[list[str]]:
+    """Every BroadcastExchange's subtree (operator lines below it), with
+    two REDUCTION boundaries cut off: anything under an InMemoryTableScan
+    (a memoized artifact whose statistics are actual cached bytes — the
+    planner demotes the broadcast when it grows; toString inlines the
+    whole cached plan, which must not leak into the audit) and anything
+    under a global aggregate / limit (output bounded regardless of what
+    feeds it)."""
+    lines = plan.splitlines()
+    out: list[list[str]] = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        d = _indent_of(line)
+        subtree: list[str] = []
+        cut_below: int | None = None
+        for nxt in lines[i + 1:]:
+            nd = _indent_of(nxt)
+            if nd <= d or not nxt.strip():
+                break
+            if cut_below is not None:
+                if nd > cut_below:
+                    continue
+                cut_below = None
+            subtree.append(nxt)
+            if any(marker in nxt for marker in _BOUNDED_MARKERS):
+                cut_below = nd
+        out.append(subtree)
+    return out
+
+
+def _unbounded_generates(subtree: list[str]) -> list[str]:
+    """Generate (explode) lines in a boundary-cut broadcast subtree whose
+    OWN input subtree still reaches a raw source (parquet / RDD scan).
+    A Generate whose entire input was cut at a reduction boundary (global
+    aggregate output, cached artifact, limit) multiplies a bounded
+    relation — the r12 audit's safe classes; a Generate that still sees a
+    raw scan is the estimate-blind corpus-scaled class that produced the
+    8.2 GiB broadcast bomb."""
+    flagged = []
+    for i, line in enumerate(subtree):
+        if "Generate" not in line:
+            continue
+        # constant-arity explodes multiply by a FIXED factor (a literal
+        # array — the CMS hash-parameter table — or an array(...)
+        # constructor of fixed arity — the range-join 2-bucket fan-out):
+        # never the corpus-scaled class, and scan-rooted estimates below
+        # them keep scaling with file size (r12 audit class c).
+        if "Generate explode([" in line or "Generate explode(array" in line:
+            continue
+        g = _indent_of(line)
+        below = []
+        for nxt in subtree[i + 1:]:
+            if _indent_of(nxt) <= g:
+                break
+            below.append(nxt)
+        if any(m in nxt for nxt in below for m in _SOURCE_MARKERS):
+            flagged.append(line)
+    return flagged
+
+
+# Reviewed build sides that the textual rule cannot prove bounded but the
+# r12 audit (OPTIMIZATION_r12.md change 15) classified safe — each entry
+# must carry the justification; a NEW query never gets excused silently.
+_REVIEWED_BOUNDED_BROADCASTS = {
+    # bigram explode feeding the 4096-bucket modulo-keyed LM aggregate:
+    # output hard-bounded at 4096 rows at any corpus size (the dense-LM
+    # artifact, r12 change 13).
+    "ccnet_perplexity_buckets",
+    # corpus word explode into the word-keyed encode table behind an
+    # EXPLICIT F.broadcast (operators/bpe.py::bpe_encode_tokens_with —
+    # the shipped production artifact): vocabulary-bounded by the
+    # documented Zipf assumption, a reviewed design decision rather than
+    # a planner estimate.
+    "bpe_encode_from_artifact",
+    # same explicit encode-table broadcast via the train-then-encode
+    # closed form (shares bpe_encode_tokens_with).
+    "bpe_encode_tokens",
+}
+
+
+@pytest.mark.parametrize("name", sorted(
+    n for n, s in (_ensure_loaded() or QUERIES).items() if s.bench))
+def test_no_estimate_blind_corpus_broadcast(spark, name):
+    """r12 verdict task 5 — the 8.2 GiB redact bomb as a standing guard.
+    The r12 256x scaling run killed dup_span_redact: the static planner
+    had estimated two corpus-scaled relations (every duplicated word
+    position; the full rewritten corpus text) under the auto-broadcast
+    threshold because their sizes hide behind Generate/aggregate
+    estimates, and AQE never demotes a statically-planned broadcast.
+    This test asserts the failure CLASS stays dead in every headline
+    static plan: no broadcast build side may contain a row-multiplying
+    Generate (explode) whose input still reaches a RAW SCAN — i.e. is
+    not bounded by an InMemoryTableScan (a memoized artifact with real
+    size statistics), a global aggregate, or a limit, the classes the
+    r12 broadcast audit proved safe. A keyed aggregate does NOT exempt
+    (the redact bomb's `rebuilt` side was a doc_id-keyed aggregate over
+    a Generate — corpus-scaled)."""
+    if name in _REVIEWED_BOUNDED_BROADCASTS:
+        pytest.skip("reviewed bounded broadcast (see allowlist rationale)")
+    plan = plan_of(spark, name)
+    for subtree in _broadcast_build_subtrees(plan):
+        bad = _unbounded_generates(subtree)
+        assert not bad, (
+            f"{name}: estimate-blind Generate over a raw scan inside a "
+            f"broadcast build side (the r12 dup_span_redact scale-bomb "
+            f"class):\n" + "\n".join(bad) + "\n--- full build side ---\n"
+            + "\n".join(subtree))
+
+
 def test_curation_pipeline_plan_shape(spark):
     """The composed curation funnel collapses to ONE corpus-keyed
     exchange end-to-end (quality scoring and filtering are map-side; the
