@@ -74,6 +74,7 @@ def _funnel_counts(spark, rows):
         return {r.stage: r.n_sessions for r in out.collect()}
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_funnel_strict_ordering(spark):
     rows = [
         # session A (user 1): view -> click -> purchase, properly ordered
@@ -141,6 +142,7 @@ def test_dedup_keep_best_prefers_quality_then_id(spark):
     assert out[3] and not out[4]  # quality tie -> lowest doc_id
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_minhash_estimator_invariants(spark):
     out = run(spark, "minhash_jaccard_accuracy").collect()
     assert out, "candidate set empty — fixture corpus should have near-dups"
@@ -155,6 +157,7 @@ def test_minhash_estimator_invariants(spark):
             assert r.est_jaccard == 1.0
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_ivf_recall_bounds(spark):
     out = run(spark, "ivf_recall_eval").collect()
     assert len(out) == 5
@@ -290,6 +293,7 @@ def test_vocab_zipf_slope_invariants(spark):
     assert r.zipf_intercept > 0
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_ivf_probe_sweep_matches_recall_eval_at_default_nprobe(spark):
     # The sweep's cell-rank identity must agree with the actually-executed
     # retrieval: at nprobe=IVF_NPROBE the swept hit count equals the sum

@@ -54,6 +54,7 @@ def transition_spec(rows):
               st.integers(min_value=0, max_value=10),       # offset (ties!)
               st.sampled_from(["view", "click", "purchase"])),
     min_size=1, max_size=40))
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_transition_matrix_matches_spec(rows):
     spark = _get_spark()
     import unittest.mock as mock

@@ -3,6 +3,8 @@ ts (right matches), latest-right-wins, key isolation."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 
 from kafka_flink_processing_spark.operators.asof import asof_join
@@ -88,6 +90,7 @@ def _asof_spec(left_rows, right_rows):
                           st.integers(0, 5),
                           st.integers(0, 99)),    # px payload
                 min_size=1, max_size=12))
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_asof_join_matches_python_spec(spark, lefts, rights):
     left_rows = [(i, f"k{k}", _ts(t)) for i, (k, t) in enumerate(lefts)]
     right_rows = [(i, f"k{k}", _ts(t), float(px))

@@ -58,6 +58,7 @@ CORPORA = [
 ]
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 @pytest.mark.parametrize("texts", CORPORA)
 def test_spark_bpe_matches_reference(spark, texts):
     docs = spark.createDataFrame([(t,) for t in texts], "text string")

@@ -14,6 +14,8 @@ at three SFs; these tests pin the SEMANTICS on hand corpora.
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
@@ -97,6 +99,7 @@ def test_ccnet_tercile_balance_on_spread_scores(spark):
     assert all(8 <= c[t] <= 12 for t in (1, 2, 3)), c
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_cluster_survivors_longest_wins(spark):
     _ensure_loaded()
     base = " ".join(f"w{i}" for i in range(20))

@@ -4,9 +4,13 @@ straight-line union-find executed in plain Python (the spec)."""
 
 from __future__ import annotations
 
+import pytest
+
 from hypothesis import given, settings, strategies as st
 
 from kafka_flink_processing_spark.operators.cluster import connected_components
+
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
 
 _spark = None
 

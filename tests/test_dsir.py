@@ -4,6 +4,8 @@ must score positive, raw-only bigrams negative, short/empty docs total."""
 
 from __future__ import annotations
 
+import pytest
+
 import tempfile
 
 from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
@@ -18,6 +20,7 @@ def _stage(spark, rows):
     return d
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_dsir_weight_orders_target_vs_raw(spark):
     _ensure_loaded()
     # 'en' docs speak in "aa bb"; 'de' docs in "cc dd"; doc 100 is pure

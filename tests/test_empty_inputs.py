@@ -16,6 +16,8 @@ import pytest
 from kafka_flink_processing_spark.plans import registry
 from kafka_flink_processing_spark.schemas import TESTDATA_TABLES
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 # Queries ALLOWED to raise on empty input, with the documented reason.
 EXPECTED_EMPTY_RAISES = {
     "kmeans_embeddings":

@@ -3,6 +3,8 @@ stay key-consistent."""
 
 from __future__ import annotations
 
+import pytest
+
 import __spark_entry__ as entrymod
 
 
@@ -19,6 +21,7 @@ def test_oracle_keys_subset_of_queries():
     assert len(qs) > 0
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_queries_run_at_smoke_sf(spark):
     for name, fn in entrymod.queries().items():
         df = fn(spark, "/root/testdata/sf0.001")

@@ -79,6 +79,7 @@ def test_lsh_ann_recall_vs_bruteforce(emb):
     assert hits / total >= 0.8  # OR-amplified bands: near-total recall
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_ivf_ann_recall_vs_bruteforce(emb):
     """IVF with nprobe=4 of 16 cells: precision is exact on its candidates
     (same re-rank), recall bounded below — near neighbors concentrate in

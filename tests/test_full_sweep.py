@@ -8,7 +8,11 @@ CI-style instead of surfacing in a future round's driver report. ~80 s.
 
 from __future__ import annotations
 
+import pytest
+
 from kafka_flink_processing_spark.plans import registry
+
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
 
 SF = "/root/testdata/sf0.001"
 

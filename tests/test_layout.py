@@ -99,6 +99,7 @@ def test_zorder_rejects_keys_wider_than_signed_long(spark):
     assert key == "__z"
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_zorder_layout_shrinks_file_footprints_and_prunes(spark, tmp_path):
     from kafka_flink_processing_spark.sources.bucketed import write_zordered
 

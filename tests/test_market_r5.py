@@ -5,6 +5,8 @@ stream-stream interval join's time bound + batch parity."""
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
 import math
 import tempfile
@@ -141,6 +143,7 @@ def test_cms_never_underestimates(spark):
     assert total <= n_stream
 
 
+@pytest.mark.slow  # heavyweight (see pytest.ini tiers)
 def test_slippage_join_matches_batch_and_time_bound(spark):
     sf_dir = SF
     out = streaming_slippage_join_q(spark, sf_dir)

@@ -9,6 +9,8 @@ import pytest
 import __spark_entry__ as entrymod
 from tools.oracle_check import compare, duck_connection
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 SF_DIR = "/root/testdata/sf0.001"
 
 

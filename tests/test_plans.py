@@ -678,6 +678,20 @@ def test_no_estimate_blind_corpus_broadcast(spark, name):
     a Generate — corpus-scaled)."""
     if name in _REVIEWED_BOUNDED_BROADCASTS:
         pytest.skip("reviewed bounded broadcast (see allowlist rationale)")
+    # audit the COLD plan: a warm materialized cache renders as an
+    # InMemoryRelation whose nested finalized-AQE body truncates the
+    # REST of toString — a broadcast build side below it would stop
+    # printing and silently escape the audit. Proper clears (not bare
+    # clearCache) so the artifact memos stay consistent for later tests.
+    from kafka_flink_processing_spark.operators.cluster import (
+        clear_cluster_caches,
+    )
+    from kafka_flink_processing_spark.operators.dedup import (
+        clear_dedup_caches,
+    )
+    clear_dedup_caches()
+    clear_cluster_caches()
+    spark.catalog.clearCache()
     plan = plan_of(spark, name)
     for subtree in _broadcast_build_subtrees(plan):
         bad = _unbounded_generates(subtree)

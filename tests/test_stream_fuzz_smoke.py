@@ -11,12 +11,16 @@ fails HERE in CI instead of silently on the next manual sweep.
 
 from __future__ import annotations
 
+import pytest
+
 import sys
 from pathlib import Path
 
 sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
 
 import stream_fuzz  # noqa: E402
+
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
 
 
 def test_event_engines_smoke(spark):

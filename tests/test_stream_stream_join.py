@@ -16,6 +16,8 @@ import datetime as dt
 import pytest
 from pyspark.sql import DataFrame, functions as F
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 JOIN_WINDOW_S = 600  # price valid for a trade within 10 min after the tick
 
 

@@ -21,6 +21,8 @@ from kafka_flink_processing_spark.streaming.stateful import (
     streaming_sma_forecast,
 )
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 SF = "/root/testdata/sf0.001"
 
 

@@ -9,6 +9,8 @@ implementation, so the paths cannot diverge.
 
 from __future__ import annotations
 
+import pytest
+
 import os
 
 from pyspark.sql import functions as F
@@ -17,6 +19,8 @@ from kafka_flink_processing_spark.plans.registry import QUERIES, _ensure_loaded
 from kafka_flink_processing_spark.streaming.jobs import (
     ccnet_quality_filter_job,
 )
+
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
 
 SCHEMA = ("doc_id long, text string, lang string, source string, "
           "n_chars long")

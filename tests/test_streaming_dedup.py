@@ -6,7 +6,11 @@ SURVEY.md §2.6 'delivery'; trade_id is its only dedup key, init.sql:20).
 
 from __future__ import annotations
 
+import pytest
+
 import datetime as dt
+
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
 
 
 SCHEMA = "trade_id long, ts timestamp, hub string, mw int"

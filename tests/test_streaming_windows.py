@@ -19,6 +19,8 @@ from kafka_flink_processing_spark.streaming.windows import (
     streaming_tumbling_stats,
 )
 
+pytestmark = pytest.mark.slow  # integration tier (see pytest.ini)
+
 SCHEMA = "ts timestamp, hub string, price_mwh double"
 
 

@@ -146,6 +146,11 @@ def test_q6_is_pure_scan_aggregate(spark):
 
 
 def test_heavy_hitters_sketch_then_broadcast_recount(spark):
+    # pin the COLD plan: a warm (materialized) shared gram cache renders
+    # as an InMemoryRelation whose nested finalized-AQE body truncates
+    # the rest of toString — the recount branch stops PRINTING (it still
+    # executes), and suite-order warmth would flake this pin (r13)
+    spark.catalog.clearCache()
     plan = plan_of(spark, "heavy_hitters_mg")
     # pass 1 is the Arrow-batched per-partition sketch; pass 2 filters the
     # stream through the BROADCAST candidate set before any exchange, and
