@@ -361,39 +361,29 @@ _EWMA_SCALE = 10 ** 8  # per-term fixed-point scale for the order-free sum
     bench=True,  # first benched r5: higher-order-frame window floor
 )
 def ewma_price_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r13 examined-and-rejected: a lag-sum rewrite (32 constant-weight
+    # lag() terms in codegen instead of the collect_list frame + 32
+    # interpreted pow() calls per row) was proven bit-identical at two
+    # SFs and measured SLOWER — ~2.5 s vs ~1.4 s at comparable box
+    # controls (32 separate offset window frames each iterate the
+    # partition; one collect_list buffer + HOF walk is cheaper). The
+    # array form below stays; evidence in OPTIMIZATION_r13.md.
     t = _ticks(spark, sf_dir)
-    w = Window.partitionBy("hub").orderBy("ts", "tick_id")
-    # r13 (guide §4.1 / §1.2 per-task work): the r5 form materialized a
-    # 32-element array per row (collect_list ROWS frame) and walked it
-    # with interpreted transform/aggregate lambdas costing 32 pow()
-    # calls per row. Each weighted term depends only on (price, distance
-    # from the current row), so the numerator is a sum of 32 lag()
-    # terms with CONSTANT weights — offset window functions sharing the
-    # SAME single hub-keyed exchange+sort, with the term arithmetic in
-    # whole-stage codegen. Bit-identical by construction: 0.5**j is
-    # exactly representable and JVM pow(0.5, j) reproduces the Python
-    # literal bit-for-bit for j in 0..32 (verified); each term's
-    # round((v * w) * SCALE) arithmetic is unchanged; the int64 term
-    # sum is order-free; lag(j) is null exactly where the old list was
-    # shorter than j+1 (ticks carry no null prices — the oracle's
-    # list() would have counted them differently since r5 otherwise),
-    # and the normalizer reads the same frame length via
-    # least(row_number, N). The DuckDB oracle SQL is untouched.
-    terms = [F.round(F.col("price_mwh") * (0.5 ** 0) * _EWMA_SCALE)
-             .cast("long")]
-    terms += [
-        F.round(F.lag("price_mwh", j).over(w) * (0.5 ** j) * _EWMA_SCALE)
-        .cast("long")
-        for j in range(1, _EWMA_N)
-    ]
-    num = terms[0]
-    for term in terms[1:]:
-        num = num + F.coalesce(term, F.lit(0).cast("long"))
-    n = F.least(F.row_number().over(w), F.lit(_EWMA_N))
+    w = (Window.partitionBy("hub").orderBy("ts", "tick_id")
+         .rowsBetween(-(_EWMA_N - 1), 0))
+    fr = t.withColumn("l", F.collect_list("price_mwh").over(w))
+    n = F.size(F.col("l"))
+    # 0-based transform index i -> weight 0.5^(n-1-i); DuckDB's 1-based
+    # (v, i) lambda renders the same exponent as len(l) - i.
+    terms = F.transform(
+        F.col("l"),
+        lambda v, i: F.round(v * F.pow(F.lit(0.5), n - 1 - i)
+                             * _EWMA_SCALE).cast("long"))
+    num = F.aggregate(terms, F.lit(0).cast("long"), lambda a, x: a + x)
     ewma = (num.cast("double") / float(_EWMA_SCALE)
             / (2.0 * (1.0 - F.pow(F.lit(0.5), n))))
-    return t.select("hub", "ts", "tick_id", "price_mwh",
-                    ewma.alias("ewma"))
+    return fr.select("hub", "ts", "tick_id", "price_mwh",
+                     ewma.alias("ewma"))
 
 
 _BB_N = 20  # Bollinger frame: SMA(20) +/- 2 sigma
