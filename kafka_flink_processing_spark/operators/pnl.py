@@ -275,7 +275,8 @@ def _fold_slice(pdf: pd.DataFrame) -> pd.DataFrame:
 
 
 def _carried_entry_price(grid: DataFrame, prices: DataFrame,
-                         day_col: str) -> DataFrame:
+                         day_col: str,
+                         day_close: DataFrame | None = None) -> DataFrame:
     """Per-(hub, day) strictly-before price carry: each day's closing tick
     price (max_by over tick ts), forward-filled across the hub's day grid
     EXCLUDING the current day. Shared by the sliced fold's phase B and the
@@ -283,12 +284,23 @@ def _carried_entry_price(grid: DataFrame, prices: DataFrame,
     stay bit-equal to the single fold, so the construction lives once.
 
     grid: (hub, <day_col>) rows; prices: (ts, hub, price_mwh). Returns
-    (hub, <day_col>, entry_px) with entry_px null before the first tick."""
-    day_close = (prices.groupBy("hub", F.to_date("ts").alias(day_col))
-                 .agg(F.max_by("price_mwh",
-                               F.struct("ts", _tick_seq(prices)
-                                        .alias("__seq")))
-                      .alias("day_close_px")))
+    (hub, <day_col>, entry_px) with entry_px null before the first tick.
+
+    day_close: optional precomputed (hub, <day_col>, day_close_px) relation
+    (r13, guide §2.4 shared-exchange posture: the sliced fold's grid
+    aggregate passes over the exact rows this helper would re-scan, so it
+    fuses max_by into that aggregate and hands the result in — the carry
+    window below stays the single shared definition either way; `prices`
+    is ignored when day_close is given). A caller-supplied day_close must
+    be max_by(price, (ts, tick-seq)) over kind=PRICE rows per (hub, day),
+    null where the day has no tick — the fused aggregate in
+    pnl_positions_sliced and the derivation below are the same expression."""
+    if day_close is None:
+        day_close = (prices.groupBy("hub", F.to_date("ts").alias(day_col))
+                     .agg(F.max_by("price_mwh",
+                                   F.struct("ts", _tick_seq(prices)
+                                            .alias("__seq")))
+                          .alias("day_close_px")))
     w_ff = (Window.partitionBy("hub").orderBy(day_col)
             .rowsBetween(Window.unboundedPreceding, -1))
     return (grid.join(day_close, ["hub", day_col], "left")
@@ -340,12 +352,25 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
         day(F.col("ts")).alias("slice"))
     unioned = t.unionByName(p)
 
-    # the (hub, slice) grid: one marker/state anchor per fold shard.
+    # the (hub, slice) grid: one marker/state anchor per fold shard, with
+    # each slice's closing tick price fused into the SAME aggregate (r13,
+    # guide §2.4: grid-distinct and phase B's day_close pass over the same
+    # rows keyed the same way — one exchange instead of two, and entry_px
+    # no longer re-scans the price stream; max_by ignores rows whose
+    # ordering key is null, so trade rows never contribute a close).
     # Primed eagerly: three plan branches (markers, entry_px, phase-C union)
     # read it inside one job and would race the cold cache otherwise — the
     # same pathology the dedup signature memo hit in BENCH_r02.
-    grid = unioned.select("hub", "slice").distinct().cache()
-    grid.count()
+    is_px = F.col("kind") == PRICE
+    base = (unioned.groupBy("hub", "slice")
+            .agg(F.max_by(F.when(is_px, F.col("price_mwh")),
+                          F.when(is_px, F.struct(F.col("ts"),
+                                                 F.col("trade_id")
+                                                 .alias("__seq"))))
+                 .alias("day_close_px"))
+            .cache())
+    base.count()
+    grid = base.select("hub", "slice")
     slice_ts = F.col("slice").cast("timestamp")
 
     # phase A input: trades + per-account boundary markers, grouped per
@@ -363,9 +388,9 @@ def pnl_positions_sliced(trades: DataFrame, prices: DataFrame,
     states = (t.unionByName(markers).groupBy("hub", "account")
                .applyInPandas(_boundary_states, _STATE_SCHEMA))
 
-    # phase B: entry last-price per (hub, slice) — relational, no fold
-    entry_px = (_carried_entry_price(grid, p.select("ts", "hub", "price_mwh"),
-                                     "slice")
+    # phase B: entry last-price per (hub, slice) — relational, no fold;
+    # the per-slice close comes precomputed from the fused grid aggregate
+    entry_px = (_carried_entry_price(grid, None, "slice", day_close=base)
                 .withColumnRenamed("entry_px", "st_lastpx")
                 .filter(F.col("st_lastpx").isNotNull()))
 
